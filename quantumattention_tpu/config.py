@@ -1,0 +1,128 @@
+"""Config/flag system for quantumattention_tpu.
+
+TPU-native re-design of the reference's env-var-driven torch ConfigModule
+(reference: src/quantum_attn/config.py:1-41): a tree of plain namespaces whose
+defaults come from ``QUANTUM_ATTN_*`` environment variables, plus a
+``patch()`` context manager with the same dotted-key semantics the reference's
+tests rely on (reference: tests/test_interface.py:45-49).
+
+Flags are read at *trace time* by the dispatcher, so inside ``jax.jit`` they
+are baked into the compiled program — the JAX analogue of the reference's
+``@torch.compiler.assume_constant_result`` gates (reference:
+src/quantum_attn/utils/checks.py:9-15).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+from typing import Any, Dict, Iterator
+
+
+def _env_bool(name: str, default: bool) -> bool:
+    val = os.environ.get(name)
+    if val is None:
+        return default
+    return val not in ("0", "", "false", "False", "OFF", "off")
+
+
+def _env_str(name: str, default: str) -> str:
+    return os.environ.get(name, default)
+
+
+class _Namespace:
+    """A mutable attribute namespace (one level of the config tree)."""
+
+    def __init__(self, **kwargs: Any) -> None:
+        for key, value in kwargs.items():
+            setattr(self, key, value)
+
+    def __repr__(self) -> str:  # pragma: no cover - debugging aid
+        return f"_Namespace({vars(self)})"
+
+
+# ---------------------------------------------------------------------------
+# Flag tree.  Mirrors the reference's flag surface (config.py:11-31) with
+# TPU-native meanings.
+# ---------------------------------------------------------------------------
+
+#: Allow reduced-precision (bf16) accumulation for the P@V matmul inside the
+#: fused kernel.  Analogue of QUANTUM_ATTN_USE_FAST_ACCUM (reference
+#: config.py:11 / inductor use at mm_common.py:79).
+use_fast_accum: bool = _env_bool("QUANTUM_ATTN_USE_FAST_ACCUM", False)
+
+#: Kernel execution mode: "auto" runs Pallas kernels compiled on TPU and in
+#: interpret mode on CPU; True forces interpret mode everywhere (debugging);
+#: False forces compiled mode.
+interpret: Any = _env_str("QUANTUM_ATTN_INTERPRET", "auto")
+
+kernel = _Namespace(
+    # Default Q-sequence block. None => heuristic by shape/dtype.
+    block_q=None,
+    # Default KV-sequence block. None => heuristic.
+    block_kv=None,
+    # Use base-2 exponent domain for the online softmax (folds log2(e) into
+    # the scale like the reference's exp2 softmax, tk/attention.py:238-240).
+    use_exp2=True,
+    # Enable the timed block-size autotuner (shape-class keyed, disk cached).
+    autotune=_env_bool("QUANTUM_ATTN_AUTOTUNE", False),
+)
+
+attention = _Namespace(
+    # Skip the capability check in the dispatcher (reference config.py:27,
+    # nn.py:292-295).
+    skip_supported_check=_env_bool("QUANTUM_ATTN_SKIP_SUPPORTED_CHECK", False),
+    # Route everything through the XLA SDPA reference path (reference's
+    # force_eager_fallback, config.py:28).
+    force_fallback=_env_bool("QUANTUM_ATTN_FORCE_FALLBACK", False),
+    # Enable the fused Pallas flash kernel (analogue of
+    # enable_tk_tma_kernel, config.py:29; default on).
+    enable_pallas_kernel=_env_bool("QUANTUM_ATTN_ENABLE_PALLAS_KERNEL", True),
+    # Enable the int8-MXU fast path for the QK^T matmul where the TPU
+    # generation runs 8-bit matmuls at 2x bf16 rate.
+    enable_int8_qk=_env_bool("QUANTUM_ATTN_ENABLE_INT8_QK", True),
+)
+
+
+_MODULE = __import__(__name__, fromlist=["_"])
+
+
+def _resolve(dotted: str):
+    """Resolve "a.b" to (namespace_object, leaf_name)."""
+    parts = dotted.split(".")
+    obj: Any = _MODULE
+    for part in parts[:-1]:
+        obj = getattr(obj, part)
+    leaf = parts[-1]
+    if not hasattr(obj, leaf):
+        raise AttributeError(f"unknown config key: {dotted!r}")
+    return obj, leaf
+
+
+def get(dotted: str) -> Any:
+    obj, leaf = _resolve(dotted)
+    return getattr(obj, leaf)
+
+
+def set(dotted: str, value: Any) -> None:  # noqa: A001 - mirrors config API
+    obj, leaf = _resolve(dotted)
+    setattr(obj, leaf, value)
+
+
+@contextlib.contextmanager
+def patch(changes: Dict[str, Any] | None = None, **kw: Any) -> Iterator[None]:
+    """Temporarily override config values by dotted key.
+
+    Mirrors the reference's ``quantum_attn.config.patch({...})`` context
+    manager semantics (reference: tests/test_interface.py:45-49).
+    """
+    merged: Dict[str, Any] = dict(changes or {})
+    merged.update(kw)
+    saved = {key: get(key) for key in merged}
+    try:
+        for key, value in merged.items():
+            set(key, value)
+        yield
+    finally:
+        for key, value in saved.items():
+            set(key, value)

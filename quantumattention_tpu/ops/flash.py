@@ -1,0 +1,467 @@
+"""Fused flash-attention forward kernel (Pallas / Mosaic, TPU-native).
+
+This is the TPU re-design of the reference's two hot kernels — the
+ThunderKittens warp-specialized TMA pipeline (reference:
+src/quantum_attn/tk/attention.py:97-349) and the Triton persistent TMA
+template (reference: src/quantum_attn/inductor/kernels/attention.py:147-670).
+None of their CUDA machinery survives here; the same *capability* is
+expressed the Pallas way:
+
+  * producer/consumer warpgroups + 2-stage TMA pipeline  ->  a Pallas grid
+    ``(batch, q_heads, q_blocks, kv_blocks)`` whose HBM->VMEM block streaming
+    is automatically double-buffered by Mosaic;
+  * WGMMA fp8 matmuls  ->  MXU ``dot_general`` (8-bit operands run through
+    the int8 MXU path at 2x bf16 rate on v5e+; fp8 e4m3 operands are exact
+    in bf16 so the bf16 MXU path is bit-faithful);
+  * exp2-domain online softmax with folded ``scale_q*scale_k*sm_scale*log2e``
+    (reference tk/attention.py:204-210,238-240)  ->  identical math on fp32
+    accumulators in VMEM scratch;
+  * causal two-stage decomposition + ragged-tail masks (reference
+    inductor/kernels/attention.py:592-641, tk/attention.py:252-272)  ->
+    block-level ``@pl.when`` skipping plus iota masks on boundary blocks;
+  * grid z/y = batch/head (reference tk/attention.py:502-504)  ->  grid
+    dims marked "parallel" so Mosaic may split them across megacores.
+
+Capabilities beyond the reference (per BASELINE.json north star): GQA in the
+fast path (the reference's Python validators disallow it, nn.py:101-104,
+even though its C++ host supports it), sliding-window masking, position
+offsets for ring/sequence-parallel composition, and residual (m, l) outputs
+for cross-device online-softmax merging.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import config
+from ..utils import checks
+
+LOG2E = math.log2(math.e)
+
+#: Large negative logit for masked positions; avoids NaN from (-inf) - (-inf)
+#: while still flushing exp2/exp to exactly 0.
+MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+#: Lane width of the residual (m, l) output layout.
+NUM_LANES = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _heuristic_blocks(
+    q_len: int, kv_len: int, head_dim: int
+) -> Tuple[int, int]:
+    """Default (block_q, block_kv).
+
+    The analogue of the reference's per-head-dim config table + short-seq
+    shrink (inductor/kernels/attention.py:673-785): larger KV blocks amortize
+    HBM reads, smaller blocks keep VMEM within budget for big head dims.
+    """
+    if head_dim >= 256:
+        bq_t, bkv_t = 128, 256
+    else:
+        bq_t, bkv_t = 256, 512
+    bq = min(bq_t, _round_up(q_len, 128))
+    bkv = min(bkv_t, _round_up(kv_len, 128))
+    return bq, bkv
+
+
+def _compute_cast(x: jax.Array) -> jax.Array:
+    """Upcast 8-bit float operands for the MXU.
+
+    float8_e4m3fn embeds exactly in bfloat16 (4-bit exponent subset of 8,
+    3-bit mantissa subset of 7), so this cast is value-preserving; the fp32
+    accumulation then matches the reference's ``QK_ACC_TYPE = tl.float32``
+    (inductor/kernels/attention.py:856-858).
+    """
+    if checks.is_fp8_dtype(x.dtype) or x.dtype == jnp.float16:
+        return x.astype(jnp.bfloat16)
+    return x
+
+
+def _flash_kernel(
+    # --- dynamically assembled ref list (see _build_specs) ---
+    *refs,
+    # --- static parameters ---
+    has_offsets: bool,
+    scaling: str,  # "none" | "head" | "token"
+    causal: bool,
+    window: Optional[Tuple[Optional[int], Optional[int]]],
+    sm_scale: float,
+    kv_valid: int,
+    kv_len_padded: int,
+    q_valid: int,
+    block_q: int,
+    block_kv: int,
+    use_exp2: bool,
+    return_residuals: bool,
+    use_int8_dot: bool,
+    gqa_group: int,
+):
+    idx = 0
+    if has_offsets:
+        q_off_ref, kv_off_ref = refs[idx], refs[idx + 1]
+        idx += 2
+    if scaling != "none":
+        scale_q_ref, scale_k_ref = refs[idx], refs[idx + 1]
+        idx += 2
+    q_ref, k_ref, v_ref = refs[idx : idx + 3]
+    idx += 3
+    o_ref = refs[idx]
+    idx += 1
+    if return_residuals:
+        m_out_ref, l_out_ref = refs[idx], refs[idx + 1]
+        idx += 2
+    m_scr, l_scr, acc_scr = refs[idx : idx + 3]
+
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    i = pl.program_id(2)
+    j = pl.program_id(3)
+    num_kv_blocks = pl.num_programs(3)
+
+    if has_offsets:
+        q_off = q_off_ref[0]
+        kv_off = kv_off_ref[0]
+    else:
+        q_off = 0
+        kv_off = 0
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    # ---- block-level skip (reference: causal two-stage decomposition and
+    # the official flash pattern of skipping above-diagonal KV tiles) ----
+    should_run = True
+    q_blk_min = q_off + i * block_q
+    q_blk_max = q_blk_min + block_q - 1
+    kv_blk_min = kv_off + j * block_kv
+    kv_blk_max = kv_blk_min + block_kv - 1
+    if causal:
+        should_run = jnp.logical_and(should_run, kv_blk_min <= q_blk_max)
+    if window is not None:
+        left, right = window
+        if left is not None:
+            should_run = jnp.logical_and(
+                should_run, kv_blk_max >= q_blk_min - left
+            )
+        if right is not None and not causal:
+            should_run = jnp.logical_and(
+                should_run, kv_blk_min <= q_blk_max + right
+            )
+    if kv_valid < kv_len_padded:
+        should_run = jnp.logical_and(should_run, j * block_kv < kv_valid)
+
+    @pl.when(should_run)
+    def _run():
+        q = _compute_cast(q_ref[0, 0])  # (block_q, D)
+        k = _compute_cast(k_ref[0, 0])  # (block_kv, D)
+
+        if use_int8_dot:
+            s = jax.lax.dot_general(
+                q_ref[0, 0],
+                k_ref[0, 0],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+        else:
+            s = jax.lax.dot_general(
+                q,
+                k,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        # ---- scale folding (reference tk/attention.py:204-210 for
+        # head-wise, inductor/kernels/attention.py:391-395 for token-wise;
+        # log2e fold per attention.py:400) ----
+        base = sm_scale * (LOG2E if use_exp2 else 1.0)
+        if scaling == "head":
+            # Whole (B, H)/(B, Hkv) scale tables live in SMEM; index by
+            # grid position (blocked SMEM specs are not supported).
+            s = s * (scale_q_ref[b, h] * scale_k_ref[b, h // gqa_group] * base)
+        elif scaling == "token":
+            qs = scale_q_ref[0, h, :].reshape(block_q, 1)
+            ks = scale_k_ref[0, h // gqa_group, :].reshape(1, block_kv)
+            s = s * (qs * base) * ks
+        else:
+            s = s * base
+
+        # ---- masking (causal / window / ragged KV tail) ----
+        need_mask = (
+            causal or window is not None or kv_valid < kv_len_padded
+        )
+        if need_mask:
+            shape = (block_q, block_kv)
+            row = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + q_blk_min
+            col = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + kv_blk_min
+            mask = None
+
+            def _and(m, new):
+                return new if m is None else jnp.logical_and(m, new)
+
+            if causal:
+                mask = _and(mask, col <= row)
+            if window is not None:
+                left, right = window
+                if left is not None:
+                    mask = _and(mask, col >= row - left)
+                if right is not None:
+                    mask = _and(mask, col <= row + right)
+            if kv_valid < kv_len_padded:
+                local_col = col - kv_blk_min + j * block_kv
+                mask = _and(mask, local_col < kv_valid)
+            s = jnp.where(mask, s, MASK_VALUE)
+
+        # ---- online softmax (fp32; reference tk/attention.py:274-313) ----
+        exp = jnp.exp2 if use_exp2 else jnp.exp
+        m_prev = m_scr[:]  # (block_q, NUM_LANES), lane-replicated
+        l_prev = l_scr[:]
+        m_curr = jnp.max(s, axis=-1, keepdims=True)  # (block_q, 1)
+        m_next = jnp.maximum(m_prev, m_curr)  # broadcast -> lane-replicated
+        alpha = exp(m_prev - m_next)
+        p = exp(s - m_next[:, :1])
+        l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        m_scr[:] = m_next
+        l_scr[:] = l_next
+
+        v = _compute_cast(v_ref[0, 0])  # (block_kv, D)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype),
+            v,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[:] = acc_scr[:] * alpha[:, :1] + pv
+
+    @pl.when(j == num_kv_blocks - 1)
+    def _epilogue():
+        l = l_scr[:, :1]
+        l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+        o_ref[0, 0] = (acc_scr[:] * l_inv).astype(o_ref.dtype)
+        if return_residuals:
+            m_out_ref[0, 0] = m_scr[:]
+            l_out_ref[0, 0] = l_scr[:]
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    scale_q: Optional[jax.Array] = None,
+    scale_k: Optional[jax.Array] = None,
+    is_causal: bool = False,
+    sm_scale: Optional[float] = None,
+    window: Optional[Tuple[Optional[int], Optional[int]]] = None,
+    q_offset: Optional[jax.Array] = None,
+    kv_offset: Optional[jax.Array] = None,
+    block_q: Optional[int] = None,
+    block_kv: Optional[int] = None,
+    return_residuals: bool = False,
+    interpret: Optional[bool] = None,
+):
+    """Fused attention forward over (B, H, S, D) tensors.
+
+    Args:
+      q: (B, Hq, Sq, D); bf16/fp16, fp8 e4m3, or int8 (with scales).
+      k: (B, Hkv, Skv, D); same dtype family as q. Hq % Hkv == 0 (GQA).
+      v: (B, Hkv, Skv, D); bf16/fp16 (reference dtype rule nn.py:83-105) or
+        fp8 e4m3.
+      scale_q/scale_k: dequantization scales; (B, H) = head-wise or
+        (B, H, S) = token-wise (reference nn.py:410-418). Both or neither.
+      is_causal: lower-triangular masking.
+      sm_scale: softmax scale; defaults to 1/sqrt(D).
+      window: optional (left, right) sliding-window extents.
+      q_offset/kv_offset: optional int32 scalars giving the global position
+        of row/col 0 — used by ring/sequence-parallel attention to keep
+        causal masks correct as KV blocks rotate between chips.
+      return_residuals: also return lane-replicated online-softmax stats
+        (m, l), each (B, Hq, Sq, 128) fp32, for cross-device merging.
+
+    Returns:
+      out with q's (B, Hq, Sq, D) shape in v's float dtype
+      (and (m, l) when return_residuals).
+    """
+    batch, num_q_heads, q_len, head_dim = q.shape
+    _, num_kv_heads, kv_len, _ = k.shape
+    if num_q_heads % num_kv_heads != 0:
+        raise ValueError("num_q_heads must be divisible by num_kv_heads")
+    group = num_q_heads // num_kv_heads
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(head_dim)
+    if interpret is None:
+        interpret = checks.resolve_interpret(config.interpret)
+
+    # Scaling granularity from scale shapes.
+    if (scale_q is None) != (scale_k is None):
+        raise ValueError("scale_q and scale_k must be given together")
+    if scale_q is None:
+        scaling = "none"
+    elif scale_q.ndim == 2:
+        scaling = "head"
+    elif scale_q.ndim == 3:
+        scaling = "token"
+    else:
+        raise ValueError(f"bad scale rank: {scale_q.ndim}")
+
+    use_int8_dot = (
+        q.dtype == jnp.int8
+        and k.dtype == jnp.int8
+        and scaling != "none"
+        and config.attention.enable_int8_qk
+    )
+    if q.dtype == jnp.int8 and scaling == "none":
+        raise ValueError("int8 q/k require scales")
+
+    bq = block_q or config.kernel.block_q
+    bkv = block_kv or config.kernel.block_kv
+    if bq is None or bkv is None:
+        hq, hkv = _heuristic_blocks(q_len, kv_len, head_dim)
+        bq = bq or hq
+        bkv = bkv or hkv
+
+    # Pad sequence dims to block multiples (zero padding keeps the PV matmul
+    # NaN-free; padded KV columns are masked, padded Q rows are sliced off).
+    q_len_p = _round_up(q_len, bq)
+    kv_len_p = _round_up(kv_len, bkv)
+
+    def _pad_seq(t, target):
+        if t is None or t.shape[2] == target:
+            return t
+        pad = [(0, 0), (0, 0), (0, target - t.shape[2]), (0, 0)][: t.ndim]
+        return jnp.pad(t, pad)
+
+    qp = _pad_seq(q, q_len_p)
+    kp = _pad_seq(k, kv_len_p)
+    vp = _pad_seq(v, kv_len_p)
+    sqp = _pad_seq(scale_q, q_len_p) if scaling == "token" else scale_q
+    skp = _pad_seq(scale_k, kv_len_p) if scaling == "token" else scale_k
+
+    has_offsets = q_offset is not None or kv_offset is not None
+    grid = (batch, num_q_heads, q_len_p // bq, kv_len_p // bkv)
+
+    in_specs = []
+    args = []
+    if has_offsets:
+        zero = jnp.zeros((1,), jnp.int32)
+        q_off = zero if q_offset is None else jnp.asarray(
+            q_offset, jnp.int32
+        ).reshape(1)
+        kv_off = zero if kv_offset is None else jnp.asarray(
+            kv_offset, jnp.int32
+        ).reshape(1)
+        off_spec = pl.BlockSpec(
+            (1,), lambda b, h, i, j: (0,), memory_space=pltpu.SMEM
+        )
+        in_specs += [off_spec, off_spec]
+        args += [q_off, kv_off]
+    if scaling == "head":
+        smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        in_specs += [smem_spec, smem_spec]
+        args += [scale_q.astype(jnp.float32), scale_k.astype(jnp.float32)]
+    elif scaling == "token":
+        # Mosaic requires block dim -2 to be 8-divisible or equal to the
+        # array dim, so the scale block covers all heads (tiny: H*block*4B).
+        in_specs += [
+            pl.BlockSpec((1, num_q_heads, bq), lambda b, h, i, j: (b, 0, i)),
+            pl.BlockSpec((1, num_kv_heads, bkv), lambda b, h, i, j: (b, 0, j)),
+        ]
+        args += [sqp.astype(jnp.float32), skp.astype(jnp.float32)]
+    in_specs += [
+        pl.BlockSpec((1, 1, bq, head_dim), lambda b, h, i, j: (b, h, i, 0)),
+        pl.BlockSpec(
+            (1, 1, bkv, head_dim), lambda b, h, i, j: (b, h // group, j, 0)
+        ),
+        pl.BlockSpec(
+            (1, 1, bkv, head_dim), lambda b, h, i, j: (b, h // group, j, 0)
+        ),
+    ]
+    args += [qp, kp, vp]
+
+    out_dtype = v.dtype if v.dtype != jnp.float8_e4m3fn else jnp.bfloat16
+    if checks.is_8bit_dtype(out_dtype):
+        out_dtype = jnp.bfloat16
+    out_shapes = [
+        jax.ShapeDtypeStruct((batch, num_q_heads, q_len_p, head_dim), out_dtype)
+    ]
+    out_specs = [
+        pl.BlockSpec((1, 1, bq, head_dim), lambda b, h, i, j: (b, h, i, 0))
+    ]
+    if return_residuals:
+        res_shape = jax.ShapeDtypeStruct(
+            (batch, num_q_heads, q_len_p, NUM_LANES), jnp.float32
+        )
+        res_spec = pl.BlockSpec(
+            (1, 1, bq, NUM_LANES), lambda b, h, i, j: (b, h, i, 0)
+        )
+        out_shapes += [res_shape, res_shape]
+        out_specs += [res_spec, res_spec]
+
+    kernel = functools.partial(
+        _flash_kernel,
+        has_offsets=has_offsets,
+        scaling=scaling,
+        causal=is_causal,
+        window=window,
+        sm_scale=float(sm_scale),
+        kv_valid=kv_len,
+        kv_len_padded=kv_len_p,
+        q_valid=q_len,
+        block_q=bq,
+        block_kv=bkv,
+        use_exp2=config.kernel.use_exp2,
+        return_residuals=return_residuals,
+        use_int8_dot=use_int8_dot,
+        gqa_group=group,
+    )
+
+    # FLOP estimate for XLA's latency-hiding scheduler.
+    flops = 4 * batch * num_q_heads * q_len_p * kv_len_p * head_dim
+    if is_causal:
+        flops //= 2
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((bq, NUM_LANES), jnp.float32),
+            pltpu.VMEM((bq, NUM_LANES), jnp.float32),
+            pltpu.VMEM((bq, head_dim), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=sum(t.size * t.dtype.itemsize for t in (qp, kp, vp)),
+            transcendentals=batch * num_q_heads * q_len_p * kv_len_p,
+        ),
+        interpret=interpret,
+    )(*args)
+
+    out = outs[0] if return_residuals else outs[0]
+    if q_len_p != q_len:
+        out = out[:, :, :q_len, :]
+    if return_residuals:
+        m, l = outs[1], outs[2]
+        if q_len_p != q_len:
+            m = m[:, :, :q_len, :]
+            l = l[:, :, :q_len, :]
+        return out, (m, l)
+    return out

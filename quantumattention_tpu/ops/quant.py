@@ -1,0 +1,93 @@
+"""Dynamic quantization for attention operands.
+
+The quantization math is the capability spec from the reference
+(src/quantum_attn/nn.py:14-19):
+
+    scale = clamp(amax(|t|, dims) / FP8_MAX, eps)
+    t_q   = cast(clamp(t / scale, -FP8_MAX, FP8_MAX), float8_e4m3fn)
+    return t_q, squeeze(scale, dims).astype(float32)
+
+Granularities (reference nn.py:410-418):
+  * head-wise:  reduce over [-2, -1]  -> scale shape (B, H)
+  * token-wise: reduce over [-1]      -> scale shape (B, H, S)
+
+This module adds an int8 variant with identical structure: on TPU v5e/v6e the
+MXU runs 8-bit matmuls at 2x the bf16 rate, so int8 (not fp8) is the
+throughput-optimal 8-bit container; fp8 e4m3 remains the storage/parity
+format.  Everything is pure jnp so XLA fuses the quantization into
+surrounding computation (the analogue of the reference compiling the
+quantizer with Inductor, nn.py:22-42).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+#: Max representable magnitude of float8_e4m3fn (reference nn.py:15 uses 448).
+FP8_E4M3_MAX = 448.0
+INT8_MAX = 127.0
+
+#: Scale clamp floor; the reference clamps scales to fp32 eps (nn.py:16).
+SCALE_EPS = float(jnp.finfo(jnp.float32).eps)
+
+_Dims = Union[int, Sequence[int]]
+
+
+def _normalize_dims(reduction_dim: _Dims) -> Tuple[int, ...]:
+    if isinstance(reduction_dim, int):
+        return (reduction_dim,)
+    return tuple(reduction_dim)
+
+
+def _dynamic_quantize(
+    t: jax.Array, reduction_dim: _Dims, qmax: float, qdtype
+) -> Tuple[jax.Array, jax.Array]:
+    dims = _normalize_dims(reduction_dim)
+    amax = jnp.max(jnp.abs(t.astype(jnp.float32)), axis=dims, keepdims=True)
+    scale = jnp.maximum(amax / qmax, SCALE_EPS)
+    t_scaled = jnp.clip(t.astype(jnp.float32) / scale, -qmax, qmax)
+    if jnp.issubdtype(qdtype, jnp.integer):
+        t_scaled = jnp.round(t_scaled)
+    t_q = t_scaled.astype(qdtype)
+    return t_q, jnp.squeeze(scale, axis=dims).astype(jnp.float32)
+
+
+def dynamically_quantize_fp8(
+    t: jax.Array, *, reduction_dim: _Dims = -1
+) -> Tuple[jax.Array, jax.Array]:
+    """Quantize to float8_e4m3fn with dynamic scales.
+
+    Public API parity with the reference's ``dynamically_quantize_fp8``
+    (nn.py:22-42 / __init__.py:13).
+    """
+    return _dynamic_quantize(t, reduction_dim, FP8_E4M3_MAX, jnp.float8_e4m3fn)
+
+
+def dynamically_quantize_int8(
+    t: jax.Array, *, reduction_dim: _Dims = -1
+) -> Tuple[jax.Array, jax.Array]:
+    """Quantize to int8 with dynamic scales (TPU 8-bit MXU container)."""
+    return _dynamic_quantize(t, reduction_dim, INT8_MAX, jnp.int8)
+
+
+def quantize_head_wise(t: jax.Array, qdtype=jnp.float8_e4m3fn):
+    """(B, H, S, D) -> values + (B, H) scales (reference nn.py:410-414)."""
+    qmax = INT8_MAX if jnp.issubdtype(qdtype, jnp.integer) else FP8_E4M3_MAX
+    return _dynamic_quantize(t, (-2, -1), qmax, qdtype)
+
+
+def quantize_token_wise(t: jax.Array, qdtype=jnp.float8_e4m3fn):
+    """(B, H, S, D) -> values + (B, H, S) scales (reference nn.py:415-418)."""
+    qmax = INT8_MAX if jnp.issubdtype(qdtype, jnp.integer) else FP8_E4M3_MAX
+    return _dynamic_quantize(t, (-1,), qmax, qdtype)
+
+
+def dequantize(t_q: jax.Array, scale: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """Inverse transform; broadcast scales from the left-aligned shape."""
+    scale = scale.astype(dtype)
+    while scale.ndim < t_q.ndim:
+        scale = scale[..., None]
+    return t_q.astype(dtype) * scale

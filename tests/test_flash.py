@@ -1,0 +1,97 @@
+"""Differential tests: Pallas flash kernel vs fp32 SDPA oracle.
+
+Mirrors the reference's end-to-end differential strategy
+(reference: tests/test_interface.py:31-59): seeded random inputs, RMSE vs
+the unfused oracle < 1e-2, parameter grids covering ragged tails, GQA,
+causal, and head dims {64, 128, 256}.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quantumattention_tpu.ops.flash import flash_attention
+from quantumattention_tpu.ops.sdpa import sdpa_reference
+
+RMSE_TOL = 1e-2  # reference tests/test_interface.py:57-59
+
+
+def rmse(a, b):
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    return float(np.sqrt(np.mean((a - b) ** 2)))
+
+
+def make_qkv(batch, hq, hkv, sq, skv, d, dtype=jnp.bfloat16, seed=0):
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+    q = jax.random.normal(k1, (batch, hq, sq, d), jnp.float32)
+    k = jax.random.normal(k2, (batch, hkv, skv, d), jnp.float32)
+    v = jax.random.normal(k3, (batch, hkv, skv, d), jnp.float32)
+    return q.astype(dtype), k.astype(dtype), v.astype(dtype)
+
+
+@pytest.mark.parametrize("sq,skv", [(512, 512), (512, 384), (250, 999)])
+@pytest.mark.parametrize("is_causal", [False, True])
+@pytest.mark.parametrize("d", [64, 128])
+def test_flash_vs_oracle(sq, skv, is_causal, d):
+    if is_causal and sq != skv:
+        pytest.skip("causal + rectangular skipped (reference parity)")
+    q, k, v = make_qkv(2, 4, 4, sq, skv, d)
+    out = flash_attention(q, k, v, is_causal=is_causal, block_q=128, block_kv=128)
+    ref = sdpa_reference(q, k, v, is_causal=is_causal)
+    assert out.shape == q.shape
+    assert rmse(out, ref) < RMSE_TOL
+
+
+def test_flash_gqa():
+    q, k, v = make_qkv(1, 8, 2, 256, 512, 64)
+    out = flash_attention(q, k, v, block_q=128, block_kv=128)
+    ref = sdpa_reference(q, k, v)
+    assert rmse(out, ref) < RMSE_TOL
+
+
+def test_flash_causal_gqa_d256():
+    q, k, v = make_qkv(1, 4, 2, 384, 384, 256)
+    out = flash_attention(q, k, v, is_causal=True, block_q=128, block_kv=128)
+    ref = sdpa_reference(q, k, v, is_causal=True)
+    assert rmse(out, ref) < RMSE_TOL
+
+
+def test_flash_sliding_window():
+    q, k, v = make_qkv(1, 2, 2, 512, 512, 64)
+    out = flash_attention(
+        q, k, v, is_causal=True, window=(128, 0), block_q=128, block_kv=128
+    )
+    ref = sdpa_reference(q, k, v, is_causal=True, window=(128, None))
+    assert rmse(out, ref) < RMSE_TOL
+
+
+def test_flash_residuals_consistent():
+    q, k, v = make_qkv(1, 2, 2, 256, 256, 64)
+    out, (m, l) = flash_attention(
+        q, k, v, block_q=128, block_kv=128, return_residuals=True
+    )
+    assert m.shape == (1, 2, 256, 128)
+    # All lanes replicated.
+    np.testing.assert_allclose(np.asarray(m[..., 0]), np.asarray(m[..., -1]))
+    ref = sdpa_reference(q, k, v)
+    assert rmse(out, ref) < RMSE_TOL
+
+
+def test_flash_offsets_shift_causal_mask():
+    # With kv_offset = -Skv the whole KV block is "in the past": causal
+    # masking must become a no-op.
+    q, k, v = make_qkv(1, 2, 2, 256, 256, 64)
+    out = flash_attention(
+        q,
+        k,
+        v,
+        is_causal=True,
+        q_offset=jnp.int32(256),
+        kv_offset=jnp.int32(0),
+        block_q=128,
+        block_kv=128,
+    )
+    ref = sdpa_reference(q, k, v)  # fully visible
+    assert rmse(out, ref) < RMSE_TOL
