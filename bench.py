@@ -1,0 +1,105 @@
+"""Attention benchmark harness — prints ONE JSON line for the driver.
+
+Mirrors the reference's benchmark protocol (reference:
+tests/test_interface.py:90-156): shape B=16, H=16, S=8192, D=128,
+FLOPs = 4*B*H*S_Q*S_KV*D (halved if causal), TFLOP/s reported.
+
+Measured paths:
+  * bf16 fused Pallas flash kernel          (baseline; the reference's
+    FlashAttention-SDPA analogue)
+  * FP8 head-wise fused path, in-graph dynamic quantization included
+    (the flagship metric; target >= 1.8x bf16 per BASELINE.md)
+
+Timing: iterations are chained through a data dependency inside one jit so
+device dispatch/tunnel overhead is amortized; the result is fetched to force
+execution.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def bench_one(fn, q, k, v, iters: int) -> float:
+    """Median-of-3 seconds-per-iteration of fn(q, k, v)."""
+
+    @jax.jit
+    def run_n(q, k, v):
+        def body(carry, _):
+            # Data dependency: perturb q by the running scalar so XLA cannot
+            # hoist or dedupe iterations.
+            o = fn(q + carry.astype(q.dtype), k, v)
+            return jnp.float32(o[0, 0, 0, 0]) * 0.0, None
+
+        carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return carry
+
+    # Warmup / compile.
+    float(run_n(q, k, v))
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run_n(q, k, v))
+        times.append((time.perf_counter() - t0) / iters)
+    return sorted(times)[1]
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=16)
+    parser.add_argument("--heads", type=int, default=16)
+    parser.add_argument("--seq", type=int, default=8192)
+    parser.add_argument("--head-dim", type=int, default=128)
+    parser.add_argument("--causal", action="store_true")
+    parser.add_argument("--iters", type=int, default=8)
+    parser.add_argument("--verbose", action="store_true")
+    args = parser.parse_args()
+
+    import quantumattention_tpu as qa
+
+    b, h, s, d = args.batch, args.heads, args.seq, args.head_dim
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(k1, (b, h, s, d), jnp.bfloat16)
+    k = jax.random.normal(k2, (b, h, s, d), jnp.bfloat16)
+    v = jax.random.normal(k3, (b, h, s, d), jnp.bfloat16)
+
+    flops = 4 * b * h * s * s * d
+    if args.causal:
+        flops //= 2
+
+    def bf16_flash(q, k, v):
+        return qa.attn_func(q, k, v, is_causal=args.causal)
+
+    def fp8_headwise(q, k, v):
+        return qa.fp8_attn_func(q, k, v, is_causal=args.causal)
+
+    t_bf16 = bench_one(bf16_flash, q, k, v, args.iters)
+    t_fp8 = bench_one(fp8_headwise, q, k, v, args.iters)
+
+    tflops_bf16 = flops / t_bf16 / 1e12
+    tflops_fp8 = flops / t_fp8 / 1e12
+
+    if args.verbose:
+        print(f"# bf16 flash: {t_bf16 * 1e3:.2f} ms  {tflops_bf16:.1f} TFLOP/s")
+        print(f"# fp8 head-wise: {t_fp8 * 1e3:.2f} ms  {tflops_fp8:.1f} TFLOP/s")
+
+    print(
+        json.dumps(
+            {
+                "metric": "fp8_headwise_attention_throughput",
+                "value": round(tflops_fp8, 2),
+                "unit": "TFLOP/s",
+                "vs_baseline": round(tflops_fp8 / tflops_bf16, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -26,7 +26,7 @@ from typing import Any, Optional, Tuple
 import jax.numpy as jnp
 
 from . import config
-from .ops import quant
+from .ops import autodiff, quant
 from .ops.flash import flash_attention
 from .ops.sdpa import sdpa_reference
 from .utils import checks
@@ -217,7 +217,12 @@ def attention(
     )
     if not supported:
         raise ValueError(f"attention is not supported for the input: {reason}")
-    return flash_attention(
+    if checks.is_8bit_dtype(query.dtype) or checks.is_8bit_dtype(key.dtype):
+        # Pre-quantized operands are not differentiable; skip the VJP wrapper.
+        return flash_attention(
+            query, key, value, is_causal=is_causal, sm_scale=scale, window=window
+        )
+    return autodiff.attention_with_vjp(
         query, key, value, is_causal=is_causal, sm_scale=scale, window=window
     )
 

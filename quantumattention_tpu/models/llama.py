@@ -1,0 +1,298 @@
+"""Llama-family transformer built on the fused attention engine.
+
+The reference ships no model code — its README positions it as a drop-in for
+``F.scaled_dot_product_attention`` inside user transformers.  This module is
+the TPU build's "minimum end-to-end slice" (SURVEY.md §7 step 5): a
+Llama-style decoder (RMSNorm → GQA attention with RoPE → SwiGLU MLP) whose
+attention is served by ``fp8_attn_func_with_fallback`` /
+``attn_func_with_fallback``, demonstrating exactly how a user of the
+reference would drop the engine into a real model.
+
+Design notes (TPU-first):
+  * pure-functional params pytree — jit/pjit/grad compose freely;
+  * all matmuls stay (large, bf16) on the MXU; RoPE/RMSNorm are elementwise
+    VPU work XLA fuses into the surrounding matmuls;
+  * every weight is stored transposed-for-einsum so no relayout is needed;
+  * sharding is externalized: `parallel.mesh` assigns PartitionSpecs over a
+    device mesh, nothing in here mentions devices.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import interface
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 14336
+    num_layers: int = 32
+    num_q_heads: int = 32
+    num_kv_heads: int = 8
+    head_dim: int = 128
+    rope_theta: float = 500000.0
+    rms_norm_eps: float = 1e-5
+    dtype: Any = jnp.bfloat16
+    #: "fp8" routes attention through fp8_attn_func_with_fallback (dynamic
+    #: head-wise quantization), "bf16" through attn_func_with_fallback,
+    #: "sdpa" forces the XLA reference path.
+    attention_impl: str = "fp8"
+    scaling_method: str = "head-wise"
+    #: Optional sliding-window extent (Mistral-style local attention).
+    window: Optional[int] = None
+    #: Tie input embedding and output head (Llama-3.2 style).
+    tie_embeddings: bool = False
+
+    @property
+    def q_dim(self) -> int:
+        return self.num_q_heads * self.head_dim
+
+    @property
+    def kv_dim(self) -> int:
+        return self.num_kv_heads * self.head_dim
+
+
+def llama3_8b(**overrides) -> LlamaConfig:
+    """Llama-3-8B shapes (the BASELINE.md decode-benchmark model)."""
+    return dataclasses.replace(
+        LlamaConfig(
+            vocab_size=128256,
+            hidden_size=4096,
+            intermediate_size=14336,
+            num_layers=32,
+            num_q_heads=32,
+            num_kv_heads=8,
+            head_dim=128,
+            rope_theta=500000.0,
+        ),
+        **overrides,
+    )
+
+
+def llama3_70b(**overrides) -> LlamaConfig:
+    """Llama-3-70B shapes (the BASELINE.md multi-host scaling model)."""
+    return dataclasses.replace(
+        LlamaConfig(
+            vocab_size=128256,
+            hidden_size=8192,
+            intermediate_size=28672,
+            num_layers=80,
+            num_q_heads=64,
+            num_kv_heads=8,
+            head_dim=128,
+            rope_theta=500000.0,
+        ),
+        **overrides,
+    )
+
+
+def tiny(**overrides) -> LlamaConfig:
+    """Small config for tests and multi-chip dry runs."""
+    return dataclasses.replace(
+        LlamaConfig(
+            vocab_size=256,
+            hidden_size=128,
+            intermediate_size=256,
+            num_layers=2,
+            num_q_heads=8,
+            num_kv_heads=4,
+            head_dim=64,
+            rope_theta=10000.0,
+        ),
+        **overrides,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Parameter initialization
+# ---------------------------------------------------------------------------
+
+
+def init_params(key: jax.Array, cfg: LlamaConfig) -> Params:
+    """Truncated-normal init, scaled 1/sqrt(fan_in), stored in cfg.dtype."""
+
+    def dense(key, shape):
+        fan_in = shape[0]
+        w = jax.random.truncated_normal(key, -3, 3, shape, jnp.float32)
+        return (w / math.sqrt(fan_in)).astype(cfg.dtype)
+
+    n_keys = 2 + 7 * cfg.num_layers
+    keys = iter(jax.random.split(key, n_keys))
+
+    params: Params = {
+        "embed": dense(next(keys), (cfg.vocab_size, cfg.hidden_size)),
+        "final_norm": jnp.ones((cfg.hidden_size,), jnp.float32),
+        "layers": [],
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = dense(next(keys), (cfg.hidden_size, cfg.vocab_size))
+    else:
+        next(keys)
+    for _ in range(cfg.num_layers):
+        params["layers"].append(
+            {
+                "attn_norm": jnp.ones((cfg.hidden_size,), jnp.float32),
+                "wq": dense(next(keys), (cfg.hidden_size, cfg.q_dim)),
+                "wk": dense(next(keys), (cfg.hidden_size, cfg.kv_dim)),
+                "wv": dense(next(keys), (cfg.hidden_size, cfg.kv_dim)),
+                "wo": dense(next(keys), (cfg.q_dim, cfg.hidden_size)),
+                "mlp_norm": jnp.ones((cfg.hidden_size,), jnp.float32),
+                "w_gate": dense(next(keys), (cfg.hidden_size, cfg.intermediate_size)),
+                "w_up": dense(next(keys), (cfg.hidden_size, cfg.intermediate_size)),
+                "w_down": dense(next(keys), (cfg.intermediate_size, cfg.hidden_size)),
+            }
+        )
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    normed = xf * jax.lax.rsqrt(var + eps)
+    return (normed * weight).astype(x.dtype)
+
+
+def rope_table(
+    positions: jax.Array, head_dim: int, theta: float
+) -> Tuple[jax.Array, jax.Array]:
+    """(..., S) int positions -> cos/sin tables of shape (..., S, head_dim//2)."""
+    freqs = 1.0 / (
+        theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+    angles = positions.astype(jnp.float32)[..., None] * freqs
+    return jnp.cos(angles), jnp.sin(angles)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """Rotate (B, H, S, D) by per-position cos/sin ((B, S, D/2) or (S, D/2)).
+
+    Uses the split-halves convention (rotate_half), matching HF Llama.
+    """
+    if cos.ndim == 2:  # (S, D/2) -> broadcast over batch and heads
+        cos_b = cos[None, None, :, :]
+        sin_b = sin[None, None, :, :]
+    else:  # (B, S, D/2)
+        cos_b = cos[:, None, :, :]
+        sin_b = sin[:, None, :, :]
+    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+    out = jnp.concatenate(
+        (x1 * cos_b - x2 * sin_b, x2 * cos_b + x1 * sin_b), axis=-1
+    )
+    return out.astype(x.dtype)
+
+
+def _attend(cfg: LlamaConfig, q, k, v, *, is_causal: bool):
+    window = (cfg.window, 0) if cfg.window is not None else None
+    if cfg.attention_impl == "fp8":
+        return interface.fp8_attn_func_with_fallback(
+            q, k, v, is_causal=is_causal,
+            scaling_method=cfg.scaling_method, window=window,
+        )
+    if cfg.attention_impl == "bf16":
+        return interface.attn_func_with_fallback(
+            q, k, v, is_causal=is_causal, window=window
+        )
+    if cfg.attention_impl == "sdpa":
+        from ..dispatch import sdpa_fallback
+
+        return sdpa_fallback(q, k, v, is_causal=is_causal, window=window)
+    raise ValueError(f"unknown attention_impl: {cfg.attention_impl!r}")
+
+
+def attention_block(
+    cfg: LlamaConfig,
+    layer: Params,
+    x: jax.Array,
+    cos: jax.Array,
+    sin: jax.Array,
+) -> jax.Array:
+    """Self-attention sublayer over (B, S, E) activations."""
+    batch, seq, _ = x.shape
+    h = rms_norm(x, layer["attn_norm"], cfg.rms_norm_eps)
+    q = jnp.einsum("bse,eq->bsq", h, layer["wq"])
+    k = jnp.einsum("bse,ek->bsk", h, layer["wk"])
+    v = jnp.einsum("bse,ek->bsk", h, layer["wv"])
+    q = q.reshape(batch, seq, cfg.num_q_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+    k = k.reshape(batch, seq, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+    v = v.reshape(batch, seq, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    out = _attend(cfg, q, k, v, is_causal=True)
+    out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(batch, seq, cfg.q_dim)
+    return x + jnp.einsum("bsq,qe->bse", out, layer["wo"])
+
+
+def mlp_block(cfg: LlamaConfig, layer: Params, x: jax.Array) -> jax.Array:
+    h = rms_norm(x, layer["mlp_norm"], cfg.rms_norm_eps)
+    gate = jnp.einsum("bse,ei->bsi", h, layer["w_gate"])
+    up = jnp.einsum("bse,ei->bsi", h, layer["w_up"])
+    act = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
+    return x + jnp.einsum("bsi,ie->bse", act, layer["w_down"])
+
+
+# ---------------------------------------------------------------------------
+# Forward / loss
+# ---------------------------------------------------------------------------
+
+
+def forward(
+    params: Params,
+    tokens: jax.Array,
+    cfg: LlamaConfig,
+    *,
+    positions: Optional[jax.Array] = None,
+) -> jax.Array:
+    """(B, S) int32 tokens -> (B, S, vocab) fp32 logits."""
+    _, seq = tokens.shape
+    if positions is None:
+        positions = jnp.arange(seq, dtype=jnp.int32)
+    cos, sin = rope_table(positions, cfg.head_dim, cfg.rope_theta)
+
+    x = params["embed"][tokens].astype(cfg.dtype)
+    for layer in params["layers"]:
+        x = attention_block(cfg, layer, x, cos, sin)
+        x = mlp_block(cfg, layer, x)
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    head = (
+        params["embed"].T if cfg.tie_embeddings else params["lm_head"]
+    )
+    return jnp.einsum("bse,ev->bsv", x, head).astype(jnp.float32)
+
+
+def loss_fn(params: Params, tokens: jax.Array, cfg: LlamaConfig) -> jax.Array:
+    """Next-token cross-entropy over (B, S) tokens."""
+    logits = forward(params, tokens[:, :-1], cfg)
+    targets = tokens[:, 1:]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    return jnp.mean(nll)
+
+
+def train_step(params: Params, tokens: jax.Array, cfg: LlamaConfig, lr: float = 1e-3):
+    """One SGD step; returns (new_params, loss).  The multi-chip dry-run
+    target: jitting this over a sharded mesh exercises the full forward +
+    backward + collective stack."""
+    loss, grads = jax.value_and_grad(loss_fn)(params, tokens, cfg)
+    new_params = jax.tree_util.tree_map(
+        lambda p, g: (p - lr * g.astype(jnp.float32)).astype(p.dtype)
+        if g is not None
+        else p,
+        params,
+        grads,
+    )
+    return new_params, loss

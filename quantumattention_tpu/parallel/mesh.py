@@ -1,0 +1,83 @@
+"""Device-mesh sharding for the model layer.
+
+The reference is strictly single-GPU (SURVEY.md §2.3: zero distributed code).
+This module supplies the TPU-native scale-out story: a named
+``jax.sharding.Mesh`` plus PartitionSpecs per parameter, and XLA/GSPMD
+inserts the collectives (all-gather for row-sharded matmuls, reduce-scatter /
+psum for col-sharded ones) over ICI.
+
+Axes:
+  * ``dp`` — data parallel: batch dim of activations.
+  * ``tp`` — tensor parallel: attention heads + MLP intermediate dim
+    (Megatron-style col/row split; GQA co-location per the scaling-book
+    recipe — Q heads land on the chip that owns their KV head).
+  * ``sp`` — sequence parallel: KV sequence dim, consumed by ring attention
+    (parallel/ring.py) rather than by GSPMD.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.llama import LlamaConfig
+
+
+def make_mesh(
+    shape: Optional[Tuple[int, ...]] = None,
+    axis_names: Sequence[str] = ("dp", "tp"),
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a named mesh over the available devices.
+
+    With no ``shape``, all devices go to the last axis (pure TP on one host).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if shape is None:
+        shape = (1,) * (len(axis_names) - 1) + (len(devices),)
+    arr = np.array(devices).reshape(shape)
+    return Mesh(arr, axis_names=tuple(axis_names))
+
+
+def llama_param_specs(cfg: LlamaConfig) -> Any:
+    """PartitionSpec pytree matching ``models.llama.init_params``.
+
+    Megatron layout on the ``tp`` axis: QKV projections column-sharded
+    (heads split across chips), output projection row-sharded (partial sums
+    -> psum inserted by GSPMD); same col/row split for the SwiGLU MLP.
+    Embedding is vocab-sharded; norms replicated.
+    """
+    layer = {
+        "attn_norm": P(),
+        "wq": P(None, "tp"),
+        "wk": P(None, "tp"),
+        "wv": P(None, "tp"),
+        "wo": P("tp", None),
+        "mlp_norm": P(),
+        "w_gate": P(None, "tp"),
+        "w_up": P(None, "tp"),
+        "w_down": P("tp", None),
+    }
+    specs = {
+        "embed": P("tp", None),
+        "final_norm": P(),
+        "layers": [dict(layer) for _ in range(cfg.num_layers)],
+    }
+    if not cfg.tie_embeddings:
+        specs["lm_head"] = P(None, "tp")
+    return specs
+
+
+def shard_params(params: Any, mesh: Mesh, specs: Any) -> Any:
+    """Place a params pytree onto the mesh per the given specs."""
+    return jax.tree_util.tree_map(
+        lambda p, s: jax.device_put(p, NamedSharding(mesh, s)), params, specs
+    )
+
+
+def batch_spec() -> P:
+    """Activations/tokens: batch over dp, everything else replicated."""
+    return P("dp", None)
