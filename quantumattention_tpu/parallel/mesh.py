@@ -38,7 +38,10 @@ def make_mesh(
     devices = list(devices if devices is not None else jax.devices())
     if shape is None:
         shape = (1,) * (len(axis_names) - 1) + (len(devices),)
-    arr = np.array(devices).reshape(shape)
+    need = int(np.prod(shape))
+    if need > len(devices):
+        raise ValueError(f"mesh shape {shape} needs {need} devices, have {len(devices)}")
+    arr = np.array(devices[:need]).reshape(shape)
     return Mesh(arr, axis_names=tuple(axis_names))
 
 

@@ -1,0 +1,121 @@
+"""Multi-chip tests on the virtual 8-device CPU mesh.
+
+The reference has zero distributed code to mirror (SURVEY.md §2.3); these
+tests validate the TPU build's scale-out layer differentially against the
+single-device oracle: ring sequence-parallel attention and head-sharded TP
+must produce the same numbers as the unsharded fused kernel / SDPA oracle.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quantumattention_tpu.ops.quant import quantize_head_wise
+from quantumattention_tpu.ops.sdpa import sdpa_reference
+from quantumattention_tpu.parallel import mesh as qmesh
+from quantumattention_tpu.parallel.ring import ring_attention
+from quantumattention_tpu.parallel.tp import head_parallel_attention
+
+RMSE_TOL = 1e-2
+
+
+def rmse(a, b):
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    return float(np.sqrt(np.mean((a - b) ** 2)))
+
+
+def make_qkv(batch, hq, hkv, s, d, seed=0, dtype=jnp.bfloat16):
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+    q = jax.random.normal(k1, (batch, hq, s, d), jnp.float32)
+    k = jax.random.normal(k2, (batch, hkv, s, d), jnp.float32)
+    v = jax.random.normal(k3, (batch, hkv, s, d), jnp.float32)
+    return q.astype(dtype), k.astype(dtype), v.astype(dtype)
+
+
+@pytest.fixture(scope="module")
+def sp_mesh():
+    return qmesh.make_mesh((4,), ("sp",))
+
+
+@pytest.fixture(scope="module")
+def tp_mesh():
+    return qmesh.make_mesh((4,), ("tp",))
+
+
+@pytest.mark.parametrize("is_causal", [False, True])
+def test_ring_attention_vs_oracle(sp_mesh, is_causal):
+    q, k, v = make_qkv(1, 4, 4, 512, 64)
+    out = ring_attention(
+        q, k, v, mesh=sp_mesh, is_causal=is_causal, block_q=128, block_kv=128
+    )
+    ref = sdpa_reference(q, k, v, is_causal=is_causal)
+    assert out.shape == q.shape
+    assert rmse(out, ref) < RMSE_TOL
+
+
+def test_ring_attention_gqa_window(sp_mesh):
+    q, k, v = make_qkv(1, 8, 2, 512, 64)
+    out = ring_attention(
+        q,
+        k,
+        v,
+        mesh=sp_mesh,
+        is_causal=True,
+        window=(192, 0),
+        block_q=128,
+        block_kv=128,
+    )
+    ref = sdpa_reference(q, k, v, is_causal=True, window=(192, None))
+    assert rmse(out, ref) < RMSE_TOL
+
+
+def test_ring_attention_jit_sharded(sp_mesh):
+    """ring_attention under jit with actually-sharded inputs."""
+    q, k, v = make_qkv(1, 4, 4, 512, 64)
+    spec = jax.sharding.NamedSharding(
+        sp_mesh, jax.sharding.PartitionSpec(None, None, "sp", None)
+    )
+    qs, ks, vs = (jax.device_put(t, spec) for t in (q, k, v))
+    fn = jax.jit(
+        lambda q, k, v: ring_attention(
+            q, k, v, mesh=sp_mesh, is_causal=True, block_q=128, block_kv=128
+        )
+    )
+    out = fn(qs, ks, vs)
+    ref = sdpa_reference(q, k, v, is_causal=True)
+    assert rmse(out, ref) < RMSE_TOL
+
+
+def test_head_parallel_vs_oracle(tp_mesh):
+    q, k, v = make_qkv(2, 8, 4, 256, 64)
+    out = head_parallel_attention(
+        q, k, v, mesh=tp_mesh, is_causal=True, block_q=128, block_kv=128
+    )
+    ref = sdpa_reference(q, k, v, is_causal=True)
+    assert rmse(out, ref) < RMSE_TOL
+
+
+def test_head_parallel_fp8_scales(tp_mesh):
+    q, k, v = make_qkv(1, 8, 8, 256, 64, dtype=jnp.float32)
+    q8, sq = quantize_head_wise(q)
+    k8, sk = quantize_head_wise(k)
+    out = head_parallel_attention(
+        q8,
+        k8,
+        v.astype(jnp.bfloat16),
+        mesh=tp_mesh,
+        scale_q=sq,
+        scale_k=sk,
+        block_q=128,
+        block_kv=128,
+    )
+    ref = sdpa_reference(q8, k8, v, scale_q=sq, scale_k=sk)
+    assert rmse(out, ref) < RMSE_TOL
+
+
+def test_head_parallel_rejects_indivisible(tp_mesh):
+    q, k, v = make_qkv(1, 8, 2, 256, 64)
+    with pytest.raises(ValueError, match="divide"):
+        head_parallel_attention(q, k, v, mesh=tp_mesh)
