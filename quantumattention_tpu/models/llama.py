@@ -274,6 +274,91 @@ def forward(
     return jnp.einsum("bse,ev->bsv", x, head).astype(jnp.float32)
 
 
+def forward_prefill(
+    params: Params,
+    tokens: jax.Array,
+    cfg: LlamaConfig,
+    *,
+    positions: Optional[jax.Array] = None,
+):
+    """Prefill forward that also returns per-layer rotated K/V for caching.
+
+    Returns (logits, kv): kv is a list of (k, v) tuples, each
+    (B, Hkv, S, D) in cfg.dtype — the exact tensors decode attention must
+    see, i.e. *after* RoPE.
+    """
+    batch, seq = tokens.shape
+    if positions is None:
+        positions = jnp.arange(seq, dtype=jnp.int32)
+    cos, sin = rope_table(positions, cfg.head_dim, cfg.rope_theta)
+
+    x = params["embed"][tokens].astype(cfg.dtype)
+    kv = []
+    for layer in params["layers"]:
+        h = rms_norm(x, layer["attn_norm"], cfg.rms_norm_eps)
+        q = jnp.einsum("bse,eq->bsq", h, layer["wq"])
+        k = jnp.einsum("bse,ek->bsk", h, layer["wk"])
+        v = jnp.einsum("bse,ek->bsk", h, layer["wv"])
+        q = q.reshape(batch, seq, cfg.num_q_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+        k = k.reshape(batch, seq, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+        v = v.reshape(batch, seq, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        kv.append((k, v))
+        out = _attend(cfg, q, k, v, is_causal=True)
+        out = (
+            out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(batch, seq, cfg.q_dim)
+        )
+        x = x + jnp.einsum("bsq,qe->bse", out, layer["wo"])
+        x = mlp_block(cfg, layer, x)
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
+    logits = jnp.einsum("bse,ev->bsv", x, head).astype(jnp.float32)
+    return logits, kv
+
+
+def forward_decode(
+    params: Params,
+    tokens: jax.Array,
+    positions: jax.Array,
+    cfg: LlamaConfig,
+    attend_fn,
+):
+    """One-token decode forward.
+
+    Args:
+      tokens: (B,) int32 current tokens (one per cache slot).
+      positions: (B,) int32 their positions (== pre-append cache lengths).
+      attend_fn: callback (layer_idx, q, k_new, v_new) -> (B, Hq, D)
+        attention output; the serving engine uses it to append (k_new, v_new)
+        to its KV cache and run the fused decode kernel. q/k_new/v_new are
+        (B, H, D) post-RoPE.
+
+    Returns (B, vocab) fp32 logits for the next token.
+    """
+    batch = tokens.shape[0]
+    cos, sin = rope_table(positions[:, None], cfg.head_dim, cfg.rope_theta)
+
+    x = params["embed"][tokens][:, None, :].astype(cfg.dtype)  # (B, 1, E)
+    for idx, layer in enumerate(params["layers"]):
+        h = rms_norm(x, layer["attn_norm"], cfg.rms_norm_eps)
+        q = jnp.einsum("bse,eq->bsq", h, layer["wq"])
+        k = jnp.einsum("bse,ek->bsk", h, layer["wk"])
+        v = jnp.einsum("bse,ek->bsk", h, layer["wv"])
+        q = q.reshape(batch, 1, cfg.num_q_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+        k = k.reshape(batch, 1, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+        v = v.reshape(batch, 1, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        out = attend_fn(idx, q[:, :, 0, :], k[:, :, 0, :], v[:, :, 0, :])
+        out = out.astype(x.dtype).reshape(batch, 1, cfg.q_dim)
+        x = x + jnp.einsum("bsq,qe->bse", out, layer["wo"])
+        x = mlp_block(cfg, layer, x)
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
+    return jnp.einsum("bse,ev->bsv", x, head)[:, 0, :].astype(jnp.float32)
+
+
 def loss_fn(params: Params, tokens: jax.Array, cfg: LlamaConfig) -> jax.Array:
     """Next-token cross-entropy over (B, S) tokens."""
     logits = forward(params, tokens[:, :-1], cfg)

@@ -1,0 +1,255 @@
+"""Continuous-batching inference engine.
+
+The reference stops at the kernel boundary; this engine is the TPU build's
+serving extension (BASELINE.md decode config): slot-based continuous
+batching over a quantized ragged KV cache, with chunk-free prefill and a
+fully-jitted decode step.
+
+Architecture (jit-stability first):
+  * the KV cache has a fixed number of slots (max concurrent sequences) and
+    a fixed max length — all jitted functions see static shapes;
+  * prefill runs one request at a time, padded to a bucket length, and
+    writes the prompt's K/V into the request's slot (compiles once per
+    bucket);
+  * decode runs over ALL slots every step (inactive slots have length 0,
+    whose KV blocks the kernel skips via the scalar-prefetched lengths);
+  * the Python layer does admission/eviction only — no tensor math.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import itertools
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import llama
+from ..ops.decode import decode_attention
+from . import kv_cache as kvc
+from .sampling import SamplingParams, sample
+
+
+@dataclasses.dataclass
+class Request:
+    id: int
+    prompt: List[int]
+    max_new_tokens: int = 32
+    eos_id: Optional[int] = None
+    sampling: SamplingParams = dataclasses.field(default_factory=SamplingParams)
+    # Filled by the engine:
+    output: List[int] = dataclasses.field(default_factory=list)
+    slot: Optional[int] = None
+    done: bool = False
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+class Engine:
+    """Continuous-batching engine over a Llama-family model."""
+
+    def __init__(
+        self,
+        params: llama.Params,
+        cfg: llama.LlamaConfig,
+        *,
+        num_slots: int = 8,
+        max_len: int = 2048,
+        cache_dtype=jnp.int8,
+        prefill_bucket: int = 128,
+        decode_block_kv: int = 512,
+        seed: int = 0,
+    ) -> None:
+        self.params = params
+        self.cfg = cfg
+        self.num_slots = num_slots
+        self.max_len = max_len
+        self.prefill_bucket = prefill_bucket
+        self.decode_block_kv = decode_block_kv
+        self.caches = [
+            kvc.init_cache(num_slots, cfg.num_kv_heads, max_len, cfg.head_dim, cache_dtype)
+            for _ in range(cfg.num_layers)
+        ]
+        self.free_slots = list(range(num_slots))
+        self.active: Dict[int, Request] = {}  # slot -> request
+        self.waiting: List[Request] = []
+        self.finished: List[Request] = []
+        self.last_token = np.zeros((num_slots,), np.int32)
+        self._req_ids = itertools.count()
+        self._key = jax.random.PRNGKey(seed)
+
+        self._prefill_jit = jax.jit(
+            functools.partial(llama.forward_prefill, cfg=cfg),
+            static_argnames=(),
+        )
+        self._decode_jit = jax.jit(self._decode_step_impl, donate_argnums=(1,))
+
+    # ------------------------------------------------------------------
+    # Public API
+    # ------------------------------------------------------------------
+
+    def submit(
+        self,
+        prompt: Sequence[int],
+        max_new_tokens: int = 32,
+        eos_id: Optional[int] = None,
+        sampling: Optional[SamplingParams] = None,
+    ) -> Request:
+        if len(prompt) + max_new_tokens > self.max_len:
+            raise ValueError(
+                f"prompt ({len(prompt)}) + max_new_tokens ({max_new_tokens}) "
+                f"exceeds cache max_len ({self.max_len})"
+            )
+        req = Request(
+            id=next(self._req_ids),
+            prompt=list(prompt),
+            max_new_tokens=max_new_tokens,
+            eos_id=eos_id,
+            sampling=sampling or SamplingParams(),
+        )
+        self.waiting.append(req)
+        return req
+
+    def step(self) -> List[Request]:
+        """Admit + prefill waiting requests, run one decode step; returns
+        requests that finished this step."""
+        self._admit()
+        newly_finished: List[Request] = []
+        if self.active:
+            newly_finished = self._decode()
+        return newly_finished
+
+    def run_to_completion(self) -> List[Request]:
+        """Drive step() until every submitted request is done."""
+        out: List[Request] = []
+        while self.waiting or self.active:
+            out.extend(self.step())
+        return out
+
+    # ------------------------------------------------------------------
+    # Prefill / admission
+    # ------------------------------------------------------------------
+
+    def _admit(self) -> None:
+        while self.waiting and self.free_slots:
+            req = self.waiting.pop(0)
+            slot = self.free_slots.pop(0)
+            req.slot = slot
+            self._prefill_into_slot(req)
+            if not req.done:  # may finish at prefill (max_new_tokens == 1)
+                self.active[slot] = req
+
+    def _prefill_into_slot(self, req: Request) -> None:
+        n = len(req.prompt)
+        padded = _round_up(max(n, 1), self.prefill_bucket)
+        tokens = np.zeros((1, padded), np.int32)
+        tokens[0, :n] = req.prompt
+        logits, kv = self._prefill_jit(self.params, jnp.asarray(tokens))
+        # Write each layer's K/V into this slot.
+        slot_arr = jnp.array([req.slot], jnp.int32)
+        zero = jnp.zeros((1,), jnp.int32)
+        nval = jnp.array([n], jnp.int32)
+        for li in range(self.cfg.num_layers):
+            k_l, v_l = kv[li]
+            self.caches[li] = kvc.append(
+                self.caches[li], slot_arr, k_l.astype(jnp.float32),
+                v_l.astype(jnp.float32), zero, nval,
+            )
+        # First generated token from the last prompt position.
+        first = self._sample(logits[:, n - 1, :], req.sampling)
+        tok = int(first[0])
+        req.output.append(tok)
+        self.last_token[req.slot] = tok
+        self._maybe_finish(req, tok)
+
+    # ------------------------------------------------------------------
+    # Decode
+    # ------------------------------------------------------------------
+
+    def _decode_step_impl(self, params, caches, tokens, active_mask):
+        """Jitted: one decode step over all slots.
+
+        Appends the current tokens' K/V, runs fused decode attention per
+        layer, returns (new_caches, logits)."""
+        cfg = self.cfg
+        positions = caches[0].lengths  # pre-append lengths == positions
+
+        def attend(idx, q, k_new, v_new):
+            cache = caches[idx]
+            slot_ids = jnp.arange(self.num_slots, dtype=jnp.int32)
+            # Only bump lengths for active slots (inactive write at pos 0
+            # with n_valid 0 — harmless, masked out by length).
+            nval = active_mask.astype(jnp.int32)
+            caches[idx] = kvc.append(
+                cache,
+                slot_ids,
+                k_new[:, :, None, :].astype(jnp.float32),
+                v_new[:, :, None, :].astype(jnp.float32),
+                positions,
+                nval,
+            )
+            c = caches[idx]
+            return decode_attention(
+                q.astype(jnp.bfloat16),
+                c.k,
+                c.v,
+                c.lengths,
+                k_scale=c.k_scale,
+                v_scale=c.v_scale,
+                block_kv=self.decode_block_kv,
+            )
+
+        logits = llama.forward_decode(params, tokens, positions, cfg, attend)
+        return caches, logits
+
+    def _decode(self) -> List[Request]:
+        active_mask = np.zeros((self.num_slots,), bool)
+        for slot in self.active:
+            active_mask[slot] = True
+        tokens = jnp.asarray(self.last_token)
+        self.caches, logits = self._decode_jit(
+            self.params, self.caches, tokens, jnp.asarray(active_mask)
+        )
+
+        finished: List[Request] = []
+        # Sample per active request (sampling params may differ per request).
+        for slot, req in list(self.active.items()):
+            tok = int(self._sample(logits[slot : slot + 1], req.sampling)[0])
+            req.output.append(tok)
+            self.last_token[slot] = tok
+            if self._maybe_finish(req, tok):
+                finished.append(req)
+        return finished
+
+    # ------------------------------------------------------------------
+    # Helpers
+    # ------------------------------------------------------------------
+
+    def _sample(self, logits: jax.Array, sp: SamplingParams) -> jax.Array:
+        if sp.temperature == 0.0:
+            return sample(logits, sp)
+        self._key, sub = jax.random.split(self._key)
+        return sample(logits, sp, sub)
+
+    def _maybe_finish(self, req: Request, tok: int) -> bool:
+        hit_eos = req.eos_id is not None and tok == req.eos_id
+        exhausted = len(req.output) >= req.max_new_tokens
+        total = len(req.prompt) + len(req.output)
+        if hit_eos or exhausted or total >= self.max_len:
+            req.done = True
+            if req.slot is not None and req.slot in self.active:
+                del self.active[req.slot]
+            if req.slot is not None:
+                for li in range(self.cfg.num_layers):
+                    self.caches[li] = kvc.free_slots(
+                        self.caches[li], jnp.array([req.slot], jnp.int32)
+                    )
+                self.free_slots.append(req.slot)
+            self.finished.append(req)
+            return True
+        return False

@@ -1,0 +1,150 @@
+"""Quantized ragged KV cache for decode serving.
+
+The reference has no KV-cache subsystem (SURVEY.md §0); this is part of the
+TPU build's serving extension.  The cache is a plain pytree of device arrays
+with static shapes (jit-stable slot-based layout — continuous batching
+rotates requests through fixed slots rather than reshaping):
+
+  k / v:            (num_slots, Hkv, Smax, D)   int8 (default), fp8, or bf16
+  k_scale/v_scale:  (num_slots, Hkv, Smax)      fp32 (8-bit caches only)
+  lengths:          (num_slots,)                int32 valid lengths
+
+Token-wise quantization (reduction over D) matches the engine's token-wise
+scale granularity (reference nn.py:415-418); int8 is the default container
+on TPU (2x MXU rate, half the HBM traffic — decode is bandwidth-bound).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import quant
+from ..utils import checks
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class KVCache:
+    k: jax.Array
+    v: jax.Array
+    lengths: jax.Array
+    k_scale: Optional[jax.Array] = None
+    v_scale: Optional[jax.Array] = None
+
+    @property
+    def num_slots(self) -> int:
+        return self.k.shape[0]
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
+
+def init_cache(
+    num_slots: int,
+    num_kv_heads: int,
+    max_len: int,
+    head_dim: int,
+    dtype=jnp.int8,
+) -> KVCache:
+    shape = (num_slots, num_kv_heads, max_len, head_dim)
+    cache = KVCache(
+        k=jnp.zeros(shape, dtype),
+        v=jnp.zeros(shape, dtype),
+        lengths=jnp.zeros((num_slots,), jnp.int32),
+    )
+    if checks.is_8bit_dtype(dtype):
+        cache.k_scale = jnp.ones((num_slots, num_kv_heads, max_len), jnp.float32)
+        cache.v_scale = jnp.ones((num_slots, num_kv_heads, max_len), jnp.float32)
+    return cache
+
+
+def _quantize_tokens(t: jax.Array, dtype) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """(H, S, D) float -> (values, (H, S) scales) in the cache container."""
+    if not checks.is_8bit_dtype(dtype):
+        return t.astype(dtype), None
+    if dtype == jnp.int8:
+        tq, scale = quant.dynamically_quantize_int8(t, reduction_dim=-1)
+    else:
+        tq, scale = quant.dynamically_quantize_fp8(t, reduction_dim=-1)
+    return tq, scale
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def append(
+    cache: KVCache,
+    slot_ids: jax.Array,
+    k_new: jax.Array,
+    v_new: jax.Array,
+    offsets: jax.Array,
+    n_valid: jax.Array,
+) -> KVCache:
+    """Write n_valid[i] new tokens for each slot and bump its length.
+
+    Args:
+      slot_ids: (N,) int32 cache slots to write.
+      k_new/v_new: (N, Hkv, T, D) float tokens (T = chunk length, padded).
+      offsets: (N,) int32 write positions (== current lengths for decode,
+        chunk offsets for chunked prefill).
+      n_valid: (N,) int32 how many of the T tokens are real.
+
+    Returns the updated cache (buffers donated — in-place on TPU).
+    """
+    dtype = cache.k.dtype
+
+    def write_one(cache_k, cache_v, cache_ks, cache_vs, lengths, i):
+        slot = slot_ids[i]
+        off = offsets[i]
+        kq, ks = _quantize_tokens(k_new[i], dtype)
+        vq, vs = _quantize_tokens(v_new[i], dtype)
+        cache_k = jax.lax.dynamic_update_slice(
+            cache_k, kq[None], (slot, 0, off, 0)
+        )
+        cache_v = jax.lax.dynamic_update_slice(
+            cache_v, vq[None], (slot, 0, off, 0)
+        )
+        if ks is not None:
+            cache_ks = jax.lax.dynamic_update_slice(
+                cache_ks, ks[None], (slot, 0, off)
+            )
+            cache_vs = jax.lax.dynamic_update_slice(
+                cache_vs, vs[None], (slot, 0, off)
+            )
+        lengths = lengths.at[slot].set(off + n_valid[i])
+        return cache_k, cache_v, cache_ks, cache_vs, lengths
+
+    n = slot_ids.shape[0]
+    ck, cv, cks, cvs, lengths = cache.k, cache.v, cache.k_scale, cache.v_scale, cache.lengths
+    if cks is None:
+        cks = jnp.zeros((0,), jnp.float32)
+        cvs = jnp.zeros((0,), jnp.float32)
+
+    def body(i, carry):
+        return write_one(*carry, i)
+
+    ck, cv, cks, cvs, lengths = jax.lax.fori_loop(
+        0, n, body, (ck, cv, cks, cvs, lengths)
+    )
+    return KVCache(
+        k=ck,
+        v=cv,
+        lengths=lengths,
+        k_scale=cks if cache.k_scale is not None else None,
+        v_scale=cvs if cache.v_scale is not None else None,
+    )
+
+
+def free_slots(cache: KVCache, slot_ids: jax.Array) -> KVCache:
+    """Mark slots empty (lengths 0); data is left in place and overwritten."""
+    return dataclasses.replace(
+        cache, lengths=cache.lengths.at[slot_ids].set(0)
+    )

@@ -1,0 +1,47 @@
+"""Token sampling for the serving engine (functional RNG, jit-stable)."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplingParams:
+    temperature: float = 0.0  # 0 => greedy
+    top_k: Optional[int] = None
+    top_p: Optional[float] = None
+
+    def __post_init__(self):
+        if self.temperature < 0:
+            raise ValueError("temperature must be >= 0")
+        if self.top_p is not None and not (0 < self.top_p <= 1):
+            raise ValueError("top_p must be in (0, 1]")
+
+
+def sample(
+    logits: jax.Array, params: SamplingParams, key: Optional[jax.Array] = None
+) -> jax.Array:
+    """(B, V) fp32 logits -> (B,) int32 token ids."""
+    if params.temperature == 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if key is None:
+        raise ValueError("stochastic sampling requires a PRNG key")
+    logits = logits / params.temperature
+    if params.top_k is not None:
+        kth = jnp.sort(logits, axis=-1)[:, -params.top_k][:, None]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if params.top_p is not None:
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # Keep the smallest prefix with cumulative mass >= top_p.
+        cutoff_idx = jnp.argmax(cum >= params.top_p, axis=-1)
+        cutoff = jnp.take_along_axis(
+            sorted_logits, cutoff_idx[:, None], axis=-1
+        )
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)

@@ -1,0 +1,144 @@
+"""Decode-path tests: ragged GQA decode kernel + quantized KV cache.
+
+Differential oracle: fp32 SDPA over the dequantized valid cache prefix.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quantumattention_tpu.ops.decode import decode_attention
+from quantumattention_tpu.ops.sdpa import sdpa_reference
+from quantumattention_tpu.serving import kv_cache as kvc
+
+RMSE_TOL = 1e-2
+
+
+def rmse(a, b):
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    return float(np.sqrt(np.mean((a - b) ** 2)))
+
+
+def oracle_decode(q, k, v, lengths):
+    """Loop over batch; full-precision attention on the valid prefix."""
+    outs = []
+    for b in range(q.shape[0]):
+        n = int(lengths[b])
+        if n == 0:
+            outs.append(np.zeros_like(np.asarray(q[b], np.float32)))
+            continue
+        o = sdpa_reference(
+            q[b][None, :, None, :],  # (1, Hq, 1, D)
+            k[b][None, :, :n, :],
+            v[b][None, :, :n, :],
+        )
+        outs.append(np.asarray(o[0, :, 0, :], np.float32))
+    return np.stack(outs)
+
+
+@pytest.mark.parametrize("group", [1, 4])
+def test_decode_bf16_ragged(group):
+    B, Hkv, Smax, D = 4, 2, 640, 64
+    Hq = Hkv * group
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    q = jax.random.normal(k1, (B, Hq, D), jnp.float32)
+    k = jax.random.normal(k2, (B, Hkv, Smax, D), jnp.float32)
+    v = jax.random.normal(k3, (B, Hkv, Smax, D), jnp.float32)
+    lengths = jnp.array([640, 1, 130, 0], jnp.int32)
+
+    out = decode_attention(
+        q.astype(jnp.bfloat16),
+        k.astype(jnp.bfloat16),
+        v.astype(jnp.bfloat16),
+        lengths,
+        block_kv=128,
+    )
+    ref = oracle_decode(q, k, v, lengths)
+    assert out.shape == (B, Hq, D)
+    assert rmse(out, ref) < RMSE_TOL
+
+
+def test_decode_int8_quantized_cache():
+    B, Hkv, group, Smax, D = 2, 2, 4, 512, 128
+    Hq = Hkv * group
+    key = jax.random.PRNGKey(1)
+    k1, k2, k3 = jax.random.split(key, 3)
+    q = jax.random.normal(k1, (B, Hq, D), jnp.float32)
+    k = jax.random.normal(k2, (B, Hkv, Smax, D), jnp.float32)
+    v = jax.random.normal(k3, (B, Hkv, Smax, D), jnp.float32)
+    lengths = jnp.array([512, 300], jnp.int32)
+
+    from quantumattention_tpu.ops.quant import dynamically_quantize_int8
+
+    k8, ks = dynamically_quantize_int8(k, reduction_dim=-1)
+    v8, vs = dynamically_quantize_int8(v, reduction_dim=-1)
+
+    out = decode_attention(
+        q.astype(jnp.bfloat16),
+        k8,
+        v8,
+        lengths,
+        k_scale=ks,
+        v_scale=vs,
+        block_kv=256,
+    )
+    ref = oracle_decode(q, k, v, lengths)
+    assert rmse(out, ref) < RMSE_TOL
+
+
+def test_decode_rejects_8bit_without_scales():
+    q = jnp.zeros((1, 4, 64), jnp.bfloat16)
+    kc = jnp.zeros((1, 2, 128, 64), jnp.int8)
+    vc = jnp.zeros((1, 2, 128, 64), jnp.int8)
+    with pytest.raises(ValueError, match="scale"):
+        decode_attention(q, kc, vc, jnp.array([5], jnp.int32))
+
+
+def test_kv_cache_append_and_decode_roundtrip():
+    """Append float tokens into the int8 cache, decode, compare to oracle."""
+    slots, Hkv, Smax, D, group = 3, 2, 256, 64, 2
+    Hq = Hkv * group
+    cache = kvc.init_cache(slots, Hkv, Smax, D, dtype=jnp.int8)
+
+    key = jax.random.PRNGKey(2)
+    k1, k2, k3 = jax.random.split(key, 3)
+    T = 100
+    k_new = jax.random.normal(k1, (2, Hkv, T, D), jnp.float32)
+    v_new = jax.random.normal(k2, (2, Hkv, T, D), jnp.float32)
+
+    cache = kvc.append(
+        cache,
+        jnp.array([0, 2], jnp.int32),
+        k_new,
+        v_new,
+        jnp.array([0, 0], jnp.int32),
+        jnp.array([T, 60], jnp.int32),
+    )
+    np.testing.assert_array_equal(np.asarray(cache.lengths), [100, 0, 60])
+
+    q = jax.random.normal(k3, (slots, Hq, D), jnp.float32)
+    out = decode_attention(
+        q.astype(jnp.bfloat16),
+        cache.k,
+        cache.v,
+        cache.lengths,
+        k_scale=cache.k_scale,
+        v_scale=cache.v_scale,
+        block_kv=128,
+    )
+
+    # Oracle over the float tokens actually appended.
+    k_full = np.zeros((slots, Hkv, Smax, D), np.float32)
+    v_full = np.zeros((slots, Hkv, Smax, D), np.float32)
+    k_full[0, :, :T] = np.asarray(k_new[0])
+    v_full[0, :, :T] = np.asarray(v_new[0])
+    k_full[2, :, :60] = np.asarray(k_new[1, :, :60])
+    v_full[2, :, :60] = np.asarray(v_new[1, :, :60])
+    ref = oracle_decode(q, k_full, v_full, np.array([100, 0, 60]))
+    assert rmse(out, ref) < RMSE_TOL
+
+    cache = kvc.free_slots(cache, jnp.array([0], jnp.int32))
+    np.testing.assert_array_equal(np.asarray(cache.lengths), [0, 0, 60])

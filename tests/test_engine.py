@@ -1,0 +1,108 @@
+"""Serving-engine tests: continuous batching over the quantized KV cache.
+
+Differential oracle: incremental decode through the engine must match
+full-sequence teacher-forced argmax through the plain model forward (same
+params, same prompt) — the standard prefill/decode-consistency check.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quantumattention_tpu.models import llama
+from quantumattention_tpu.serving.engine import Engine
+from quantumattention_tpu.serving.sampling import SamplingParams, sample
+
+CFG = llama.tiny(attention_impl="bf16")
+
+
+@pytest.fixture(scope="module")
+def params():
+    return llama.init_params(jax.random.PRNGKey(0), CFG)
+
+
+def greedy_reference(params, prompt, n_new, cache_dtype=None):
+    """Teacher-forced greedy decode through the full forward (no cache)."""
+    toks = list(prompt)
+    for _ in range(n_new):
+        logits = llama.forward(params, jnp.asarray([toks], jnp.int32), CFG)
+        toks.append(int(jnp.argmax(logits[0, -1])))
+    return toks[len(prompt):]
+
+
+def test_engine_matches_teacher_forcing_bf16_cache(params):
+    prompt = [3, 17, 42, 99, 7]
+    n_new = 6
+    eng = Engine(params, CFG, num_slots=2, max_len=256, cache_dtype=jnp.bfloat16)
+    req = eng.submit(prompt, max_new_tokens=n_new)
+    eng.run_to_completion()
+    assert req.done
+    ref = greedy_reference(params, prompt, n_new)
+    assert req.output == ref, f"engine {req.output} != teacher-forced {ref}"
+
+
+def test_engine_int8_cache_close_to_reference(params):
+    """int8 KV cache introduces quantization noise; outputs should still
+    mostly agree with the exact decode over a short horizon."""
+    prompt = [5, 9, 23, 51]
+    n_new = 5
+    eng = Engine(params, CFG, num_slots=2, max_len=256, cache_dtype=jnp.int8)
+    req = eng.submit(prompt, max_new_tokens=n_new)
+    eng.run_to_completion()
+    ref = greedy_reference(params, prompt, n_new)
+    agree = sum(a == b for a, b in zip(req.output, ref))
+    assert agree >= len(ref) - 1, f"engine {req.output} vs {ref}"
+
+
+def test_engine_continuous_batching(params):
+    """Requests submitted at different times share decode steps; late
+    arrivals are admitted when slots free up."""
+    eng = Engine(params, CFG, num_slots=2, max_len=256, cache_dtype=jnp.bfloat16)
+    r1 = eng.submit([1, 2, 3], max_new_tokens=4)
+    r2 = eng.submit([4, 5, 6, 7], max_new_tokens=2)
+    r3 = eng.submit([8, 9], max_new_tokens=3)  # waits for a free slot
+    done = eng.run_to_completion()
+    assert {r.id for r in done} == {r1.id, r2.id, r3.id}
+    assert all(r.done for r in (r1, r2, r3))
+    assert len(r1.output) == 4 and len(r2.output) == 2 and len(r3.output) == 3
+    # Each request's result must equal its solo-run result (batching must
+    # not leak state across slots).
+    for req, prompt, n in ((r1, [1, 2, 3], 4), (r3, [8, 9], 3)):
+        solo = Engine(params, CFG, num_slots=1, max_len=256, cache_dtype=jnp.bfloat16)
+        sr = solo.submit(prompt, max_new_tokens=n)
+        solo.run_to_completion()
+        assert req.output == sr.output
+
+
+def test_engine_eos_stops_early(params):
+    prompt = [3, 17, 42, 99, 7]
+    probe = Engine(params, CFG, num_slots=1, max_len=256, cache_dtype=jnp.bfloat16)
+    r0 = probe.submit(prompt, max_new_tokens=4)
+    probe.run_to_completion()
+    eos = r0.output[1]  # pretend the 2nd generated token is EOS
+    eng = Engine(params, CFG, num_slots=1, max_len=256, cache_dtype=jnp.bfloat16)
+    req = eng.submit(prompt, max_new_tokens=10, eos_id=eos)
+    eng.run_to_completion()
+    assert req.output[-1] == eos
+    assert len(req.output) == 2
+
+
+def test_sampling_params_validation():
+    with pytest.raises(ValueError):
+        SamplingParams(temperature=-1.0)
+    with pytest.raises(ValueError):
+        SamplingParams(top_p=0.0)
+    logits = jnp.asarray(np.random.randn(2, 16), jnp.float32)
+    greedy = sample(logits, SamplingParams())
+    assert greedy.shape == (2,)
+    with pytest.raises(ValueError, match="PRNG"):
+        sample(logits, SamplingParams(temperature=1.0))
+    t = sample(logits, SamplingParams(temperature=0.7, top_k=4), jax.random.PRNGKey(0))
+    assert t.shape == (2,)
+    tp = sample(
+        logits, SamplingParams(temperature=0.7, top_p=0.9), jax.random.PRNGKey(1)
+    )
+    assert tp.shape == (2,)
