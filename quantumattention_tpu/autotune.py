@@ -1,0 +1,190 @@
+"""Shape-class-keyed block-size autotuner with an on-disk cache.
+
+The reference delegates autotuning to Inductor's
+``autotune_select_algorithm`` (reference: inductor/kernels/attention.py:1034),
+benchmarking a pruned choice list per call site and caching the winner.  The
+TPU equivalent has no compiler framework to lean on, so this module supplies
+the same contract directly:
+
+  * a **candidate list** of (block_q, block_kv) pairs pruned by a scoped-VMEM
+    fit model (analogue of ``early_attention_config_prune``,
+    reference attention.py:765-785);
+  * a **timed sweep** (forced-fetch timing so the async dispatch tunnel
+    cannot lie) run once per shape class;
+  * a **persistent JSON cache** keyed by (device kind, shape class) —
+    the analogue of Inductor's best-config cache.
+
+Enabled with ``config.kernel.autotune = True`` (or QUANTUM_ATTN_AUTOTUNE=1);
+the fused kernels consult :func:`lookup` before falling back to the static
+heuristic table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from pathlib import Path
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import config
+from .utils import checks
+
+_CACHE: Optional[Dict[str, List[int]]] = None
+
+#: Default candidate grid (pruned per shape by the VMEM model).
+CANDIDATES: Tuple[Tuple[int, int], ...] = (
+    (256, 512),
+    (512, 512),
+    (512, 1024),
+    (512, 2048),
+    (1024, 1024),
+    (1024, 2048),
+    (2048, 1024),
+    (2048, 2048),
+)
+
+
+def cache_path() -> Path:
+    root = os.environ.get(
+        "QUANTUM_ATTN_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "quantumattention_tpu"),
+    )
+    return Path(root) / "autotune.json"
+
+
+def _load_cache() -> Dict[str, List[int]]:
+    global _CACHE
+    if _CACHE is None:
+        try:
+            _CACHE = json.loads(cache_path().read_text())
+        except (OSError, ValueError):
+            _CACHE = {}
+    return _CACHE
+
+
+def _save_cache() -> None:
+    if _CACHE is None:
+        return
+    path = cache_path()
+    try:
+        path.parent.mkdir(parents=True, exist_ok=True)
+        path.write_text(json.dumps(_CACHE, indent=1, sort_keys=True))
+    except OSError:  # pragma: no cover - cache is best-effort
+        pass
+
+
+def _bucket(n: int) -> int:
+    """Sequence-length bucket: exact up to 1k, then powers of two."""
+    if n <= 1024:
+        return n
+    b = 1024
+    while b < n:
+        b *= 2
+    return b
+
+
+def shape_key(
+    kind: str,
+    batch: int,
+    heads: int,
+    kv_heads: int,
+    q_len: int,
+    kv_len: int,
+    head_dim: int,
+    causal: bool,
+    dtype,
+) -> str:
+    dev = jax.devices()[0].device_kind.replace(" ", "_")
+    return (
+        f"{dev}|{kind}|b{batch}h{heads}kv{kv_heads}"
+        f"|sq{_bucket(q_len)}skv{_bucket(kv_len)}d{head_dim}"
+        f"|c{int(causal)}|{jnp.dtype(dtype).name}"
+    )
+
+
+def vmem_fits(
+    block_q: int,
+    block_kv: int,
+    head_dim: int,
+    qkv_bytes: int = 2,
+    limit_mb: int = 32,
+) -> bool:
+    """Scoped-VMEM fit model (reference prune analogue, attention.py:765-785).
+
+    Counts the score/probability tiles (fp32), the fp32 accumulator + stats
+    scratch, and double-buffered Q/K/V blocks, against a conservative slice
+    of the configured limit.
+    """
+    tiles = 2 * block_q * block_kv * 4  # s and p, fp32
+    scratch = block_q * head_dim * 4 + 2 * block_q * 128 * 4
+    buffers = 2 * (block_q + 2 * block_kv) * head_dim * qkv_bytes
+    return tiles + scratch + buffers <= limit_mb * 1024 * 1024
+
+
+def prune_candidates(
+    q_len: int,
+    kv_len: int,
+    head_dim: int,
+    candidates: Sequence[Tuple[int, int]] = CANDIDATES,
+) -> List[Tuple[int, int]]:
+    out = []
+    for bq, bkv in candidates:
+        if bq > max(q_len, 128) * 2 or bkv > max(kv_len, 128) * 2:
+            continue
+        if not vmem_fits(bq, bkv, head_dim):
+            continue
+        out.append((bq, bkv))
+    return out or [(min(512, max(q_len, 128)), min(512, max(kv_len, 128)))]
+
+
+def _time_fetch(fn: Callable[[], jax.Array], iters: int = 3) -> float:
+    """Median wall time of fn with a forced device fetch."""
+    float(jnp.sum(fn()).astype(jnp.float32))  # compile + warm
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        float(jnp.sum(fn()).astype(jnp.float32))
+        times.append(time.perf_counter() - t0)
+    return sorted(times)[len(times) // 2]
+
+
+def lookup(key: str) -> Optional[Tuple[int, int]]:
+    hit = _load_cache().get(key)
+    return tuple(hit) if hit else None  # type: ignore[return-value]
+
+
+def record(key: str, block_q: int, block_kv: int) -> None:
+    _load_cache()[key] = [block_q, block_kv]
+    _save_cache()
+
+
+def tune(
+    key: str,
+    run_with_blocks: Callable[[int, int], Callable[[], jax.Array]],
+    candidates: Sequence[Tuple[int, int]],
+) -> Tuple[int, int]:
+    """Time each candidate once, cache and return the winner.
+
+    ``run_with_blocks(bq, bkv)`` returns a zero-arg callable executing the
+    kernel at those block sizes.
+    """
+    hit = lookup(key)
+    if hit is not None:
+        return hit
+    best: Optional[Tuple[int, int]] = None
+    best_t = float("inf")
+    for bq, bkv in candidates:
+        try:
+            t = _time_fetch(run_with_blocks(bq, bkv))
+        except Exception:  # compile failure (e.g. VMEM) — skip candidate
+            continue
+        if t < best_t:
+            best, best_t = (bq, bkv), t
+    if best is None:
+        best = candidates[0]
+    record(key, *best)
+    return best

@@ -66,6 +66,9 @@ kernel = _Namespace(
     use_exp2=True,
     # Enable the timed block-size autotuner (shape-class keyed, disk cached).
     autotune=_env_bool("QUANTUM_ATTN_AUTOTUNE", False),
+    # Mosaic scoped-VMEM limit override in MiB (None = compiler default,
+    # 16 MiB on v5e; raising it permits larger score tiles).
+    vmem_limit_mb=None,
 )
 
 attention = _Namespace(
@@ -81,6 +84,11 @@ attention = _Namespace(
     # Enable the int8-MXU fast path for the QK^T matmul where the TPU
     # generation runs 8-bit matmuls at 2x bf16 rate.
     enable_int8_qk=_env_bool("QUANTUM_ATTN_ENABLE_INT8_QK", True),
+    # Also run the P@V matmul in int8 (per-channel V scales, P scaled by
+    # 127 — SageAttention-style). Off by default: measured slower on v5e
+    # (the VPU cost of quantizing P exceeds the MXU saving); useful where
+    # decode DMA bandwidth dominates or on fp8-native MXUs.
+    enable_int8_pv=_env_bool("QUANTUM_ATTN_ENABLE_INT8_PV", False),
 )
 
 

@@ -269,6 +269,7 @@ def fp8_attention(
     if (scale_q is None) != (scale_k is None):
         raise ValueError("scale_q and scale_k must be provided together")
 
+    scale_v = None
     if scale_q is None and not checks.is_8bit_dtype(query.dtype):
         qdtype = (
             jnp.int8
@@ -277,6 +278,13 @@ def fp8_attention(
         )
         query, scale_q = _quantize_for(query, scaling_method, qdtype)
         key, scale_k = _quantize_for(key, scaling_method, qdtype)
+        quantize_v = (
+            qdtype == jnp.int8
+            and config.attention.enable_int8_pv
+            and not checks.is_8bit_dtype(value.dtype)
+        )
+    else:
+        quantize_v = False
 
     supported, reason = can_use_attention(
         query, key, value, attn_mask, dropout_p, is_causal,
@@ -287,12 +295,15 @@ def fp8_attention(
         raise ValueError(
             f"fp8_attention is not supported for the input: {reason}"
         )
+    if quantize_v:
+        value, scale_v = quant.quantize_channel_wise(value, jnp.int8)
     return flash_attention(
         query,
         key,
         value,
         scale_q=scale_q,
         scale_k=scale_k,
+        scale_v=scale_v,
         is_causal=is_causal,
         sm_scale=scale,
         window=window,

@@ -67,12 +67,29 @@ def _heuristic_blocks(
     HBM reads, smaller blocks keep VMEM within budget for big head dims.
     """
     if head_dim >= 256:
-        bq_t, bkv_t = 128, 256
+        bq_t, bkv_t = 512, 1024
     else:
-        bq_t, bkv_t = 256, 512
+        # Measured on v5e at B=16,H=16,S=8192,D=128 (prescaled q, 64 MiB
+        # scoped VMEM): (1024, 2048) reaches 144-147 TFLOP/s bf16; smaller
+        # blocks lose to KV re-reads, larger ones exhaust scoped VMEM.
+        bq_t, bkv_t = 1024, 2048
     bq = min(bq_t, _round_up(q_len, 128))
     bkv = min(bkv_t, _round_up(kv_len, 128))
     return bq, bkv
+
+
+def _vmem_limit_bytes():
+    """Scoped-VMEM budget for the kernel.
+
+    The Mosaic default (16 MiB on v5e) caps score tiles at ~512x1024; the
+    measured-optimal (1024, 2048) blocks need ~24 MiB of scoped scratch, so
+    raise the limit to 64 MiB on generations with >= 128 MiB physical VMEM.
+    """
+    if config.kernel.vmem_limit_mb:
+        return int(config.kernel.vmem_limit_mb) * 1024 * 1024
+    if checks.tpu_generation() >= 4:
+        return 64 * 1024 * 1024
+    return None
 
 
 def _compute_cast(x: jax.Array) -> jax.Array:
@@ -105,7 +122,9 @@ def _flash_kernel(
     use_exp2: bool,
     return_residuals: bool,
     use_int8_dot: bool,
+    use_int8_pv: bool,
     gqa_group: int,
+    prescaled: bool,
 ):
     idx = 0
     if has_offsets:
@@ -114,6 +133,9 @@ def _flash_kernel(
     if scaling != "none":
         scale_q_ref, scale_k_ref = refs[idx], refs[idx + 1]
         idx += 2
+    if use_int8_pv:
+        scale_v_ref = refs[idx]
+        idx += 1
     q_ref, k_ref, v_ref = refs[idx : idx + 3]
     idx += 3
     o_ref = refs[idx]
@@ -170,6 +192,8 @@ def _flash_kernel(
         k = _compute_cast(k_ref[0, 0])  # (block_kv, D)
 
         if use_int8_dot:
+            # Mosaic requires an int accumulator for int8 operands; the
+            # int32->f32 convert fuses with the scale multiply below.
             s = jax.lax.dot_general(
                 q_ref[0, 0],
                 k_ref[0, 0],
@@ -196,7 +220,7 @@ def _flash_kernel(
             qs = scale_q_ref[0, h, :].reshape(block_q, 1)
             ks = scale_k_ref[0, h // gqa_group, :].reshape(1, block_kv)
             s = s * (qs * base) * ks
-        else:
+        elif not prescaled:
             s = s * base
 
         # ---- masking (causal / window / ragged KV tail) ----
@@ -237,23 +261,89 @@ def _flash_kernel(
         m_scr[:] = m_next
         l_scr[:] = l_next
 
-        v = _compute_cast(v_ref[0, 0])  # (block_kv, D)
-        pv = jax.lax.dot_general(
-            p.astype(v.dtype),
-            v,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        if use_int8_pv:
+            # P in (0, 1] has a known scale: round(p * 127) is exact int8.
+            # V is per-channel quantized, so its scale factors out of the KV
+            # sum and both dequants collapse into one epilogue row-multiply
+            # (SageAttention-style 8-bit PV; the int8 MXU runs 2x bf16).
+            p8 = jnp.round(p * 127.0).astype(jnp.int8)
+            pv = jax.lax.dot_general(
+                p8,
+                v_ref[0, 0],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+        else:
+            v = _compute_cast(v_ref[0, 0])  # (block_kv, D)
+            pv = jax.lax.dot_general(
+                p.astype(v.dtype),
+                v,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         acc_scr[:] = acc_scr[:] * alpha[:, :1] + pv
 
     @pl.when(j == num_kv_blocks - 1)
     def _epilogue():
         l = l_scr[:, :1]
         l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
-        o_ref[0, 0] = (acc_scr[:] * l_inv).astype(o_ref.dtype)
+        o = acc_scr[:] * l_inv
+        if use_int8_pv:
+            # Undo the P (1/127) and per-channel V scales in one pass.
+            # The block covers all KV heads ((1, Hkv, D) — Mosaic's sublane
+            # rule); pick this program's row dynamically.
+            sv = scale_v_ref[0, h // gqa_group, :].reshape(1, -1)
+            o = o * (sv * (1.0 / 127.0))
+        o_ref[0, 0] = o.astype(o_ref.dtype)
         if return_residuals:
             m_out_ref[0, 0] = m_scr[:]
             l_out_ref[0, 0] = l_scr[:]
+
+
+def _autotuned_blocks(
+    q, k, v, scale_q, scale_k, scale_v, is_causal, sm_scale, window
+):
+    """Consult (and, when called eagerly, populate) the autotune cache.
+
+    The timed sweep can only run outside a trace — the Inductor analogue
+    (reference attention.py:1034) benchmarks at compile time, which JAX has
+    no hook for; inside jit we take a cache hit or fall back to the
+    heuristic table.
+    """
+    from .. import autotune
+
+    batch, hq, q_len, head_dim = q.shape
+    hkv, kv_len = k.shape[1], k.shape[2]
+    key = autotune.shape_key(
+        "flash", batch, hq, hkv, q_len, kv_len, head_dim, is_causal, q.dtype
+    )
+    hit = autotune.lookup(key)
+    if hit is not None:
+        return hit
+    if isinstance(q, jax.core.Tracer):
+        return None, None  # tracing: cannot time; heuristic fallback
+
+    candidates = autotune.prune_candidates(q_len, kv_len, head_dim)
+
+    def run_with_blocks(bq, bkv):
+        fn = jax.jit(
+            functools.partial(
+                flash_attention,
+                is_causal=is_causal,
+                sm_scale=sm_scale,
+                window=window,
+                block_q=bq,
+                block_kv=bkv,
+            )
+        )
+        kwargs = {}
+        if scale_q is not None:
+            kwargs = dict(scale_q=scale_q, scale_k=scale_k)
+            if scale_v is not None:
+                kwargs["scale_v"] = scale_v
+        return lambda: fn(q, k, v, **kwargs)
+
+    return autotune.tune(key, run_with_blocks, candidates)
 
 
 def flash_attention(
@@ -263,6 +353,7 @@ def flash_attention(
     *,
     scale_q: Optional[jax.Array] = None,
     scale_k: Optional[jax.Array] = None,
+    scale_v: Optional[jax.Array] = None,
     is_causal: bool = False,
     sm_scale: Optional[float] = None,
     window: Optional[Tuple[Optional[int], Optional[int]]] = None,
@@ -325,13 +416,37 @@ def flash_attention(
     )
     if q.dtype == jnp.int8 and scaling == "none":
         raise ValueError("int8 q/k require scales")
+    use_int8_pv = v.dtype == jnp.int8 and scale_v is not None
+    if v.dtype == jnp.int8 and scale_v is None:
+        raise ValueError("int8 v requires per-channel scale_v (B, Hkv, D)")
+    if scale_v is not None and scale_v.shape != (
+        v.shape[0], v.shape[1], v.shape[3],
+    ):
+        raise ValueError(
+            f"scale_v must be (B, Hkv, D), got {scale_v.shape}"
+        )
 
     bq = block_q or config.kernel.block_q
     bkv = block_kv or config.kernel.block_kv
+    if bq is None and bkv is None and config.kernel.autotune and not interpret:
+        bq, bkv = _autotuned_blocks(
+            q, k, v, scale_q, scale_k, scale_v, is_causal, sm_scale, window
+        )
     if bq is None or bkv is None:
         hq, hkv = _heuristic_blocks(q_len, kv_len, head_dim)
         bq = bq or hq
         bkv = bkv or hkv
+
+    # Fold sm_scale (and the exp2-domain log2(e)) into q ahead of the kernel:
+    # one elementwise pass over Q in HBM (XLA fuses it with the producer)
+    # instead of a pass over every (block_q, block_kv) score tile per KV step.
+    # Measured +17 TFLOP/s on v5e. Only for float q without dequant scales —
+    # quantized paths keep the scalar fold in-kernel (it rides the int32->
+    # fp32 conversion of the QK product).
+    prescaled = scaling == "none" and not checks.is_8bit_dtype(q.dtype)
+    if prescaled:
+        base = sm_scale * (LOG2E if config.kernel.use_exp2 else 1.0)
+        q = q * jnp.asarray(base, q.dtype)
 
     # Pad sequence dims to block multiples (zero padding keeps the PV matmul
     # NaN-free; padded KV columns are masked, padded Q rows are sliced off).
@@ -380,6 +495,13 @@ def flash_attention(
             pl.BlockSpec((1, num_kv_heads, bkv), lambda b, h, i, j: (b, 0, j)),
         ]
         args += [sqp.astype(jnp.float32), skp.astype(jnp.float32)]
+    if use_int8_pv:
+        in_specs += [
+            pl.BlockSpec(
+                (1, num_kv_heads, head_dim), lambda b, h, i, j: (b, 0, 0)
+            )
+        ]
+        args += [scale_v.astype(jnp.float32)]
     in_specs += [
         pl.BlockSpec((1, 1, bq, head_dim), lambda b, h, i, j: (b, h, i, 0)),
         pl.BlockSpec(
@@ -425,7 +547,9 @@ def flash_attention(
         use_exp2=config.kernel.use_exp2,
         return_residuals=return_residuals,
         use_int8_dot=use_int8_dot,
+        use_int8_pv=use_int8_pv,
         gqa_group=group,
+        prescaled=prescaled,
     )
 
     # FLOP estimate for XLA's latency-hiding scheduler.
@@ -446,6 +570,7 @@ def flash_attention(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=_vmem_limit_bytes(),
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops,

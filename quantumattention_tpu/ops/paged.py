@@ -1,0 +1,383 @@
+"""Paged decode attention: non-contiguous KV pages gathered by async DMA.
+
+The serving engine's contiguous slot cache (ops/decode.py) reserves
+max_len per slot; the paged layout removes that: KV lives in a global pool
+of fixed-size pages and each sequence owns an arbitrary page list.  This is
+the TPU build's equivalent of vLLM-style paged attention (absent from the
+reference, which has no decode path at all — SURVEY.md §0).
+
+TPU mapping (modeled on the production JAX TPU paged kernel pattern):
+  * pages stay in HBM (``memory_space=ANY``); the kernel gathers the pages
+    of one compute block with one ``pltpu.make_async_copy`` per page — all
+    started concurrently, so latency is that of the slowest page;
+  * double buffering (VMEM scratch leading dim 2 + SMEM buffer index)
+    overlaps the next block's page DMAs with compute on the current block;
+  * page indices + sequence lengths are scalar-prefetched
+    (``PrefetchScalarGridSpec``) so DMAs for out-of-range blocks are never
+    issued and the next (b, h, block) triple is computable in-kernel;
+  * int8 pages with per-token scales halve DMA bandwidth — decode is
+    bandwidth-bound, so this is the FP8-KV-cache win the BASELINE targets.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import config
+from ..utils import checks
+
+LOG2E = math.log2(math.e)
+MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+NUM_LANES = 128
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+class _PageGather:
+    """One compute block's worth of page DMAs (started together)."""
+
+    def __init__(
+        self,
+        pages_hbm_ref,
+        vmem_buf,
+        sem,
+        page_idx_ref,
+        seq_idx,
+        block_idx,
+        pages_per_block,
+        head_idx,
+    ):
+        self._copies = []
+        for i in range(pages_per_block):
+            page = page_idx_ref[seq_idx, block_idx * pages_per_block + i]
+            self._copies.append(
+                pltpu.make_async_copy(
+                    pages_hbm_ref.at[head_idx, page],
+                    vmem_buf.at[i],
+                    sem,
+                )
+            )
+
+    def start(self):
+        for c in self._copies:
+            c.start()
+
+    def wait(self):
+        for c in self._copies:
+            c.wait()
+
+
+def _paged_kernel(
+    # scalar prefetch
+    lengths_ref,
+    page_idx_ref,
+    # inputs
+    q_ref,
+    k_pages_hbm,
+    v_pages_hbm,
+    ks_pages_hbm,
+    vs_pages_hbm,
+    # outputs
+    o_ref,
+    # scratch
+    k_buf,
+    v_buf,
+    ks_buf,
+    vs_buf,
+    k_sems,
+    v_sems,
+    buf_idx_ref,
+    m_scr,
+    l_scr,
+    acc_scr,
+    *,
+    quantized: bool,
+    sm_scale: float,
+    pages_per_block: int,
+    page_size: int,
+    group_pad: int,
+    batch: int,
+    num_kv_heads: int,
+    max_blocks: int,
+):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    i = pl.program_id(2)
+    block_tokens = pages_per_block * page_size
+
+    length = lengths_ref[b]
+    num_valid_blocks = jnp.maximum(1, pl.cdiv(length, block_tokens))
+
+    def gather(slot, seq, head, blk):
+        copies = [
+            _PageGather(
+                k_pages_hbm, k_buf.at[slot], k_sems.at[slot, 0],
+                page_idx_ref, seq, blk, pages_per_block, head,
+            ),
+            _PageGather(
+                v_pages_hbm, v_buf.at[slot], v_sems.at[slot, 0],
+                page_idx_ref, seq, blk, pages_per_block, head,
+            ),
+        ]
+        if quantized:
+            copies += [
+                _PageGather(
+                    ks_pages_hbm, ks_buf.at[slot], k_sems.at[slot, 1],
+                    page_idx_ref, seq, blk, pages_per_block, head,
+                ),
+                _PageGather(
+                    vs_pages_hbm, vs_buf.at[slot], v_sems.at[slot, 1],
+                    page_idx_ref, seq, blk, pages_per_block, head,
+                ),
+            ]
+        return copies
+
+    def start_all(slot, seq, head, blk):
+        for c in gather(slot, seq, head, blk):
+            c.start()
+
+    def wait_all(slot, seq, head, blk):
+        for c in gather(slot, seq, head, blk):
+            c.wait()
+
+    # --- next-block computation (for cross-step prefetch) ---
+    def next_triple(b, h, i):
+        nblk = jnp.maximum(
+            1, pl.cdiv(lengths_ref[b], block_tokens)
+        )
+        last_in_seq = i + 1 >= nblk
+        nh = jnp.where(last_in_seq, h + 1, h)
+        ni = jnp.where(last_in_seq, 0, i + 1)
+        wrap_h = nh >= num_kv_heads
+        nb = jnp.where(wrap_h, b + 1, b)
+        nh = jnp.where(wrap_h, 0, nh)
+        return nb, nh, ni
+
+    is_active = i < num_valid_blocks
+
+    @pl.when(is_active)
+    def _run():
+        # First grid step overall: prime the pipeline.
+        first = jnp.logical_and(
+            jnp.logical_and(b == 0, h == 0), i == 0
+        )
+
+        @pl.when(first)
+        def _():
+            buf_idx_ref[0] = 0
+            start_all(0, b, h, i)
+
+        slot = buf_idx_ref[0]
+
+        # Prefetch the next active block into the other buffer.
+        nb, nh, ni = next_triple(b, h, i)
+
+        @pl.when(nb < batch)
+        def _():
+            start_all(1 - slot, nb, nh, ni)
+            buf_idx_ref[0] = 1 - slot
+
+        wait_all(slot, b, h, i)
+
+        @pl.when(i == 0)
+        def _init():
+            m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+            l_scr[:] = jnp.zeros_like(l_scr)
+            acc_scr[:] = jnp.zeros_like(acc_scr)
+
+        q = q_ref[0, 0]  # (group_pad, D)
+        k = k_buf[slot].reshape(block_tokens, -1)
+
+        if quantized:
+            s = jax.lax.dot_general(
+                q, k.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ks = ks_buf[slot].reshape(1, block_tokens)
+            s = s * (ks * (sm_scale * LOG2E))
+        else:
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s = s * (sm_scale * LOG2E)
+
+        col = (
+            jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            + i * block_tokens
+        )
+        s = jnp.where(col < length, s, MASK_VALUE)
+
+        m_prev = m_scr[:]
+        l_prev = l_scr[:]
+        m_curr = jnp.max(s, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(s - m_next[:, :1])
+        l_scr[:] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        m_scr[:] = m_next
+
+        v = v_buf[slot].reshape(block_tokens, -1)
+        if quantized:
+            vs = vs_buf[slot].reshape(block_tokens, 1)
+            vf = (v.astype(jnp.float32) * vs).astype(jnp.bfloat16)
+        else:
+            vf = v
+        pv = jax.lax.dot_general(
+            p.astype(jnp.bfloat16), vf,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[:] = acc_scr[:] * alpha[:, :1] + pv
+
+    @pl.when(i == num_valid_blocks - 1)
+    def _epilogue():
+        l = l_scr[:, :1]
+        l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+        o_ref[0, 0] = (acc_scr[:] * l_inv).astype(o_ref.dtype)
+
+
+def paged_decode_attention(
+    q: jax.Array,
+    k_pages: jax.Array,
+    v_pages: jax.Array,
+    lengths: jax.Array,
+    page_indices: jax.Array,
+    *,
+    k_scale_pages: Optional[jax.Array] = None,
+    v_scale_pages: Optional[jax.Array] = None,
+    sm_scale: Optional[float] = None,
+    pages_per_block: int = 4,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Decode attention over paged KV; returns (B, Hq, D) bf16.
+
+    Args:
+      q: (B, Hq, D) bf16 (or int8 with token-wise quantized pages).
+      k_pages/v_pages: (Hkv, num_pages, page_size, D).
+      lengths: (B,) int32 valid token counts.
+      page_indices: (B, pages_per_seq) int32 page table (entries beyond the
+        sequence's pages are ignored; must still be < num_pages).
+      k_scale_pages/v_scale_pages: (Hkv, num_pages, page_size) fp32
+        per-token scales for 8-bit pages.
+    """
+    batch, num_q_heads, head_dim = q.shape
+    num_kv_heads, _, page_size, _ = k_pages.shape
+    pages_per_seq = page_indices.shape[1]
+    if num_q_heads % num_kv_heads != 0:
+        raise ValueError("num_q_heads must be divisible by num_kv_heads")
+    group = num_q_heads // num_kv_heads
+    quantized = k_scale_pages is not None
+    if quantized != (v_scale_pages is not None):
+        raise ValueError("k_scale_pages and v_scale_pages go together")
+    if checks.is_8bit_dtype(k_pages.dtype) and not quantized:
+        raise ValueError("8-bit KV pages require scale pages")
+    if pages_per_seq % pages_per_block != 0:
+        raise ValueError(
+            f"pages_per_seq ({pages_per_seq}) must be a multiple of "
+            f"pages_per_block ({pages_per_block})"
+        )
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(head_dim)
+    if interpret is None:
+        interpret = checks.resolve_interpret(config.interpret)
+
+    group_pad = max(8, _cdiv(group, 8) * 8)
+    qg = q.reshape(batch, num_kv_heads, group, head_dim)
+    if group_pad != group:
+        qg = jnp.pad(qg, [(0, 0), (0, 0), (0, group_pad - group), (0, 0)])
+
+    max_blocks = pages_per_seq // pages_per_block
+    grid = (batch, num_kv_heads, max_blocks)
+
+    kernel = functools.partial(
+        _paged_kernel,
+        quantized=quantized,
+        sm_scale=float(sm_scale),
+        pages_per_block=pages_per_block,
+        page_size=page_size,
+        group_pad=group_pad,
+        batch=batch,
+        num_kv_heads=num_kv_heads,
+        max_blocks=max_blocks,
+    )
+
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    in_specs = [
+        pl.BlockSpec(
+            (1, 1, group_pad, head_dim), lambda b, h, i, *_: (b, h, 0, 0)
+        ),
+        any_spec,  # k_pages
+        any_spec,  # v_pages
+        any_spec,  # k_scale_pages (dummy when not quantized)
+        any_spec,  # v_scale_pages
+    ]
+
+    if quantized:
+        ksp, vsp = k_scale_pages.astype(jnp.float32), v_scale_pages.astype(
+            jnp.float32
+        )
+    else:
+        ksp = jnp.zeros((1, 1, 1), jnp.float32)
+        vsp = jnp.zeros((1, 1, 1), jnp.float32)
+
+    scale_buf_shape = (
+        (2, pages_per_block, page_size)
+        if quantized
+        else (2, 1, 1)
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, 1, group_pad, head_dim), lambda b, h, i, *_: (b, h, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM(
+                (2, pages_per_block, page_size, head_dim), k_pages.dtype
+            ),
+            pltpu.VMEM(
+                (2, pages_per_block, page_size, head_dim), v_pages.dtype
+            ),
+            pltpu.VMEM(scale_buf_shape, jnp.float32),
+            pltpu.VMEM(scale_buf_shape, jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.VMEM((group_pad, NUM_LANES), jnp.float32),
+            pltpu.VMEM((group_pad, NUM_LANES), jnp.float32),
+            pltpu.VMEM((group_pad, head_dim), jnp.float32),
+        ],
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (batch, num_kv_heads, group_pad, head_dim), jnp.bfloat16
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        lengths.astype(jnp.int32),
+        page_indices.astype(jnp.int32),
+        qg,
+        k_pages,
+        v_pages,
+        ksp,
+        vsp,
+    )
+    return out[:, :, :group, :].reshape(batch, num_q_heads, head_dim)

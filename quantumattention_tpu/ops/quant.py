@@ -85,6 +85,18 @@ def quantize_token_wise(t: jax.Array, qdtype=jnp.float8_e4m3fn):
     return _dynamic_quantize(t, (-1,), qmax, qdtype)
 
 
+def quantize_channel_wise(t: jax.Array, qdtype=jnp.int8):
+    """(B, H, S, D) -> values + (B, H, D) scales (reduce over sequence).
+
+    Per-channel granularity is what makes an 8-bit P@V matmul possible: the
+    per-channel scale factors out of the sum over KV positions, so the int32
+    accumulator dequantizes with one row-vector multiply in the epilogue
+    (beyond the reference, which keeps V in fp16/bf16 — nn.py:83-105).
+    """
+    qmax = INT8_MAX if jnp.issubdtype(qdtype, jnp.integer) else FP8_E4M3_MAX
+    return _dynamic_quantize(t, (-2,), qmax, qdtype)
+
+
 def dequantize(t_q: jax.Array, scale: jax.Array, dtype=jnp.float32) -> jax.Array:
     """Inverse transform; broadcast scales from the left-aligned shape."""
     scale = scale.astype(dtype)

@@ -113,3 +113,47 @@ def test_fp8_v_dtype():
     assert out.dtype == jnp.bfloat16
     ref = sdpa_reference(q, k, v)
     assert rmse(out, ref) < RMSE_TOL
+
+
+def test_int8_qk_int8_pv_vs_oracle():
+    """Full 8-bit path: int8 QK (head-wise scales) + int8 PV (per-channel
+    V scales + P scaled by 127) against the dequantized fp32 oracle."""
+    from quantumattention_tpu.ops.quant import (
+        quantize_channel_wise,
+        quantize_head_wise,
+    )
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(7), 3)
+    q = jax.random.normal(k1, (2, 4, 512, 128), jnp.float32)
+    k = jax.random.normal(k2, (2, 4, 512, 128), jnp.float32)
+    v = jax.random.normal(k3, (2, 4, 512, 128), jnp.float32)
+    q8, sq = quantize_head_wise(q, jnp.int8)
+    k8, sk = quantize_head_wise(k, jnp.int8)
+    v8, sv = quantize_channel_wise(v, jnp.int8)
+
+    out = flash_attention(
+        q8, k8, v8, scale_q=sq, scale_k=sk, scale_v=sv,
+        is_causal=True, block_q=128, block_kv=128,
+    )
+    ref = sdpa_reference(q8, k8, v, scale_q=sq, scale_k=sk, is_causal=True)
+    assert out.dtype == jnp.bfloat16
+    assert rmse(out, ref) < RMSE_TOL
+
+
+def test_fp8_attn_func_int8_pv_dispatch():
+    """The public fp8 path quantizes V channel-wise in-graph when the int8
+    container is active."""
+    import quantumattention_tpu as qa
+    from quantumattention_tpu import config
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(8), 3)
+    q = jax.random.normal(k1, (1, 4, 256, 64), jnp.bfloat16)
+    k = jax.random.normal(k2, (1, 4, 256, 64), jnp.bfloat16)
+    v = jax.random.normal(k3, (1, 4, 256, 64), jnp.bfloat16)
+    ref = sdpa_reference(q, k, v, is_causal=True)
+    with config.patch({"attention.enable_int8_pv": True}):
+        out = qa.fp8_attn_func(q, k, v, is_causal=True)
+    assert rmse(out, ref) < RMSE_TOL
+    with config.patch({"attention.enable_int8_pv": False}):
+        out2 = qa.fp8_attn_func(q, k, v, is_causal=True)
+    assert rmse(out2, ref) < RMSE_TOL

@@ -1,0 +1,119 @@
+"""Paged decode attention tests (async-DMA page gather, CPU interpret mode).
+
+Oracle: gather the pages back into a contiguous cache in numpy and run fp32
+SDPA on the valid prefix.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quantumattention_tpu.ops.paged import paged_decode_attention
+from quantumattention_tpu.ops.sdpa import sdpa_reference
+
+RMSE_TOL = 1e-2
+
+
+def rmse(a, b):
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    return float(np.sqrt(np.mean((a - b) ** 2)))
+
+
+def gather_contiguous(pages, page_indices, b):
+    """(Hkv, P, page, D) + page list -> (Hkv, pages_per_seq*page, D)."""
+    idx = np.asarray(page_indices[b])
+    return np.concatenate([np.asarray(pages[:, p]) for p in idx], axis=1)
+
+
+def make_paged(B, Hkv, pages_per_seq, page_size, D, seed=0):
+    """Random float pages + a shuffled page table."""
+    total_pages = B * pages_per_seq + 3
+    key = jax.random.PRNGKey(seed)
+    k1, k2 = jax.random.split(key)
+    k_pages = jax.random.normal(k1, (Hkv, total_pages, page_size, D), jnp.float32)
+    v_pages = jax.random.normal(k2, (Hkv, total_pages, page_size, D), jnp.float32)
+    rng = np.random.RandomState(seed)
+    table = rng.permutation(total_pages - 1)[: B * pages_per_seq].reshape(
+        B, pages_per_seq
+    )
+    return k_pages, v_pages, jnp.asarray(table, jnp.int32)
+
+
+@pytest.mark.parametrize("group", [1, 4])
+def test_paged_bf16(group):
+    B, Hkv, pages_per_seq, page_size, D = 3, 2, 8, 64, 64
+    Hq = Hkv * group
+    k_pages, v_pages, table = make_paged(B, Hkv, pages_per_seq, page_size, D)
+    q = jax.random.normal(jax.random.PRNGKey(9), (B, Hq, D), jnp.float32)
+    lengths = jnp.array([512, 200, 1], jnp.int32)
+
+    out = paged_decode_attention(
+        q.astype(jnp.bfloat16),
+        k_pages.astype(jnp.bfloat16),
+        v_pages.astype(jnp.bfloat16),
+        lengths,
+        table,
+        pages_per_block=4,
+    )
+
+    for b in range(B):
+        n = int(lengths[b])
+        kc = gather_contiguous(k_pages, table, b)[:, :n]
+        vc = gather_contiguous(v_pages, table, b)[:, :n]
+        ref = sdpa_reference(
+            q[b][None, :, None, :], jnp.asarray(kc)[None], jnp.asarray(vc)[None]
+        )[0, :, 0, :]
+        assert rmse(out[b], ref) < RMSE_TOL, f"seq {b}"
+
+
+def test_paged_int8_quantized_pages():
+    B, Hkv, pages_per_seq, page_size, D = 2, 2, 8, 64, 128
+    Hq = Hkv * 4
+    k_pages, v_pages, table = make_paged(B, Hkv, pages_per_seq, page_size, D, seed=3)
+    q = jax.random.normal(jax.random.PRNGKey(4), (B, Hq, D), jnp.float32)
+    lengths = jnp.array([512, 130], jnp.int32)
+
+    from quantumattention_tpu.ops.quant import dynamically_quantize_int8
+
+    k8, ks = dynamically_quantize_int8(k_pages, reduction_dim=-1)
+    v8, vs = dynamically_quantize_int8(v_pages, reduction_dim=-1)
+
+    out = paged_decode_attention(
+        q.astype(jnp.bfloat16),
+        k8,
+        v8,
+        lengths,
+        table,
+        k_scale_pages=ks,
+        v_scale_pages=vs,
+        pages_per_block=2,
+    )
+
+    for b in range(B):
+        n = int(lengths[b])
+        kc = gather_contiguous(k_pages, table, b)[:, :n]
+        vc = gather_contiguous(v_pages, table, b)[:, :n]
+        ref = sdpa_reference(
+            q[b][None, :, None, :], jnp.asarray(kc)[None], jnp.asarray(vc)[None]
+        )[0, :, 0, :]
+        assert rmse(out[b], ref) < RMSE_TOL, f"seq {b}"
+
+
+def test_paged_validation():
+    q = jnp.zeros((1, 4, 64), jnp.bfloat16)
+    kp = jnp.zeros((2, 8, 64, 64), jnp.int8)
+    vp = jnp.zeros((2, 8, 64, 64), jnp.int8)
+    table = jnp.zeros((1, 4), jnp.int32)
+    with pytest.raises(ValueError, match="scale"):
+        paged_decode_attention(q, kp, vp, jnp.array([5], jnp.int32), table)
+    with pytest.raises(ValueError, match="multiple"):
+        paged_decode_attention(
+            q,
+            kp.astype(jnp.bfloat16),
+            vp.astype(jnp.bfloat16),
+            jnp.array([5], jnp.int32),
+            table,
+            pages_per_block=3,
+        )
