@@ -69,6 +69,9 @@ kernel = _Namespace(
     # Mosaic scoped-VMEM limit override in MiB (None = compiler default,
     # 16 MiB on v5e; raising it permits larger score tiles).
     vmem_limit_mb=None,
+    # Use the blockwise Pallas dq/dkv backward kernels (flash_bwd.py);
+    # False falls back to the O(S^2) oracle-recompute VJP.
+    pallas_bwd=_env_bool("QUANTUM_ATTN_PALLAS_BWD", True),
 )
 
 attention = _Namespace(

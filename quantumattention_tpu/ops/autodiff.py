@@ -22,7 +22,9 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from .. import config
 from .flash import flash_attention
+from .flash_bwd import flash_attention_bwd
 from .sdpa import sdpa_reference
 
 
@@ -51,6 +53,19 @@ def _attn(statics: AttnStatics, q, k, v):
 
 
 def _attn_fwd(statics: AttnStatics, q, k, v):
+    if config.kernel.pallas_bwd:
+        out, (m, l) = flash_attention(
+            q,
+            k,
+            v,
+            is_causal=statics.is_causal,
+            sm_scale=statics.sm_scale,
+            window=statics.window,
+            block_q=statics.block_q,
+            block_kv=statics.block_kv,
+            return_residuals=True,
+        )
+        return out, (q, k, v, out, m, l)
     out = _attn(statics, q, k, v)
     return out, (q, k, v)
 
@@ -73,6 +88,20 @@ def _oracle(statics: AttnStatics, q, k, v):
 
 
 def _attn_bwd(statics: AttnStatics, residuals, g):
+    if len(residuals) == 6:
+        q, k, v, o, m, l = residuals
+        return flash_attention_bwd(
+            q,
+            k,
+            v,
+            o,
+            g.astype(o.dtype),
+            m,
+            l,
+            is_causal=statics.is_causal,
+            sm_scale=statics.sm_scale,
+            window=statics.window,
+        )
     q, k, v = residuals
     _, vjp = jax.vjp(functools.partial(_oracle, statics), q, k, v)
     return vjp(g)

@@ -93,3 +93,67 @@ def test_quantize_ste_passes_gradient():
     g = jax.grad(loss)(x)
     assert g.shape == x.shape
     assert np.isfinite(np.asarray(g)).all()
+
+
+@pytest.mark.parametrize("is_causal", [False, True])
+def test_pallas_bwd_matches_oracle(is_causal):
+    """Blockwise Pallas dq/dkv kernels vs jax.grad of the oracle."""
+    from quantumattention_tpu import config
+
+    q, k, v = make_qkv(1, 4, 4, 384, 384, 64, seed=3)
+
+    def loss(fn_cfg):
+        def inner(q, k, v):
+            with config.patch({"kernel.pallas_bwd": fn_cfg}):
+                out = attention_with_vjp(
+                    q, k, v, is_causal=is_causal, block_q=128, block_kv=128
+                )
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        return inner
+
+    g_pallas = jax.grad(loss(True), argnums=(0, 1, 2))(q, k, v)
+    g_oracle = jax.grad(loss(False), argnums=(0, 1, 2))(q, k, v)
+    for gp, go, name in zip(g_pallas, g_oracle, "qkv"):
+        assert rel_err(gp, go) < 2e-2, f"d{name} mismatch"
+
+
+def test_pallas_bwd_gqa_window():
+    from quantumattention_tpu import config
+
+    q, k, v = make_qkv(1, 8, 2, 256, 256, 64, seed=4)
+
+    def make_loss(flag):
+        def inner(q, k, v):
+            with config.patch({"kernel.pallas_bwd": flag}):
+                out = attention_with_vjp(
+                    q, k, v, is_causal=True, window=(96, 0),
+                    block_q=128, block_kv=128,
+                )
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        return inner
+
+    g_pallas = jax.grad(make_loss(True), argnums=(0, 1, 2))(q, k, v)
+    g_oracle = jax.grad(make_loss(False), argnums=(0, 1, 2))(q, k, v)
+    for gp, go, name in zip(g_pallas, g_oracle, "qkv"):
+        assert rel_err(gp, go) < 2e-2, f"d{name} mismatch"
+
+
+def test_pallas_bwd_ragged_seq():
+    from quantumattention_tpu import config
+
+    q, k, v = make_qkv(1, 2, 2, 250, 250, 64, seed=5)
+
+    def make_loss(flag):
+        def inner(q, k, v):
+            with config.patch({"kernel.pallas_bwd": flag}):
+                out = attention_with_vjp(q, k, v, block_q=128, block_kv=128)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        return inner
+
+    g_pallas = jax.grad(make_loss(True), argnums=(0, 1, 2))(q, k, v)
+    g_oracle = jax.grad(make_loss(False), argnums=(0, 1, 2))(q, k, v)
+    for gp, go, name in zip(g_pallas, g_oracle, "qkv"):
+        assert rel_err(gp, go) < 2e-2, f"d{name} mismatch"
