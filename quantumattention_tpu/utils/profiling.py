@@ -1,0 +1,72 @@
+"""Profiling / timing utilities (SURVEY.md §5 tracing subsystem).
+
+The reference's profiling story is nvcc ``-lineinfo`` plus
+``triton.testing.do_bench`` inside tests; the TPU-native equivalents are
+XProf traces via ``jax.profiler`` and a forced-fetch timing helper that is
+robust to async dispatch (plain ``block_until_ready`` can lie through RPC
+tunnels — a device fetch cannot).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Callable, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = "/tmp/quantumattention_xprof") -> Iterator[None]:
+    """Capture an XProf trace of the enclosed block.
+
+    View with ``xprof`` / TensorBoard's profile plugin.  The analogue of
+    profiling the reference's kernels with Nsight via -lineinfo.
+    """
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def do_bench(
+    fn: Callable[[], jax.Array],
+    iters: int = 10,
+    warmup: int = 2,
+    reps: int = 3,
+) -> float:
+    """Median seconds/iteration of ``fn`` with forced device fetches.
+
+    The contract of ``triton.testing.do_bench`` (reference
+    tests/test_interface.py:127,136) re-expressed for TPU: every rep chains
+    ``iters`` executions and ends with a scalar fetch so the async runtime
+    must drain.
+    """
+    for _ in range(warmup):
+        float(jnp.sum(fn()).astype(jnp.float32))
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn()
+        float(jnp.sum(out).astype(jnp.float32))
+        times.append((time.perf_counter() - t0) / iters)
+    return sorted(times)[len(times) // 2]
+
+
+def attention_tflops(
+    seconds: float,
+    batch: int,
+    heads: int,
+    q_len: int,
+    kv_len: int,
+    head_dim: int,
+    causal: bool = False,
+) -> float:
+    """Reference FLOP model (tests/test_interface.py:121-126)."""
+    flops = 2 * (2 * batch * heads * q_len * kv_len * head_dim)
+    if causal:
+        flops //= 2
+    return flops / seconds / 1e12

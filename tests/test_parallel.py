@@ -119,3 +119,37 @@ def test_head_parallel_rejects_indivisible(tp_mesh):
     q, k, v = make_qkv(1, 8, 2, 256, 64)
     with pytest.raises(ValueError, match="divide"):
         head_parallel_attention(q, k, v, mesh=tp_mesh)
+
+
+def test_ulysses_attention_vs_oracle(sp_mesh):
+    from quantumattention_tpu.parallel.ulysses import ulysses_attention
+
+    q, k, v = make_qkv(1, 8, 4, 512, 64)
+    out = ulysses_attention(
+        q, k, v, mesh=sp_mesh, is_causal=True, block_q=128, block_kv=128
+    )
+    ref = sdpa_reference(q, k, v, is_causal=True)
+    assert out.shape == q.shape
+    assert rmse(out, ref) < RMSE_TOL
+
+
+def test_ulysses_rejects_indivisible_heads(sp_mesh):
+    from quantumattention_tpu.parallel.ulysses import ulysses_attention
+
+    q, k, v = make_qkv(1, 6, 2, 256, 64)
+    with pytest.raises(ValueError, match="divisible"):
+        ulysses_attention(q, k, v, mesh=sp_mesh)
+
+
+def test_ring_matches_ulysses(sp_mesh):
+    """Both SP strategies must agree with each other bit-for-bit-ish."""
+    q, k, v = make_qkv(1, 4, 4, 512, 64, seed=11)
+    from quantumattention_tpu.parallel.ulysses import ulysses_attention
+
+    r = ring_attention(
+        q, k, v, mesh=sp_mesh, is_causal=True, block_q=128, block_kv=128
+    )
+    u = ulysses_attention(
+        q, k, v, mesh=sp_mesh, is_causal=True, block_q=128, block_kv=128
+    )
+    assert rmse(r, u) < 2e-3
