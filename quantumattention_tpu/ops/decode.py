@@ -67,6 +67,7 @@ def _decode_kernel(
         m_scr, l_scr, acc_scr = refs[4:]
 
     b = pl.program_id(0)
+    h = pl.program_id(1)
     j = pl.program_id(2)
     num_kv_blocks = pl.num_programs(2)
     length = lengths_ref[b]
@@ -97,8 +98,9 @@ def _decode_kernel(
 
         s = s * (sm_scale * LOG2E)
         if quantized:
-            # k_scale: (1, block_kv) fp32, applied per KV token (columns).
-            s = s * ks_ref[0, 0].reshape(1, block_kv)
+            # Scale blocks cover all KV heads (Mosaic sublane rule); pick
+            # this program's head row, apply per KV token (columns).
+            s = s * ks_ref[0, h, :].reshape(1, block_kv)
 
         # Ragged tail mask.
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_kv
@@ -117,7 +119,7 @@ def _decode_kernel(
         if quantized:
             # Dequantize V columns (token-wise) into bf16 before the PV
             # matmul; p is fp32 -> cast to bf16 for the MXU.
-            vf = v.astype(jnp.float32) * vs_ref[0, 0].reshape(block_kv, 1)
+            vf = v.astype(jnp.float32) * vs_ref[0, h, :].reshape(block_kv, 1)
             pv = jax.lax.dot_general(
                 p.astype(jnp.bfloat16),
                 vf.astype(jnp.bfloat16),
@@ -200,7 +202,9 @@ def decode_attention(
     ]
     args = [qg, k_cache, v_cache]
     if quantized:
-        scale_spec = pl.BlockSpec((1, 1, block_kv), lambda b, h, j, *_: (b, h, j))
+        scale_spec = pl.BlockSpec(
+            (1, num_kv_heads, block_kv), lambda b, h, j, *_: (b, 0, j)
+        )
         in_specs += [scale_spec, scale_spec]
         args += [k_scale.astype(jnp.float32), v_scale.astype(jnp.float32)]
 

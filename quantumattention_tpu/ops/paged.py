@@ -108,6 +108,7 @@ def _paged_kernel(
     batch: int,
     num_kv_heads: int,
     max_blocks: int,
+    pipelined: bool,
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -166,27 +167,36 @@ def _paged_kernel(
 
     @pl.when(is_active)
     def _run():
-        # First grid step overall: prime the pipeline.
-        first = jnp.logical_and(
-            jnp.logical_and(b == 0, h == 0), i == 0
-        )
+        if pipelined:
+            # First grid step overall: prime the pipeline.
+            first = jnp.logical_and(
+                jnp.logical_and(b == 0, h == 0), i == 0
+            )
 
-        @pl.when(first)
-        def _():
-            buf_idx_ref[0] = 0
+            @pl.when(first)
+            def _():
+                buf_idx_ref[0] = 0
+                start_all(0, b, h, i)
+
+            slot = buf_idx_ref[0]
+
+            # Prefetch the next active block into the other buffer.
+            nb, nh, ni = next_triple(b, h, i)
+
+            @pl.when(nb < batch)
+            def _():
+                start_all(1 - slot, nb, nh, ni)
+                buf_idx_ref[0] = 1 - slot
+
+            wait_all(slot, b, h, i)
+        else:
+            # Interpret mode: no overlap to win, and the interpreter's
+            # process-global semaphore state makes cross-step pipelines
+            # order-sensitive across pallas_call invocations — gather
+            # synchronously instead.
+            slot = 0
             start_all(0, b, h, i)
-
-        slot = buf_idx_ref[0]
-
-        # Prefetch the next active block into the other buffer.
-        nb, nh, ni = next_triple(b, h, i)
-
-        @pl.when(nb < batch)
-        def _():
-            start_all(1 - slot, nb, nh, ni)
-            buf_idx_ref[0] = 1 - slot
-
-        wait_all(slot, b, h, i)
+            wait_all(0, b, h, i)
 
         @pl.when(i == 0)
         def _init():
@@ -195,21 +205,21 @@ def _paged_kernel(
             acc_scr[:] = jnp.zeros_like(acc_scr)
 
         q = q_ref[0, 0]  # (group_pad, D)
-        k = k_buf[slot].reshape(block_tokens, -1)
 
+        # Dequantize in the page-native (ppb, ps, D) layout — the per-token
+        # scale broadcasts over the lane (D) dim, avoiding a lane->sublane
+        # shape cast — then merge the sublane dims for the matmul.
         if quantized:
-            s = jax.lax.dot_general(
-                q, k.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            ks = ks_buf[slot].reshape(1, block_tokens)
-            s = s * (ks * (sm_scale * LOG2E))
+            k = (
+                k_buf[slot].astype(jnp.float32) * ks_buf[slot][..., None]
+            ).astype(jnp.bfloat16).reshape(block_tokens, -1)
         else:
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            s = s * (sm_scale * LOG2E)
+            k = k_buf[slot].reshape(block_tokens, -1)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = s * (sm_scale * LOG2E)
 
         col = (
             jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -226,12 +236,12 @@ def _paged_kernel(
         l_scr[:] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
         m_scr[:] = m_next
 
-        v = v_buf[slot].reshape(block_tokens, -1)
         if quantized:
-            vs = vs_buf[slot].reshape(block_tokens, 1)
-            vf = (v.astype(jnp.float32) * vs).astype(jnp.bfloat16)
+            vf = (
+                v_buf[slot].astype(jnp.float32) * vs_buf[slot][..., None]
+            ).astype(jnp.bfloat16).reshape(block_tokens, -1)
         else:
-            vf = v
+            vf = v_buf[slot].reshape(block_tokens, -1)
         pv = jax.lax.dot_general(
             p.astype(jnp.bfloat16), vf,
             (((1,), (0,)), ((), ())),
@@ -246,6 +256,30 @@ def _paged_kernel(
         o_ref[0, 0] = (acc_scr[:] * l_inv).astype(o_ref.dtype)
 
 
+def _gathered_reference(
+    q, k_pages, v_pages, lengths, page_indices, *,
+    k_scale_pages, v_scale_pages, sm_scale, interpret,
+):
+    """Materialize each sequence's pages contiguously, then run the ragged
+    decode kernel — the semantic definition of the DMA kernel."""
+    from .decode import decode_attention
+
+    def gather(pages, table):  # (Hkv, P, ps, ...) x (pps,) -> (Hkv, pps*ps, ...)
+        g = jnp.take(pages, table, axis=1)
+        return g.reshape((g.shape[0], -1) + g.shape[3:])
+
+    k_seq = jax.vmap(lambda t: gather(k_pages, t))(page_indices)
+    v_seq = jax.vmap(lambda t: gather(v_pages, t))(page_indices)
+    ks = vs = None
+    if k_scale_pages is not None:
+        ks = jax.vmap(lambda t: gather(k_scale_pages, t))(page_indices)
+        vs = jax.vmap(lambda t: gather(v_scale_pages, t))(page_indices)
+    return decode_attention(
+        q, k_seq, v_seq, lengths,
+        k_scale=ks, v_scale=vs, sm_scale=sm_scale, interpret=interpret,
+    )
+
+
 def paged_decode_attention(
     q: jax.Array,
     k_pages: jax.Array,
@@ -258,6 +292,7 @@ def paged_decode_attention(
     sm_scale: Optional[float] = None,
     pages_per_block: int = 4,
     interpret: Optional[bool] = None,
+    use_dma: Optional[bool] = None,
 ) -> jax.Array:
     """Decode attention over paged KV; returns (B, Hq, D) bf16.
 
@@ -290,6 +325,17 @@ def paged_decode_attention(
         sm_scale = 1.0 / math.sqrt(head_dim)
     if interpret is None:
         interpret = checks.resolve_interpret(config.interpret)
+    if use_dma is None:
+        # The interpreter's DMA semantics are unreliable when several DMA
+        # kernels execute inside one program; route interpret mode through
+        # a jnp gather + the ragged decode kernel (identical semantics).
+        use_dma = not interpret
+    if not use_dma:
+        return _gathered_reference(
+            q, k_pages, v_pages, lengths, page_indices,
+            k_scale_pages=k_scale_pages, v_scale_pages=v_scale_pages,
+            sm_scale=sm_scale, interpret=interpret,
+        )
 
     group_pad = max(8, _cdiv(group, 8) * 8)
     qg = q.reshape(batch, num_kv_heads, group, head_dim)
@@ -309,6 +355,7 @@ def paged_decode_attention(
         batch=batch,
         num_kv_heads=num_kv_heads,
         max_blocks=max_blocks,
+        pipelined=not interpret,
     )
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)

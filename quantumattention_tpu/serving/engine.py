@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models import llama
+from ..ops import quant
 from ..ops.decode import decode_attention
 from . import kv_cache as kvc
 from .sampling import SamplingParams, sample
@@ -64,17 +65,47 @@ class Engine:
         prefill_bucket: int = 128,
         decode_block_kv: int = 512,
         seed: int = 0,
+        cache_backend: str = "slots",
+        page_size: int = 128,
+        num_pages: Optional[int] = None,
     ) -> None:
+        if cache_backend not in ("slots", "paged"):
+            raise ValueError(f"unknown cache_backend: {cache_backend!r}")
         self.params = params
         self.cfg = cfg
         self.num_slots = num_slots
         self.max_len = max_len
         self.prefill_bucket = prefill_bucket
         self.decode_block_kv = decode_block_kv
-        self.caches = [
-            kvc.init_cache(num_slots, cfg.num_kv_heads, max_len, cfg.head_dim, cache_dtype)
-            for _ in range(cfg.num_layers)
-        ]
+        self.cache_backend = cache_backend
+        self.page_size = page_size
+        if cache_backend == "slots":
+            self.caches = [
+                kvc.init_cache(
+                    num_slots, cfg.num_kv_heads, max_len, cfg.head_dim, cache_dtype
+                )
+                for _ in range(cfg.num_layers)
+            ]
+        else:
+            from . import paged_cache as pgc
+
+            pages_per_seq = -(-max_len // page_size)
+            if num_pages is None:
+                # Default pool: enough for every slot at max_len (same
+                # capacity as the slot backend; shrink for oversubscription).
+                num_pages = num_slots * pages_per_seq + 1
+            self.pages = [
+                pgc.init_layer_pages(
+                    cfg.num_kv_heads, num_pages, page_size, cfg.head_dim, cache_dtype
+                )
+                for _ in range(cfg.num_layers)
+            ]
+            self.alloc = pgc.PageAllocator(num_pages, num_slots, pages_per_seq)
+            self.alloc.page_size_hint = page_size
+            # Largest pages-per-block that divides the table width.
+            self._pages_per_block = next(
+                n for n in (4, 2, 1) if pages_per_seq % n == 0
+            )
         self.free_slots = list(range(num_slots))
         self.active: Dict[int, Request] = {}  # slot -> request
         self.waiting: List[Request] = []
@@ -88,6 +119,10 @@ class Engine:
             static_argnames=(),
         )
         self._decode_jit = jax.jit(self._decode_step_impl, donate_argnums=(1,))
+        if cache_backend == "paged":
+            self._decode_paged_jit = jax.jit(
+                self._decode_paged_impl, donate_argnums=(1,)
+            )
 
     # ------------------------------------------------------------------
     # Public API
@@ -150,16 +185,33 @@ class Engine:
         tokens = np.zeros((1, padded), np.int32)
         tokens[0, :n] = req.prompt
         logits, kv = self._prefill_jit(self.params, jnp.asarray(tokens))
-        # Write each layer's K/V into this slot.
-        slot_arr = jnp.array([req.slot], jnp.int32)
-        zero = jnp.zeros((1,), jnp.int32)
-        nval = jnp.array([n], jnp.int32)
-        for li in range(self.cfg.num_layers):
-            k_l, v_l = kv[li]
-            self.caches[li] = kvc.append(
-                self.caches[li], slot_arr, k_l.astype(jnp.float32),
-                v_l.astype(jnp.float32), zero, nval,
+        if self.cache_backend == "slots":
+            # Write each layer's K/V into this slot.
+            slot_arr = jnp.array([req.slot], jnp.int32)
+            zero = jnp.zeros((1,), jnp.int32)
+            nval = jnp.array([n], jnp.int32)
+            for li in range(self.cfg.num_layers):
+                k_l, v_l = kv[li]
+                self.caches[li] = kvc.append(
+                    self.caches[li], slot_arr, k_l.astype(jnp.float32),
+                    v_l.astype(jnp.float32), zero, nval,
+                )
+        else:
+            from . import paged_cache as pgc
+
+            # Reserve pages for the padded chunk, write page by page.
+            self.alloc.allocate(req.slot, padded, self.page_size)
+            n_pages = padded // self.page_size
+            page_ids = jnp.asarray(
+                self.alloc.tables[req.slot, :n_pages], jnp.int32
             )
+            for li in range(self.cfg.num_layers):
+                k_l, v_l = kv[li]
+                self.pages[li] = pgc.write_tokens(
+                    self.pages[li], page_ids, 0,
+                    k_l[0].astype(jnp.float32), v_l[0].astype(jnp.float32),
+                )
+            self.alloc.lengths[req.slot] = n
         # First generated token from the last prompt position.
         first = self._sample(logits[:, n - 1, :], req.sampling)
         tok = int(first[0])
@@ -207,14 +259,112 @@ class Engine:
         logits = llama.forward_decode(params, tokens, positions, cfg, attend)
         return caches, logits
 
+    def _decode_paged_impl(
+        self, params, pages, tokens, tables, positions, active_mask
+    ):
+        """Jitted: one decode step over all slots, paged backend.
+
+        Writes each active slot's new K/V token into its current page, then
+        runs the async-DMA paged attention kernel per layer."""
+        from ..ops.paged import paged_decode_attention
+        from .paged_cache import LayerPages
+
+        cfg = self.cfg
+        psize = self.page_size
+        quantized = pages[0].k_scale is not None
+        int8 = pages[0].k.dtype == jnp.int8
+        new_lengths = positions + active_mask.astype(jnp.int32)
+
+        def attend(idx, q, k_new, v_new):
+            lp = pages[idx]
+
+            def qz(x):  # (B, Hkv, D) float -> values (+ (B, Hkv) scales)
+                if not quantized:
+                    return x.astype(lp.k.dtype), None
+                fn = (
+                    quant.dynamically_quantize_int8
+                    if int8
+                    else quant.dynamically_quantize_fp8
+                )
+                return fn(x.astype(jnp.float32), reduction_dim=-1)
+
+            kq, ks = qz(k_new)
+            vq, vs = qz(v_new)
+
+            def body(i, carry):
+                kpg, vpg, kspg, vspg = carry
+                pos = positions[i]
+                page = tables[i, pos // psize]
+                off = pos % psize
+
+                def write(c):
+                    kpg, vpg, kspg, vspg = c
+                    kpg = jax.lax.dynamic_update_slice(
+                        kpg, kq[i][:, None, None, :], (0, page, off, 0)
+                    )
+                    vpg = jax.lax.dynamic_update_slice(
+                        vpg, vq[i][:, None, None, :], (0, page, off, 0)
+                    )
+                    if quantized:
+                        kspg = jax.lax.dynamic_update_slice(
+                            kspg, ks[i][:, None, None], (0, page, off)
+                        )
+                        vspg = jax.lax.dynamic_update_slice(
+                            vspg, vs[i][:, None, None], (0, page, off)
+                        )
+                    return kpg, vpg, kspg, vspg
+
+                return jax.lax.cond(active_mask[i], write, lambda c: c, carry)
+
+            kspg = lp.k_scale if quantized else jnp.zeros((0,), jnp.float32)
+            vspg = lp.v_scale if quantized else jnp.zeros((0,), jnp.float32)
+            kpg, vpg, kspg, vspg = jax.lax.fori_loop(
+                0, self.num_slots, body, (lp.k, lp.v, kspg, vspg)
+            )
+            pages[idx] = LayerPages(
+                k=kpg,
+                v=vpg,
+                k_scale=kspg if quantized else None,
+                v_scale=vspg if quantized else None,
+            )
+            return paged_decode_attention(
+                q.astype(jnp.bfloat16),
+                kpg,
+                vpg,
+                new_lengths,
+                tables,
+                k_scale_pages=kspg if quantized else None,
+                v_scale_pages=vspg if quantized else None,
+                pages_per_block=self._pages_per_block,
+            )
+
+        logits = llama.forward_decode(params, tokens, positions, cfg, attend)
+        return pages, logits
+
     def _decode(self) -> List[Request]:
         active_mask = np.zeros((self.num_slots,), bool)
         for slot in self.active:
             active_mask[slot] = True
         tokens = jnp.asarray(self.last_token)
-        self.caches, logits = self._decode_jit(
-            self.params, self.caches, tokens, jnp.asarray(active_mask)
-        )
+        if self.cache_backend == "paged":
+            # Host-side: make sure every active slot has a page for the
+            # incoming token, then run the jitted step.
+            for slot in self.active:
+                self.alloc.allocate(
+                    slot, int(self.alloc.lengths[slot]) + 1, self.page_size
+                )
+            positions = jnp.asarray(self.alloc.lengths)
+            tables = jnp.asarray(self.alloc.tables)
+            self.pages, logits = self._decode_paged_jit(
+                self.params, self.pages, tokens, tables, positions,
+                jnp.asarray(active_mask),
+            )
+            for slot in self.active:
+                self.alloc.lengths[slot] += 1
+        else:
+            self.caches, logits = self._decode_jit(
+                self.params, self.caches, tokens, jnp.asarray(active_mask)
+            )
 
         finished: List[Request] = []
         # Sample per active request (sampling params may differ per request).
@@ -245,10 +395,13 @@ class Engine:
             if req.slot is not None and req.slot in self.active:
                 del self.active[req.slot]
             if req.slot is not None:
-                for li in range(self.cfg.num_layers):
-                    self.caches[li] = kvc.free_slots(
-                        self.caches[li], jnp.array([req.slot], jnp.int32)
-                    )
+                if self.cache_backend == "slots":
+                    for li in range(self.cfg.num_layers):
+                        self.caches[li] = kvc.free_slots(
+                            self.caches[li], jnp.array([req.slot], jnp.int32)
+                        )
+                else:
+                    self.alloc.release(req.slot)
                 self.free_slots.append(req.slot)
             self.finished.append(req)
             return True

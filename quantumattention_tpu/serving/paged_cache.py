@@ -1,0 +1,157 @@
+"""Paged KV cache: fixed-size page pool + per-sequence page tables.
+
+vLLM-style memory management for the serving engine (BASELINE.md decode
+config: "FP8/int8 paged KV blocks + continuous batching").  One logical page
+id addresses the same physical slot in every layer's pool, so the allocator
+and page tables are shared across layers while each layer owns its page
+arrays.
+
+Device-side layout per layer (matching ops/paged.py):
+  k_pages / v_pages:           (Hkv, num_pages, page_size, D)
+  k_scale_pages / v_scale_pages: (Hkv, num_pages, page_size) fp32 (8-bit)
+
+Host-side state (plain numpy — allocation is Python-scheduler work):
+  free page list, page_tables (num_slots, max_pages_per_seq), lengths.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import quant
+from ..utils import checks
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class LayerPages:
+    k: jax.Array
+    v: jax.Array
+    k_scale: Optional[jax.Array] = None
+    v_scale: Optional[jax.Array] = None
+
+
+def init_layer_pages(
+    num_kv_heads: int, num_pages: int, page_size: int, head_dim: int, dtype
+) -> LayerPages:
+    shape = (num_kv_heads, num_pages, page_size, head_dim)
+    pages = LayerPages(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+    if checks.is_8bit_dtype(dtype):
+        sshape = (num_kv_heads, num_pages, page_size)
+        pages.k_scale = jnp.ones(sshape, jnp.float32)
+        pages.v_scale = jnp.ones(sshape, jnp.float32)
+    return pages
+
+
+def write_tokens(
+    pages: LayerPages,
+    page_ids: jax.Array,
+    offset_in_first_page: int,
+    k_new: jax.Array,
+    v_new: jax.Array,
+) -> LayerPages:
+    """Write (Hkv, T, D) float tokens starting at the given page offset.
+
+    ``page_ids``: (P,) int32 physical pages covering
+    [offset_in_first_page, offset_in_first_page + T).  T and the offset are
+    static (the engine pads chunks to page multiples), so this jits per
+    (T, offset) bucket.
+    """
+    dtype = pages.k.dtype
+    hkv, _, page_size, head_dim = pages.k.shape
+    t = k_new.shape[1]
+
+    def quantize(x):
+        if not checks.is_8bit_dtype(dtype):
+            return x.astype(dtype), None
+        if dtype == jnp.int8:
+            return quant.dynamically_quantize_int8(x, reduction_dim=-1)
+        return quant.dynamically_quantize_fp8(x, reduction_dim=-1)
+
+    kq, ks = quantize(k_new)
+    vq, vs = quantize(v_new)
+
+    k_pages, v_pages = pages.k, pages.v
+    ksc, vsc = pages.k_scale, pages.v_scale
+    pos = offset_in_first_page
+    src = 0
+    pi = 0
+    while src < t:
+        take = min(page_size - pos, t - src)
+        page = page_ids[pi]
+        k_pages = jax.lax.dynamic_update_slice(
+            k_pages, kq[:, None, src : src + take], (0, page, pos, 0)
+        )
+        v_pages = jax.lax.dynamic_update_slice(
+            v_pages, vq[:, None, src : src + take], (0, page, pos, 0)
+        )
+        if ks is not None:
+            ksc = jax.lax.dynamic_update_slice(
+                ksc, ks[:, None, src : src + take], (0, page, pos)
+            )
+            vsc = jax.lax.dynamic_update_slice(
+                vsc, vs[:, None, src : src + take], (0, page, pos)
+            )
+        src += take
+        pos = 0
+        pi += 1
+    return LayerPages(k=k_pages, v=v_pages, k_scale=ksc, v_scale=vsc)
+
+
+class PageAllocator:
+    """Host-side free-list allocator + per-slot page tables."""
+
+    def __init__(self, num_pages: int, num_slots: int, pages_per_seq: int):
+        self.num_pages = num_pages
+        self.pages_per_seq = pages_per_seq
+        self.free: List[int] = list(range(num_pages))
+        # Entry 0 is a safe default (kernel requires valid indices).
+        self.tables = np.zeros((num_slots, pages_per_seq), np.int32)
+        self.lengths = np.zeros((num_slots,), np.int32)
+        self.allocated = np.zeros((num_slots,), np.int32)
+
+    @property
+    def free_pages(self) -> int:
+        return len(self.free)
+
+    def pages_for(self, n_tokens: int, page_size: int) -> int:
+        return -(-n_tokens // page_size)
+
+    def can_fit(self, n_tokens: int, page_size: int) -> bool:
+        return self.pages_for(n_tokens, page_size) <= len(self.free)
+
+    def allocate(self, slot: int, n_tokens: int, page_size: int) -> np.ndarray:
+        """Reserve pages so the slot can hold n_tokens total; returns the
+        newly allocated page ids (possibly empty)."""
+        have = int(self.allocated[slot])
+        need = max(have, self.pages_for(n_tokens, page_size))
+        if need > self.pages_per_seq:
+            raise ValueError(
+                f"{n_tokens} tokens need {need} pages > pages_per_seq "
+                f"({self.pages_per_seq})"
+            )
+        new = []
+        for i in range(have, need):
+            if not self.free:
+                raise MemoryError("out of KV pages")
+            page = self.free.pop()
+            self.tables[slot, i] = page
+            new.append(page)
+        self.allocated[slot] = need
+        return np.asarray(new, np.int32)
+
+    def release(self, slot: int) -> None:
+        for i in range(int(self.allocated[slot])):
+            self.free.append(int(self.tables[slot, i]))
+        self.tables[slot] = 0
+        self.lengths[slot] = 0
+        self.allocated[slot] = 0
+
+    # -- helpers ---------------------------------------------------------
+
+    page_size_hint: int = 0  # set by the engine at construction

@@ -106,3 +106,46 @@ def test_sampling_params_validation():
         logits, SamplingParams(temperature=0.7, top_p=0.9), jax.random.PRNGKey(1)
     )
     assert tp.shape == (2,)
+
+
+@pytest.mark.parametrize("cache_dtype", ["bf16", "int8"])
+def test_engine_paged_backend_matches_slots(params, cache_dtype):
+    """The paged backend must generate the same tokens as the slot backend
+    (bf16 cache: exactly; int8: same quantization, same results)."""
+    dtype = jnp.bfloat16 if cache_dtype == "bf16" else jnp.int8
+    prompt = [3, 17, 42, 99, 7]
+    n_new = 5
+
+    slot_eng = Engine(params, CFG, num_slots=2, max_len=256, cache_dtype=dtype)
+    r_slot = slot_eng.submit(prompt, max_new_tokens=n_new)
+    slot_eng.run_to_completion()
+
+    paged_eng = Engine(
+        params, CFG, num_slots=2, max_len=256, cache_dtype=dtype,
+        cache_backend="paged", page_size=64,
+    )
+    r_paged = paged_eng.submit(prompt, max_new_tokens=n_new)
+    paged_eng.run_to_completion()
+
+    assert r_paged.done
+    if cache_dtype == "bf16":
+        assert r_paged.output == r_slot.output
+    else:
+        agree = sum(a == b for a, b in zip(r_paged.output, r_slot.output))
+        assert agree >= n_new - 1, f"{r_paged.output} vs {r_slot.output}"
+
+
+def test_engine_paged_page_reuse(params):
+    """Pages released by finished requests are reallocated to new ones."""
+    eng = Engine(
+        params, CFG, num_slots=1, max_len=256, cache_dtype=jnp.bfloat16,
+        cache_backend="paged", page_size=64, num_pages=5,
+    )
+    free0 = eng.alloc.free_pages
+    r1 = eng.submit([1, 2, 3], max_new_tokens=3)
+    eng.run_to_completion()
+    assert r1.done
+    assert eng.alloc.free_pages == free0  # all pages returned
+    r2 = eng.submit([4, 5, 6, 7, 8], max_new_tokens=3)
+    eng.run_to_completion()
+    assert r2.done and len(r2.output) == 3

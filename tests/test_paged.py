@@ -56,6 +56,7 @@ def test_paged_bf16(group):
         lengths,
         table,
         pages_per_block=4,
+        use_dma=True,
     )
 
     for b in range(B):
@@ -89,6 +90,7 @@ def test_paged_int8_quantized_pages():
         k_scale_pages=ks,
         v_scale_pages=vs,
         pages_per_block=2,
+        use_dma=True,
     )
 
     for b in range(B):
