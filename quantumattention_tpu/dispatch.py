@@ -263,11 +263,31 @@ def fp8_attention(
     """
     if scaling_method is None:
         scaling_method = "head-wise"
-    if scaling_method not in ("head-wise", "token-wise"):
+    if scaling_method not in ("head-wise", "token-wise", "per-block"):
         raise ValueError(f"unknown scaling_method: {scaling_method!r}")
 
     if (scale_q is None) != (scale_k is None):
         raise ValueError("scale_q and scale_k must be provided together")
+
+    if scaling_method == "per-block":
+        # In-kernel fused quantization: per-(Q-block/KV-block) scalar
+        # scales computed on the fly (BASELINE.json config 2; finer
+        # granularity than head-wise, no preprocessing passes).
+        if scale_q is not None:
+            raise ValueError("per-block scaling quantizes in-kernel; "
+                             "do not pass scale_q/scale_k")
+        supported, reason = can_use_attention(
+            query, key, value, attn_mask, dropout_p, is_causal,
+            scale=scale, window=window,
+        )
+        if not supported:
+            raise ValueError(
+                f"fp8_attention is not supported for the input: {reason}"
+            )
+        return flash_attention(
+            query, key, value, fused_block_quant=True,
+            is_causal=is_causal, sm_scale=scale, window=window,
+        )
 
     scale_v = None
     if scale_q is None and not checks.is_8bit_dtype(query.dtype):

@@ -52,6 +52,8 @@ class LlamaConfig:
     window: Optional[int] = None
     #: Tie input embedding and output head (Llama-3.2 style).
     tie_embeddings: bool = False
+    #: Bias on the Q/K/V projections (Qwen2 style).
+    qkv_bias: bool = False
 
     @property
     def q_dim(self) -> int:
@@ -91,6 +93,42 @@ def llama3_70b(**overrides) -> LlamaConfig:
             num_kv_heads=8,
             head_dim=128,
             rope_theta=500000.0,
+        ),
+        **overrides,
+    )
+
+
+def mistral_7b(**overrides) -> LlamaConfig:
+    """Mistral-7B shapes: Llama architecture + 4096-token sliding window."""
+    return dataclasses.replace(
+        LlamaConfig(
+            vocab_size=32000,
+            hidden_size=4096,
+            intermediate_size=14336,
+            num_layers=32,
+            num_q_heads=32,
+            num_kv_heads=8,
+            head_dim=128,
+            rope_theta=10000.0,
+            window=4096,
+        ),
+        **overrides,
+    )
+
+
+def qwen2_7b(**overrides) -> LlamaConfig:
+    """Qwen2-7B shapes: Llama architecture + QKV projection biases."""
+    return dataclasses.replace(
+        LlamaConfig(
+            vocab_size=152064,
+            hidden_size=3584,
+            intermediate_size=18944,
+            num_layers=28,
+            num_q_heads=28,
+            num_kv_heads=4,
+            head_dim=128,
+            rope_theta=1000000.0,
+            qkv_bias=True,
         ),
         **overrides,
     )
@@ -139,8 +177,16 @@ def init_params(key: jax.Array, cfg: LlamaConfig) -> Params:
     else:
         next(keys)
     for _ in range(cfg.num_layers):
+        layer_params = {}
+        if cfg.qkv_bias:
+            layer_params.update(
+                bq=jnp.zeros((cfg.q_dim,), cfg.dtype),
+                bk=jnp.zeros((cfg.kv_dim,), cfg.dtype),
+                bv=jnp.zeros((cfg.kv_dim,), cfg.dtype),
+            )
         params["layers"].append(
-            {
+            layer_params
+            | {
                 "attn_norm": jnp.ones((cfg.hidden_size,), jnp.float32),
                 "wq": dense(next(keys), (cfg.hidden_size, cfg.q_dim)),
                 "wk": dense(next(keys), (cfg.hidden_size, cfg.kv_dim)),
@@ -214,6 +260,18 @@ def _attend(cfg: LlamaConfig, q, k, v, *, is_causal: bool):
     raise ValueError(f"unknown attention_impl: {cfg.attention_impl!r}")
 
 
+def _qkv_proj(cfg: LlamaConfig, layer: Params, h: jax.Array):
+    """Q/K/V projections with optional biases (Qwen2 style)."""
+    q = jnp.einsum("bse,eq->bsq", h, layer["wq"])
+    k = jnp.einsum("bse,ek->bsk", h, layer["wk"])
+    v = jnp.einsum("bse,ek->bsk", h, layer["wv"])
+    if cfg.qkv_bias:
+        q = q + layer["bq"]
+        k = k + layer["bk"]
+        v = v + layer["bv"]
+    return q, k, v
+
+
 def attention_block(
     cfg: LlamaConfig,
     layer: Params,
@@ -224,9 +282,7 @@ def attention_block(
     """Self-attention sublayer over (B, S, E) activations."""
     batch, seq, _ = x.shape
     h = rms_norm(x, layer["attn_norm"], cfg.rms_norm_eps)
-    q = jnp.einsum("bse,eq->bsq", h, layer["wq"])
-    k = jnp.einsum("bse,ek->bsk", h, layer["wk"])
-    v = jnp.einsum("bse,ek->bsk", h, layer["wv"])
+    q, k, v = _qkv_proj(cfg, layer, h)
     q = q.reshape(batch, seq, cfg.num_q_heads, cfg.head_dim).transpose(0, 2, 1, 3)
     k = k.reshape(batch, seq, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
     v = v.reshape(batch, seq, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
@@ -296,9 +352,7 @@ def forward_prefill(
     kv = []
     for layer in params["layers"]:
         h = rms_norm(x, layer["attn_norm"], cfg.rms_norm_eps)
-        q = jnp.einsum("bse,eq->bsq", h, layer["wq"])
-        k = jnp.einsum("bse,ek->bsk", h, layer["wk"])
-        v = jnp.einsum("bse,ek->bsk", h, layer["wv"])
+        q, k, v = _qkv_proj(cfg, layer, h)
         q = q.reshape(batch, seq, cfg.num_q_heads, cfg.head_dim).transpose(0, 2, 1, 3)
         k = k.reshape(batch, seq, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
         v = v.reshape(batch, seq, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
@@ -342,9 +396,7 @@ def forward_decode(
     x = params["embed"][tokens][:, None, :].astype(cfg.dtype)  # (B, 1, E)
     for idx, layer in enumerate(params["layers"]):
         h = rms_norm(x, layer["attn_norm"], cfg.rms_norm_eps)
-        q = jnp.einsum("bse,eq->bsq", h, layer["wq"])
-        k = jnp.einsum("bse,ek->bsk", h, layer["wk"])
-        v = jnp.einsum("bse,ek->bsk", h, layer["wv"])
+        q, k, v = _qkv_proj(cfg, layer, h)
         q = q.reshape(batch, 1, cfg.num_q_heads, cfg.head_dim).transpose(0, 2, 1, 3)
         k = k.reshape(batch, 1, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
         v = v.reshape(batch, 1, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)

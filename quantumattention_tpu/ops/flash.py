@@ -130,7 +130,7 @@ def _flash_kernel(
     if has_offsets:
         q_off_ref, kv_off_ref = refs[idx], refs[idx + 1]
         idx += 2
-    if scaling != "none":
+    if scaling in ("head", "token"):
         scale_q_ref, scale_k_ref = refs[idx], refs[idx + 1]
         idx += 2
     if use_int8_pv:
@@ -144,6 +144,9 @@ def _flash_kernel(
         m_out_ref, l_out_ref = refs[idx], refs[idx + 1]
         idx += 2
     m_scr, l_scr, acc_scr = refs[idx : idx + 3]
+    idx += 3
+    if scaling == "block":
+        q8_scr, sq_scr = refs[idx], refs[idx + 1]
 
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -163,6 +166,15 @@ def _flash_kernel(
         m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
+        if scaling == "block":
+            # In-kernel per-block dynamic quantization of the Q tile (the
+            # north-star improvement over the reference, which quantizes
+            # outside the kernel — nn.py:410-418): one amax + scale + cast
+            # per Q block, reused across every KV step.
+            qf = q_ref[0, 0].astype(jnp.float32)
+            sq = jnp.maximum(jnp.max(jnp.abs(qf)) / 127.0, 1e-12)
+            q8_scr[:] = jnp.round(qf * (1.0 / sq)).astype(jnp.int8)
+            sq_scr[0] = sq
 
     # ---- block-level skip (reference: causal two-stage decomposition and
     # the official flash pattern of skipping above-diagonal KV tiles) ----
@@ -191,7 +203,20 @@ def _flash_kernel(
         q = _compute_cast(q_ref[0, 0])  # (block_q, D)
         k = _compute_cast(k_ref[0, 0])  # (block_kv, D)
 
-        if use_int8_dot:
+        if scaling == "block":
+            # Quantize the K tile on the fly (per-block scalar scale) and
+            # run the 8-bit MXU path; dequantization folds into the scalar
+            # multiply below together with sm_scale.
+            kf = k_ref[0, 0].astype(jnp.float32)
+            sk = jnp.maximum(jnp.max(jnp.abs(kf)) / 127.0, 1e-12)
+            k8 = jnp.round(kf * (1.0 / sk)).astype(jnp.int8)
+            s = jax.lax.dot_general(
+                q8_scr[:],
+                k8,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+        elif use_int8_dot:
             # Mosaic requires an int accumulator for int8 operands; the
             # int32->f32 convert fuses with the scale multiply below.
             s = jax.lax.dot_general(
@@ -212,7 +237,9 @@ def _flash_kernel(
         # head-wise, inductor/kernels/attention.py:391-395 for token-wise;
         # log2e fold per attention.py:400) ----
         base = sm_scale * (LOG2E if use_exp2 else 1.0)
-        if scaling == "head":
+        if scaling == "block":
+            s = s * (sq_scr[0] * sk * base)
+        elif scaling == "head":
             # Whole (B, H)/(B, Hkv) scale tables live in SMEM; index by
             # grid position (blocked SMEM specs are not supported).
             s = s * (scale_q_ref[b, h] * scale_k_ref[b, h // gqa_group] * base)
@@ -354,6 +381,7 @@ def flash_attention(
     scale_q: Optional[jax.Array] = None,
     scale_k: Optional[jax.Array] = None,
     scale_v: Optional[jax.Array] = None,
+    fused_block_quant: bool = False,
     is_causal: bool = False,
     sm_scale: Optional[float] = None,
     window: Optional[Tuple[Optional[int], Optional[int]]] = None,
@@ -399,7 +427,15 @@ def flash_attention(
     # Scaling granularity from scale shapes.
     if (scale_q is None) != (scale_k is None):
         raise ValueError("scale_q and scale_k must be given together")
-    if scale_q is None:
+    if fused_block_quant:
+        if scale_q is not None:
+            raise ValueError(
+                "fused_block_quant quantizes in-kernel; do not pass scales"
+            )
+        if checks.is_8bit_dtype(q.dtype) or checks.is_8bit_dtype(k.dtype):
+            raise ValueError("fused_block_quant expects float q/k")
+        scaling = "block"
+    elif scale_q is None:
         scaling = "none"
     elif scale_q.ndim == 2:
         scaling = "head"
@@ -567,7 +603,12 @@ def flash_attention(
             pltpu.VMEM((bq, NUM_LANES), jnp.float32),
             pltpu.VMEM((bq, NUM_LANES), jnp.float32),
             pltpu.VMEM((bq, head_dim), jnp.float32),
-        ],
+        ]
+        + (
+            [pltpu.VMEM((bq, head_dim), jnp.int8), pltpu.SMEM((1,), jnp.float32)]
+            if scaling == "block"
+            else []
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=_vmem_limit_bytes(),

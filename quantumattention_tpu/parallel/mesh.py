@@ -64,6 +64,8 @@ def llama_param_specs(cfg: LlamaConfig) -> Any:
         "w_up": P(None, "tp"),
         "w_down": P("tp", None),
     }
+    if cfg.qkv_bias:
+        layer.update(bq=P("tp"), bk=P("tp"), bv=P("tp"))
     specs = {
         "embed": P("tp", None),
         "final_norm": P(),

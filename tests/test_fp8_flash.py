@@ -157,3 +157,67 @@ def test_fp8_attn_func_int8_pv_dispatch():
     with config.patch({"attention.enable_int8_pv": False}):
         out2 = qa.fp8_attn_func(q, k, v, is_causal=True)
     assert rmse(out2, ref) < RMSE_TOL
+
+
+def test_per_block_fused_quantization():
+    """In-kernel per-block dynamic quantization (BASELINE config 2)."""
+    import quantumattention_tpu as qa
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(9), 3)
+    q = jax.random.normal(k1, (2, 4, 512, 128), jnp.bfloat16)
+    k = jax.random.normal(k2, (2, 4, 512, 128), jnp.bfloat16)
+    v = jax.random.normal(k3, (2, 4, 512, 128), jnp.bfloat16)
+    ref = sdpa_reference(q, k, v, is_causal=True)
+    out = qa.fp8_attn_func(
+        q, k, v, is_causal=True, scaling_method="per-block"
+    )
+    err = rmse(out, ref)
+    assert err < RMSE_TOL
+    # Per-block granularity should be at least as accurate as head-wise at
+    # the same int8 container on outlier-heavy inputs (finer scale groups).
+    from quantumattention_tpu.ops.quant import quantize_head_wise
+
+    q_out = q.at[0, 0, 10, :].multiply(30.0)  # one outlier token
+    ref_o = sdpa_reference(q_out, k, v, is_causal=True)
+    e_block = rmse(
+        qa.fp8_attn_func(
+            q_out, k, v, is_causal=True, scaling_method="per-block"
+        ),
+        ref_o,
+    )
+    q8, sq = quantize_head_wise(q_out, jnp.int8)
+    k8, sk = quantize_head_wise(k, jnp.int8)
+    e_head_int8 = rmse(
+        qa.fp8_attn_func(
+            q8, k8, v, is_causal=True, scale_q=sq, scale_k=sk,
+            scaling_method="head-wise",
+        ),
+        ref_o,
+    )
+    assert e_block <= e_head_int8 * 1.2
+
+
+def test_per_block_gqa_window():
+    import quantumattention_tpu as qa
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(10), 3)
+    q = jax.random.normal(k1, (1, 8, 384, 64), jnp.bfloat16)
+    k = jax.random.normal(k2, (1, 2, 384, 64), jnp.bfloat16)
+    v = jax.random.normal(k3, (1, 2, 384, 64), jnp.bfloat16)
+    out = qa.fp8_attn_func(
+        q, k, v, is_causal=True, scaling_method="per-block",
+        window=(128, 0),
+    )
+    ref = sdpa_reference(q, k, v, is_causal=True, window=(128, None))
+    assert rmse(out, ref) < RMSE_TOL
+
+
+def test_per_block_rejects_scales():
+    import quantumattention_tpu as qa
+
+    q = jnp.zeros((1, 2, 128, 64), jnp.bfloat16)
+    with pytest.raises(ValueError, match="per-block"):
+        qa.fp8_attn_func(
+            q, q, q, scaling_method="per-block",
+            scale_q=jnp.ones((1, 2)), scale_k=jnp.ones((1, 2)),
+        )

@@ -79,3 +79,69 @@ def test_train_step_sharded_dp_tp(params, tokens):
     assert np.isfinite(
         np.asarray(new_params["layers"][0]["wq"], np.float32)
     ).all()
+
+
+def test_qwen_style_qkv_bias():
+    """QKV-bias config (Qwen2 family) works through all three forwards and
+    the engine."""
+    from quantumattention_tpu.serving.engine import Engine
+
+    cfg = dataclasses.replace(
+        CFG, qkv_bias=True, attention_impl="bf16"
+    )
+    params = llama.init_params(jax.random.PRNGKey(3), cfg)
+    assert "bq" in params["layers"][0]
+    tokens = jax.random.randint(jax.random.PRNGKey(4), (1, 64), 0, cfg.vocab_size)
+    # Zero-init biases: must match the no-bias model numerically.
+    cfg_nb = dataclasses.replace(cfg, qkv_bias=False)
+    params_nb = {
+        "embed": params["embed"],
+        "final_norm": params["final_norm"],
+        "lm_head": params["lm_head"],
+        "layers": [
+            {k: v for k, v in lyr.items() if k not in ("bq", "bk", "bv")}
+            for lyr in params["layers"]
+        ],
+    }
+    out = llama.forward(params, tokens, cfg)
+    ref = llama.forward(params_nb, tokens, cfg_nb)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    # Nonzero bias changes the result.
+    params["layers"][0]["bq"] = params["layers"][0]["bq"] + 0.5
+    out2 = llama.forward(params, tokens, cfg)
+    assert np.abs(np.asarray(out2) - np.asarray(ref)).max() > 1e-3
+    # Engine roundtrip.
+    eng = Engine(params, cfg, num_slots=1, max_len=128, cache_dtype=jnp.bfloat16)
+    req = eng.submit([1, 2, 3], max_new_tokens=2)
+    eng.run_to_completion()
+    assert req.done and len(req.output) == 2
+
+
+def test_mistral_window_preset():
+    cfg = llama.mistral_7b()
+    assert cfg.window == 4096
+    assert llama.qwen2_7b().qkv_bias
+
+
+def test_train_step_sharded_70b_attention_shapes():
+    """BASELINE config 5: 70B-like attention shapes (64 q-heads / 8 kv) on
+    the virtual mesh — scaled-down layers/seq to keep CPU runtime sane."""
+    from quantumattention_tpu.parallel import mesh as qmesh
+
+    cfg = llama.llama3_70b(
+        num_layers=1,
+        vocab_size=512,
+        hidden_size=512,
+        intermediate_size=1024,
+        head_dim=64,
+        attention_impl="bf16",
+    )
+    params = llama.init_params(jax.random.PRNGKey(5), cfg)
+    tokens = jax.random.randint(jax.random.PRNGKey(6), (2, 64), 0, cfg.vocab_size)
+    m = qmesh.make_mesh((2, 4), ("dp", "tp"))
+    sharded = qmesh.shard_params(params, m, qmesh.llama_param_specs(cfg))
+    tok = jax.device_put(
+        tokens, jax.sharding.NamedSharding(m, qmesh.batch_spec())
+    )
+    _, loss = jax.jit(lambda p, t: llama.train_step(p, t, cfg))(sharded, tok)
+    assert np.isfinite(float(loss))
