@@ -204,6 +204,8 @@ def attention(
     *,
     scale: Optional[float] = None,
     window: Optional[Tuple[Optional[int], Optional[int]]] = None,
+    q_segment_ids: Any = None,
+    kv_segment_ids: Any = None,
 ):
     """bf16/fp16 fused attention driver (reference nn.py:325-391).
 
@@ -217,10 +219,17 @@ def attention(
     )
     if not supported:
         raise ValueError(f"attention is not supported for the input: {reason}")
-    if checks.is_8bit_dtype(query.dtype) or checks.is_8bit_dtype(key.dtype):
-        # Pre-quantized operands are not differentiable; skip the VJP wrapper.
+    if (
+        checks.is_8bit_dtype(query.dtype)
+        or checks.is_8bit_dtype(key.dtype)
+        or q_segment_ids is not None
+    ):
+        # Pre-quantized operands are not differentiable, and the VJP wrapper
+        # does not thread segment ids; use the raw kernel.
         return flash_attention(
-            query, key, value, is_causal=is_causal, sm_scale=scale, window=window
+            query, key, value, is_causal=is_causal, sm_scale=scale,
+            window=window, q_segment_ids=q_segment_ids,
+            kv_segment_ids=kv_segment_ids,
         )
     return autodiff.attention_with_vjp(
         query, key, value, is_causal=is_causal, sm_scale=scale, window=window

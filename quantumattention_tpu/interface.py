@@ -44,10 +44,14 @@ def attn_func(
     *,
     scale: Optional[float] = None,
     window: Window = None,
+    q_segment_ids: Any = None,
+    kv_segment_ids: Any = None,
 ):
     """Fused bf16/fp16 attention (reference quantum_attn_interface.py:41-59).
 
     Raises ``ValueError`` when the fused kernel cannot serve the inputs.
+    Segment ids enable packed-sequence (multi-document) masking — an
+    extension over the reference.
     """
     return dispatch.attention(
         query,
@@ -58,6 +62,8 @@ def attn_func(
         is_causal,
         scale=scale,
         window=window,
+        q_segment_ids=q_segment_ids,
+        kv_segment_ids=kv_segment_ids,
     )
 
 

@@ -110,7 +110,8 @@ def _flash_kernel(
     *refs,
     # --- static parameters ---
     has_offsets: bool,
-    scaling: str,  # "none" | "head" | "token"
+    has_segments: bool,
+    scaling: str,  # "none" | "head" | "token" | "block"
     causal: bool,
     window: Optional[Tuple[Optional[int], Optional[int]]],
     sm_scale: float,
@@ -136,6 +137,9 @@ def _flash_kernel(
     if use_int8_pv:
         scale_v_ref = refs[idx]
         idx += 1
+    if has_segments:
+        q_seg_ref, kv_seg_ref = refs[idx], refs[idx + 1]
+        idx += 2
     q_ref, k_ref, v_ref = refs[idx : idx + 3]
     idx += 3
     o_ref = refs[idx]
@@ -250,9 +254,12 @@ def _flash_kernel(
         elif not prescaled:
             s = s * base
 
-        # ---- masking (causal / window / ragged KV tail) ----
+        # ---- masking (causal / window / segments / ragged KV tail) ----
         need_mask = (
-            causal or window is not None or kv_valid < kv_len_padded
+            causal
+            or window is not None
+            or kv_valid < kv_len_padded
+            or has_segments
         )
         if need_mask:
             shape = (block_q, block_kv)
@@ -274,6 +281,13 @@ def _flash_kernel(
             if kv_valid < kv_len_padded:
                 local_col = col - kv_blk_min + j * block_kv
                 mask = _and(mask, local_col < kv_valid)
+            if has_segments:
+                # q ids lane-replicated (bq, 128), kv ids sublane-
+                # replicated (8, bkv) — the production TPU flash layout
+                # that satisfies Mosaic's (8, 128) block-shape rules.
+                q_seg = q_seg_ref[0][:, :1]  # (bq, 1)
+                kv_seg = kv_seg_ref[0][:1, :]  # (1, bkv)
+                mask = _and(mask, q_seg == kv_seg)
             s = jnp.where(mask, s, MASK_VALUE)
 
         # ---- online softmax (fp32; reference tk/attention.py:274-313) ----
@@ -387,6 +401,8 @@ def flash_attention(
     window: Optional[Tuple[Optional[int], Optional[int]]] = None,
     q_offset: Optional[jax.Array] = None,
     kv_offset: Optional[jax.Array] = None,
+    q_segment_ids: Optional[jax.Array] = None,
+    kv_segment_ids: Optional[jax.Array] = None,
     block_q: Optional[int] = None,
     block_kv: Optional[int] = None,
     return_residuals: bool = False,
@@ -538,6 +554,36 @@ def flash_attention(
             )
         ]
         args += [scale_v.astype(jnp.float32)]
+    has_segments = q_segment_ids is not None or kv_segment_ids is not None
+    if has_segments:
+        if q_segment_ids is None or kv_segment_ids is None:
+            raise ValueError("both q/kv segment ids must be provided")
+        if q_segment_ids.shape != (batch, q_len) or kv_segment_ids.shape != (
+            batch, kv_len,
+        ):
+            raise ValueError(
+                "segment ids must be (B, Sq) / (B, Skv), got "
+                f"{q_segment_ids.shape} / {kv_segment_ids.shape}"
+            )
+        # Pad with -1 (matches no real segment) then replicate into the
+        # Mosaic-friendly layouts: q ids over lanes, kv ids over sublanes.
+        qseg = jnp.pad(
+            q_segment_ids.astype(jnp.int32),
+            [(0, 0), (0, q_len_p - q_len)],
+            constant_values=-1,
+        )
+        kvseg = jnp.pad(
+            kv_segment_ids.astype(jnp.int32),
+            [(0, 0), (0, kv_len_p - kv_len)],
+            constant_values=-1,
+        )
+        qseg = jnp.broadcast_to(qseg[:, :, None], (batch, q_len_p, NUM_LANES))
+        kvseg = jnp.broadcast_to(kvseg[:, None, :], (batch, 8, kv_len_p))
+        in_specs += [
+            pl.BlockSpec((1, bq, NUM_LANES), lambda b, h, i, j: (b, i, 0)),
+            pl.BlockSpec((1, 8, bkv), lambda b, h, i, j: (b, 0, j)),
+        ]
+        args += [qseg, kvseg]
     in_specs += [
         pl.BlockSpec((1, 1, bq, head_dim), lambda b, h, i, j: (b, h, i, 0)),
         pl.BlockSpec(
@@ -571,6 +617,7 @@ def flash_attention(
     kernel = functools.partial(
         _flash_kernel,
         has_offsets=has_offsets,
+        has_segments=has_segments,
         scaling=scaling,
         causal=is_causal,
         window=window,

@@ -95,3 +95,41 @@ def test_flash_offsets_shift_causal_mask():
     )
     ref = sdpa_reference(q, k, v)  # fully visible
     assert rmse(out, ref) < RMSE_TOL
+
+
+def test_flash_segment_ids_packed_sequences():
+    """Packed-document masking: tokens attend only within their segment."""
+    q, k, v = make_qkv(2, 4, 4, 384, 384, 64)
+    seg = jnp.asarray(
+        np.concatenate([np.zeros(100), np.ones(150), np.full(134, 2)])[None]
+        .repeat(2, 0),
+        jnp.int32,
+    )
+    out = flash_attention(
+        q, k, v, is_causal=True,
+        q_segment_ids=seg, kv_segment_ids=seg,
+        block_q=128, block_kv=128,
+    )
+    ref = sdpa_reference(
+        q, k, v, is_causal=True, q_segment_ids=seg, kv_segment_ids=seg
+    )
+    assert rmse(out, ref) < RMSE_TOL
+
+
+def test_flash_segment_ids_ragged():
+    q, k, v = make_qkv(1, 2, 2, 250, 250, 64)
+    seg = jnp.asarray(
+        np.concatenate([np.zeros(130), np.ones(120)])[None], jnp.int32
+    )
+    out = flash_attention(
+        q, k, v, q_segment_ids=seg, kv_segment_ids=seg,
+        block_q=128, block_kv=128,
+    )
+    ref = sdpa_reference(q, k, v, q_segment_ids=seg, kv_segment_ids=seg)
+    assert rmse(out, ref) < RMSE_TOL
+
+
+def test_flash_segment_ids_validation():
+    q, k, v = make_qkv(1, 2, 2, 128, 128, 64)
+    with pytest.raises(ValueError, match="both"):
+        flash_attention(q, k, v, q_segment_ids=jnp.zeros((1, 128), jnp.int32))
