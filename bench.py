@@ -107,6 +107,32 @@ def main() -> None:
     t_bf16 = bench_one(bf16_flash, q, k, v, args.iters)
     t_fp8 = bench_one(fp8_headwise, q, k, v, args.iters)
 
+    # Decode throughput: int8 KV cache at Llama-3-8B attention shapes
+    # (BASELINE.md decode config).
+    from quantumattention_tpu.ops.decode import decode_attention
+    from quantumattention_tpu.ops.quant import dynamically_quantize_int8
+    from quantumattention_tpu.utils.profiling import do_bench
+
+    dB, dHq, dHkv, dD, dS = 64, 32, 8, 128, 4096
+    dk1, dk2, dk3 = jax.random.split(jax.random.PRNGKey(1), 3)
+    dq = jax.random.normal(dk1, (dB, dHq, dD), jnp.bfloat16)
+    kc8, kcs = dynamically_quantize_int8(
+        jax.random.normal(dk2, (dB, dHkv, dS, dD), jnp.float32)
+    )
+    vc8, vcs = dynamically_quantize_int8(
+        jax.random.normal(dk3, (dB, dHkv, dS, dD), jnp.float32)
+    )
+    dlen = jnp.full((dB,), dS, jnp.int32)
+    dec = jax.jit(
+        lambda q, k, v, ks, vs, l: decode_attention(
+            q, k, v, l, k_scale=ks, v_scale=vs
+        )
+    )
+    t_dec = do_bench(
+        lambda: dec(dq, kc8, vc8, kcs, vcs, dlen), iters=20, warmup=2, reps=3
+    )
+    decode_tok_s = dB / t_dec
+
     tflops_stock = flops / t_stock / 1e12
     tflops_bf16 = flops / t_bf16 / 1e12
     tflops_fp8 = flops / t_fp8 / 1e12
@@ -131,6 +157,9 @@ def main() -> None:
                     "fp8_headwise_tflops": round(tflops_fp8, 2),
                     "bf16_flash_tflops": round(tflops_bf16, 2),
                     "stock_jax_flash_tuned_tflops": round(tflops_stock, 2),
+                    "decode_int8kv_tokens_per_s_8b_shapes": round(
+                        decode_tok_s
+                    ),
                 },
             }
         )

@@ -151,14 +151,20 @@ def decode_attention(
     k_scale: Optional[jax.Array] = None,
     v_scale: Optional[jax.Array] = None,
     sm_scale: Optional[float] = None,
-    block_kv: int = 512,
+    block_kv: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Single-step GQA decode attention; returns (B, Hq, D) in bf16.
 
     ``k_scale``/``v_scale`` must both be given iff the cache is 8-bit
     token-wise quantized (shape (B, Hkv, Smax) fp32).
+
+    ``block_kv`` defaults to the largest measured-good block (2048; v5e
+    sweep at Llama-3-8B shapes: 2048 streams ~187 GB/s vs 140 at 512 —
+    decode is per-step-overhead-bound, so fewer, larger blocks win).
     """
+    if block_kv is None:
+        block_kv = 2048
     batch, num_q_heads, head_dim = q.shape
     _, num_kv_heads, s_max, _ = k_cache.shape
     if num_q_heads % num_kv_heads != 0:

@@ -63,7 +63,7 @@ class Engine:
         max_len: int = 2048,
         cache_dtype=jnp.int8,
         prefill_bucket: int = 128,
-        decode_block_kv: int = 512,
+        decode_block_kv: int = 2048,
         seed: int = 0,
         cache_backend: str = "slots",
         page_size: int = 128,

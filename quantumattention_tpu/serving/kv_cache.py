@@ -79,7 +79,7 @@ def _quantize_tokens(t: jax.Array, dtype) -> Tuple[jax.Array, Optional[jax.Array
     return tq, scale
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
+@jax.jit
 def append(
     cache: KVCache,
     slot_ids: jax.Array,
@@ -97,7 +97,10 @@ def append(
         chunk offsets for chunked prefill).
       n_valid: (N,) int32 how many of the T tokens are real.
 
-    Returns the updated cache (buffers donated — in-place on TPU).
+    Returns the updated cache.  (No donation here: donating these buffers
+    corrupts later reads through retained aliases on the CPU runtime; the
+    serving engine's outer decode jit donates at its own boundary instead,
+    so the steady-state decode loop still updates in place.)
     """
     dtype = cache.k.dtype
 
