@@ -584,14 +584,22 @@ def flash_attention(
             pl.BlockSpec((1, 8, bkv), lambda b, h, i, j: (b, 0, j)),
         ]
         args += [qseg, kvseg]
+    if is_causal and not has_offsets:
+        # Clamp the KV block index at the diagonal: skipped above-diagonal
+        # steps re-reference the block already in VMEM, so Mosaic elides
+        # their DMA — halving causal KV traffic (the fetch-side analogue of
+        # the reference's two-stage causal decomposition).
+        def kv_index(b, h, i, j):
+            jmax = jax.lax.div(i * bq + (bq - 1), bkv)
+            return (b, h // group, jnp.minimum(j, jmax), 0)
+    else:
+        def kv_index(b, h, i, j):
+            return (b, h // group, j, 0)
+
     in_specs += [
         pl.BlockSpec((1, 1, bq, head_dim), lambda b, h, i, j: (b, h, i, 0)),
-        pl.BlockSpec(
-            (1, 1, bkv, head_dim), lambda b, h, i, j: (b, h // group, j, 0)
-        ),
-        pl.BlockSpec(
-            (1, 1, bkv, head_dim), lambda b, h, i, j: (b, h // group, j, 0)
-        ),
+        pl.BlockSpec((1, 1, bkv, head_dim), kv_index),
+        pl.BlockSpec((1, 1, bkv, head_dim), kv_index),
     ]
     args += [qp, kp, vp]
 

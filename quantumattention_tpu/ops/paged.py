@@ -329,7 +329,9 @@ def paged_decode_attention(
         # The interpreter's DMA semantics are unreliable when several DMA
         # kernels execute inside one program; route interpret mode through
         # a jnp gather + the ragged decode kernel (identical semantics).
-        use_dma = not interpret
+        # Per-page DMA slices also need a 128-aligned minor dim (Mosaic
+        # tiling), so small head dims take the gather path too.
+        use_dma = not interpret and head_dim % 128 == 0
     if not use_dma:
         return _gathered_reference(
             q, k_pages, v_pages, lengths, page_indices,

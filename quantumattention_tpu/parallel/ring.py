@@ -61,15 +61,18 @@ def _ring_body(
     q,
     k,
     v,
-    *,
+    *args,
     axis_name: str,
     is_causal: bool,
     sm_scale: Optional[float],
     window: Optional[Tuple[Optional[int], Optional[int]]],
     block_q: Optional[int],
     block_kv: Optional[int],
+    has_scales: bool,
 ):
-    """shard_map body: q/k/v are the local (B, H, S_local, D) shards."""
+    """shard_map body: q/k/v are the local (B, H, S_local, D) shards;
+    args carries replicated head-wise (scale_q, scale_k) when quantized."""
+    scale_q, scale_k = args if has_scales else (None, None)
     n = jax.lax.axis_size(axis_name)
     rank = jax.lax.axis_index(axis_name)
     q_len = q.shape[2]
@@ -86,6 +89,8 @@ def _ring_body(
             q,
             k_blk,
             v_blk,
+            scale_q=scale_q,
+            scale_k=scale_k,
             is_causal=is_causal,
             sm_scale=sm_scale,
             window=window,
@@ -121,6 +126,8 @@ def ring_attention(
     *,
     mesh: Mesh,
     axis_name: str = "sp",
+    scale_q: Optional[jax.Array] = None,
+    scale_k: Optional[jax.Array] = None,
     is_causal: bool = False,
     sm_scale: Optional[float] = None,
     window: Optional[Tuple[Optional[int], Optional[int]]] = None,
@@ -132,9 +139,19 @@ def ring_attention(
     Args:
       q/k/v: (B, H, S, D) global arrays; S is sharded over ``axis_name``
         (other dims may be sharded over other mesh axes by the caller's jit).
+      scale_q/scale_k: optional head-wise (B, H)/(B, Hkv) dequantization
+        scales for pre-quantized fp8/int8 q/k — head-wise granularity is
+        position-independent, so the scales replicate across the ring while
+        the quantized KV payload rotates (half the ICI traffic of bf16).
 
     Returns (B, H, S, D) with the same sequence sharding as q.
     """
+    has_scales = scale_q is not None
+    if has_scales and scale_q.ndim != 2:
+        raise ValueError(
+            "ring_attention supports head-wise (B, H) scales only; "
+            "token-wise scales would need to rotate with the KV shards"
+        )
     body = functools.partial(
         _ring_body,
         axis_name=axis_name,
@@ -143,8 +160,18 @@ def ring_attention(
         window=window,
         block_q=block_q,
         block_kv=block_kv,
+        has_scales=has_scales,
     )
     spec = P(None, None, axis_name, None)
+    if has_scales:
+        scale_spec = P(None, None)
+        return jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(spec, spec, spec, scale_spec, scale_spec),
+            out_specs=spec,
+            check_vma=False,
+        )(q, k, v, scale_q, scale_k)
     return jax.shard_map(
         body,
         mesh=mesh,

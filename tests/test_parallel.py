@@ -153,3 +153,26 @@ def test_ring_matches_ulysses(sp_mesh):
         q, k, v, mesh=sp_mesh, is_causal=True, block_q=128, block_kv=128
     )
     assert rmse(r, u) < 2e-3
+
+
+def test_ring_attention_fp8_scales(sp_mesh):
+    """Quantized ring: int8 KV payload rotates, head-wise scales replicate."""
+    q, k, v = make_qkv(1, 4, 4, 512, 64, seed=13, dtype=jnp.float32)
+    q8, sq = quantize_head_wise(q, jnp.int8)
+    k8, sk = quantize_head_wise(k, jnp.int8)
+    out = ring_attention(
+        q8, k8, v.astype(jnp.bfloat16), mesh=sp_mesh,
+        scale_q=sq, scale_k=sk, is_causal=True,
+        block_q=128, block_kv=128,
+    )
+    ref = sdpa_reference(q8, k8, v, scale_q=sq, scale_k=sk, is_causal=True)
+    assert rmse(out, ref) < RMSE_TOL
+
+
+def test_ring_rejects_token_wise_scales(sp_mesh):
+    q, k, v = make_qkv(1, 4, 4, 512, 64, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="head-wise"):
+        ring_attention(
+            q, k, v, mesh=sp_mesh,
+            scale_q=jnp.ones((1, 4, 512)), scale_k=jnp.ones((1, 4, 512)),
+        )
