@@ -371,6 +371,41 @@ def forward_prefill(
     return logits, kv
 
 
+def forward_chunk(
+    params: Params,
+    tokens: jax.Array,
+    positions: jax.Array,
+    cfg: LlamaConfig,
+    attend_fn,
+):
+    """Chunked-prefill forward: a (B, T) token chunk at arbitrary positions.
+
+    ``attend_fn(layer_idx, q, k_new, v_new)`` receives (B, H, T, D)
+    post-RoPE tensors and must return the attention output for the chunk
+    (typically: fused attention over cache-prefix ++ chunk with
+    ``q_offset = chunk start``).  Returns (B, T, vocab) fp32 logits.
+    """
+    batch, t = tokens.shape
+    cos, sin = rope_table(positions, cfg.head_dim, cfg.rope_theta)
+
+    x = params["embed"][tokens].astype(cfg.dtype)
+    for idx, layer in enumerate(params["layers"]):
+        h = rms_norm(x, layer["attn_norm"], cfg.rms_norm_eps)
+        q, k, v = _qkv_proj(cfg, layer, h)
+        q = q.reshape(batch, t, cfg.num_q_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+        k = k.reshape(batch, t, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+        v = v.reshape(batch, t, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        out = attend_fn(idx, q, k, v)
+        out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(batch, t, cfg.q_dim)
+        x = x + jnp.einsum("bsq,qe->bse", out, layer["wo"])
+        x = mlp_block(cfg, layer, x)
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
+    return jnp.einsum("bse,ev->bsv", x, head).astype(jnp.float32)
+
+
 def forward_decode(
     params: Params,
     tokens: jax.Array,

