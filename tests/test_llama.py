@@ -145,3 +145,23 @@ def test_train_step_sharded_70b_attention_shapes():
     )
     _, loss = jax.jit(lambda p, t: llama.train_step(p, t, cfg))(sharded, tok)
     assert np.isfinite(float(loss))
+
+
+def test_checkpoint_roundtrip(params, tokens, tmp_path):
+    from quantumattention_tpu.models import io as mio
+
+    path = tmp_path / "ckpt.npz"
+    mio.save_params(params, path)
+    template = llama.init_params(jax.random.PRNGKey(99), CFG)  # different values
+    restored = mio.load_params(template, path)
+    out_a = llama.forward(params, tokens, CFG)
+    out_b = llama.forward(restored, tokens, CFG)
+    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+    # Missing key / wrong shape errors.
+    import pytest as _pytest
+
+    bad_template = llama.init_params(
+        jax.random.PRNGKey(0), dataclasses.replace(CFG, hidden_size=64)
+    )
+    with _pytest.raises((KeyError, ValueError)):
+        mio.load_params(bad_template, path)
