@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from .. import config
 from ..ops.flash import flash_attention
 
 #: The kernel's online-softmax stats are lane-replicated over 128 lanes.
@@ -40,14 +41,16 @@ def _merge(o_a, m_a, l_a, o_b, m_b, l_b):
     unnormalized-accumulator convention is NOT used — both inputs are
     normalized outputs with their own (m, l); the merge renormalizes:
 
-      m = max(m_a, m_b); l = l_a*2^(m_a-m) + l_b*2^(m_b-m)
-      o = (o_a*l_a*2^(m_a-m) + o_b*l_b*2^(m_b-m)) / l
+      m = max(m_a, m_b); l = l_a*e^(m_a-m) + l_b*e^(m_b-m)
+      o = (o_a*l_a*e^(m_a-m) + o_b*l_b*e^(m_b-m)) / l
 
-    Exp2 domain matches the kernel's use_exp2=True statistics.
+    The exponent base must match the kernel's softmax domain
+    (config.kernel.use_exp2), read at trace time like the kernel does.
     """
+    exp = jnp.exp2 if config.kernel.use_exp2 else jnp.exp
     m = jnp.maximum(m_a, m_b)
-    a = jnp.exp2(m_a - m) * l_a
-    b = jnp.exp2(m_b - m) * l_b
+    a = exp(m_a - m) * l_a
+    b = exp(m_b - m) * l_b
     l = a + b
     l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
     o = (

@@ -176,3 +176,16 @@ def test_ring_rejects_token_wise_scales(sp_mesh):
             q, k, v, mesh=sp_mesh,
             scale_q=jnp.ones((1, 4, 512)), scale_k=jnp.ones((1, 4, 512)),
         )
+
+
+def test_ring_attention_natural_exp_domain(sp_mesh):
+    """Ring merge must track the kernel's softmax domain config."""
+    from quantumattention_tpu import config
+
+    q, k, v = make_qkv(1, 2, 2, 512, 64, seed=21)
+    with config.patch({"kernel.use_exp2": False}):
+        out = ring_attention(
+            q, k, v, mesh=sp_mesh, is_causal=True, block_q=128, block_kv=128
+        )
+    ref = sdpa_reference(q, k, v, is_causal=True)
+    assert rmse(out, ref) < RMSE_TOL
