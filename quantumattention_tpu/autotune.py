@@ -185,6 +185,10 @@ def tune(
         if t < best_t:
             best, best_t = (bq, bkv), t
     if best is None:
-        best = candidates[0]
+        # Every candidate failed (shape/dtype the kernel rejects, or a
+        # systemic compile error): fall back to the first candidate but do
+        # NOT persist it — recording an untimed pick would pin an arbitrary
+        # config for this shape class forever.
+        return candidates[0]
     record(key, *best)
     return best

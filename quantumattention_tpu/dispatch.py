@@ -20,9 +20,11 @@ becomes {Pallas fused kernel, XLA SDPA reference}.
 
 from __future__ import annotations
 
+import functools
 import math
-from typing import Any, Optional, Tuple
+from typing import Any, NamedTuple, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from . import config
@@ -278,13 +280,17 @@ def fp8_attention(
     if (scale_q is None) != (scale_k is None):
         raise ValueError("scale_q and scale_k must be provided together")
 
-    if scaling_method == "per-block":
-        # In-kernel fused quantization: per-(Q-block/KV-block) scalar
-        # scales computed on the fly (BASELINE.json config 2; finer
-        # granularity than head-wise, no preprocessing passes).
-        if scale_q is not None:
-            raise ValueError("per-block scaling quantizes in-kernel; "
-                             "do not pass scale_q/scale_k")
+    if scaling_method == "per-block" and scale_q is not None:
+        raise ValueError("per-block scaling quantizes in-kernel; "
+                         "do not pass scale_q/scale_k")
+
+    float_inputs = scale_q is None and not checks.is_8bit_dtype(query.dtype)
+    if float_inputs:
+        # Quantize-in-graph path.  Validate on the float shapes, then run
+        # the quantized forward through a straight-through-estimator VJP so
+        # models using the fp8 path stay trainable (the quantization casts
+        # themselves have no useful gradient; STE is the standard QAT
+        # treatment).
         supported, reason = can_use_attention(
             query, key, value, attn_mask, dropout_p, is_causal,
             scale=scale, window=window,
@@ -293,28 +299,15 @@ def fp8_attention(
             raise ValueError(
                 f"fp8_attention is not supported for the input: {reason}"
             )
-        return flash_attention(
-            query, key, value, fused_block_quant=True,
-            is_causal=is_causal, sm_scale=scale, window=window,
+        statics = _Fp8Statics(
+            scaling_method=scaling_method,
+            is_causal=is_causal,
+            scale=scale,
+            window=window,
         )
+        return _fp8_attention_diff(statics, query, key, value)
 
-    scale_v = None
-    if scale_q is None and not checks.is_8bit_dtype(query.dtype):
-        qdtype = (
-            jnp.int8
-            if config.attention.enable_int8_qk and checks.supports_int8_mxu()
-            else jnp.float8_e4m3fn
-        )
-        query, scale_q = _quantize_for(query, scaling_method, qdtype)
-        key, scale_k = _quantize_for(key, scaling_method, qdtype)
-        quantize_v = (
-            qdtype == jnp.int8
-            and config.attention.enable_int8_pv
-            and not checks.is_8bit_dtype(value.dtype)
-        )
-    else:
-        quantize_v = False
-
+    # Pre-quantized inputs: forward-only (like the reference).
     supported, reason = can_use_attention(
         query, key, value, attn_mask, dropout_p, is_causal,
         scale=scale, scale_q=scale_q, scale_k=scale_k,
@@ -324,19 +317,89 @@ def fp8_attention(
         raise ValueError(
             f"fp8_attention is not supported for the input: {reason}"
         )
-    if quantize_v:
-        value, scale_v = quant.quantize_channel_wise(value, jnp.int8)
     return flash_attention(
         query,
         key,
         value,
         scale_q=scale_q,
         scale_k=scale_k,
-        scale_v=scale_v,
         is_causal=is_causal,
         sm_scale=scale,
         window=window,
     )
+
+
+class _Fp8Statics(NamedTuple):
+    scaling_method: str
+    is_causal: bool
+    scale: Optional[float]
+    window: Optional[Tuple[Optional[int], Optional[int]]]
+
+
+def _fp8_forward(statics: "_Fp8Statics", query, key, value):
+    """Quantize-in-graph fp8/int8 fused forward on float inputs."""
+    if statics.scaling_method == "per-block":
+        # In-kernel fused quantization: per-(Q-block/KV-block) scalar
+        # scales computed on the fly (BASELINE.json config 2; finer
+        # granularity than head-wise, no preprocessing passes).
+        return flash_attention(
+            query, key, value, fused_block_quant=True,
+            is_causal=statics.is_causal, sm_scale=statics.scale,
+            window=statics.window,
+        )
+    qdtype = (
+        jnp.int8
+        if config.attention.enable_int8_qk and checks.supports_int8_mxu()
+        else jnp.float8_e4m3fn
+    )
+    q8, scale_q = _quantize_for(query, statics.scaling_method, qdtype)
+    k8, scale_k = _quantize_for(key, statics.scaling_method, qdtype)
+    scale_v = None
+    if (
+        qdtype == jnp.int8
+        and config.attention.enable_int8_pv
+        and not checks.is_8bit_dtype(value.dtype)
+    ):
+        value, scale_v = quant.quantize_channel_wise(value, jnp.int8)
+    return flash_attention(
+        q8,
+        k8,
+        value,
+        scale_q=scale_q,
+        scale_k=scale_k,
+        scale_v=scale_v,
+        is_causal=statics.is_causal,
+        sm_scale=statics.scale,
+        window=statics.window,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fp8_attention_diff(statics: _Fp8Statics, query, key, value):
+    return _fp8_forward(statics, query, key, value)
+
+
+def _fp8_diff_fwd(statics, query, key, value):
+    return _fp8_forward(statics, query, key, value), (query, key, value)
+
+
+def _fp8_diff_bwd(statics, residuals, g):
+    query, key, value = residuals
+    window = statics.window
+    if statics.is_causal and window is not None:
+        window = (window[0], None)
+
+    def oracle(q, k, v):
+        return sdpa_reference(
+            q, k, v, is_causal=statics.is_causal, scale=statics.scale,
+            window=window, out_dtype=v.dtype,
+        )
+
+    _, vjp = jax.vjp(oracle, query, key, value)
+    return vjp(g.astype(value.dtype))
+
+
+_fp8_attention_diff.defvjp(_fp8_diff_fwd, _fp8_diff_bwd)
 
 
 def sdpa_fallback(

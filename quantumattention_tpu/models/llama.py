@@ -243,7 +243,9 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 
 
 def _attend(cfg: LlamaConfig, q, k, v, *, is_causal: bool):
-    window = (cfg.window, 0) if cfg.window is not None else None
+    # HF convention: sliding_window=w attends to exactly w keys including
+    # self, i.e. left extent w-1.
+    window = (cfg.window - 1, 0) if cfg.window is not None else None
     if cfg.attention_impl == "fp8":
         return interface.fp8_attn_func_with_fallback(
             q, k, v, is_causal=is_causal,

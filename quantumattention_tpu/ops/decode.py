@@ -80,21 +80,13 @@ def _decode_kernel(
 
     @pl.when(j * block_kv < length)
     def _run():
-        q = q_ref[0, 0]  # (group_pad, D)
+        q = q_ref[0, 0]  # (group_pad, D) float
         k = k_ref[0, 0]  # (block_kv, D)
-
-        if k.dtype == jnp.int8 and q.dtype == jnp.int8:
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            ).astype(jnp.float32)
-        else:
-            qc = q.astype(jnp.bfloat16) if checks.is_8bit_dtype(q.dtype) else q
-            kc = k.astype(jnp.bfloat16) if checks.is_8bit_dtype(k.dtype) else k
-            s = jax.lax.dot_general(
-                qc, kc, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+        kc = k.astype(jnp.bfloat16) if checks.is_8bit_dtype(k.dtype) else k
+        s = jax.lax.dot_general(
+            q, kc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
         s = s * (sm_scale * LOG2E)
         if quantized:
@@ -169,6 +161,11 @@ def decode_attention(
     _, num_kv_heads, s_max, _ = k_cache.shape
     if num_q_heads % num_kv_heads != 0:
         raise ValueError("num_q_heads must be divisible by num_kv_heads")
+    if checks.is_8bit_dtype(q.dtype):
+        raise ValueError(
+            "decode_attention expects float queries (the cache may be "
+            "8-bit, but q has no dequant-scale path)"
+        )
     group = num_q_heads // num_kv_heads
     quantized = k_scale is not None
     if quantized != (v_scale is not None):

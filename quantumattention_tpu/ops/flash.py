@@ -277,7 +277,10 @@ def _flash_kernel(
                     left, right = window
                     if left is not None:
                         mask = _and(mask, col >= row - left)
-                    if right is not None:
+                    if right is not None and not causal:
+                        # Right extents are inactive under causal masking —
+                        # keep in sync with the block-skip predicate, the
+                        # backward kernels, and the oracle VJP.
                         mask = _and(mask, col <= row + right)
                 if kv_valid < kv_len_padded:
                     local_col = col - kv_blk_min + j * block_kv
@@ -386,9 +389,9 @@ def _autotuned_blocks(
         )
         kwargs = {}
         if scale_q is not None:
-            kwargs = dict(scale_q=scale_q, scale_k=scale_k)
-            if scale_v is not None:
-                kwargs["scale_v"] = scale_v
+            kwargs.update(scale_q=scale_q, scale_k=scale_k)
+        if scale_v is not None:
+            kwargs["scale_v"] = scale_v
         return lambda: fn(q, k, v, **kwargs)
 
     return autotune.tune(key, run_with_blocks, candidates)

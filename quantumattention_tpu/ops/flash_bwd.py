@@ -99,12 +99,13 @@ def _should_run(i, j, block_q, block_kv, *, causal, window):
     return run
 
 
-def _recompute_p(q_s, k, m, l, mask):
+def _recompute_p(q_s, k, m, l, mask, use_exp2):
     """P tile from prescaled q and saved stats; masked entries -> 0."""
     s = jax.lax.dot_general(
         q_s, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    p = jnp.exp2(s - m[:, :1])
+    exp = jnp.exp2 if use_exp2 else jnp.exp
+    p = exp(s - m[:, :1])
     l_inv = jnp.where(l[:, :1] == 0.0, 0.0, 1.0 / l[:, :1])
     p = p * l_inv
     if mask is not None:
@@ -115,6 +116,7 @@ def _recompute_p(q_s, k, m, l, mask):
 def _dq_kernel(
     q_ref, k_ref, v_ref, do_ref, m_ref, l_ref, d_ref, dq_ref, dq_acc,
     *, causal, window, sm_scale, block_q, block_kv, kv_valid, q_valid,
+    use_exp2,
 ):
     i = pl.program_id(2)
     j = pl.program_id(3)
@@ -134,7 +136,7 @@ def _dq_kernel(
             (block_q, block_kv), i * block_q, j * block_kv,
             causal=causal, window=window, kv_valid=kv_valid, q_valid=None,
         )
-        p = _recompute_p(q_s, k, m_ref[0, 0], l_ref[0, 0], mask)
+        p = _recompute_p(q_s, k, m_ref[0, 0], l_ref[0, 0], mask, use_exp2)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -153,6 +155,7 @@ def _dkv_kernel(
     q_ref, k_ref, v_ref, do_ref, m_ref, l_ref, d_ref, dk_ref, dv_ref,
     dk_acc, dv_acc,
     *, causal, window, sm_scale, block_q, block_kv, kv_valid, q_valid,
+    use_exp2, inv_fold,
 ):
     j = pl.program_id(2)  # kv block (outer)
     i = pl.program_id(3)  # q block (inner)
@@ -173,7 +176,7 @@ def _dkv_kernel(
             (block_q, block_kv), i * block_q, j * block_kv,
             causal=causal, window=window, kv_valid=kv_valid, q_valid=q_valid,
         )
-        p = _recompute_p(q_s, k, m_ref[0, 0], l_ref[0, 0], mask)
+        p = _recompute_p(q_s, k, m_ref[0, 0], l_ref[0, 0], mask, use_exp2)
         p16 = p.astype(jnp.bfloat16)
         dv_acc[:] += jax.lax.dot_general(
             p16, do, (((0,), (0,)), ((), ())),
@@ -190,8 +193,8 @@ def _dkv_kernel(
 
     @pl.when(i == ni - 1)
     def _():
-        # q_s carries sm_scale*log2e; dK needs sm_scale -> rescale by 1/log2e.
-        dk_ref[0, 0] = (dk_acc[:] * (1.0 / LOG2E)).astype(dk_ref.dtype)
+        # q_s carries sm_scale*fold; dK needs sm_scale -> undo the fold.
+        dk_ref[0, 0] = (dk_acc[:] * inv_fold).astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
 
 
@@ -245,8 +248,11 @@ def flash_attention_bwd(
         d_stat, (batch, num_q_heads, q_len, NUM_LANES)
     )
 
-    # Prescale q once (same fold as the forward kernel).
-    q_s = (q.astype(jnp.float32) * (sm_scale * LOG2E)).astype(q.dtype)
+    # Prescale q once (same fold as the forward kernel; base follows the
+    # configured softmax exponent domain, matching the saved m/l stats).
+    use_exp2 = config.kernel.use_exp2
+    fold = LOG2E if use_exp2 else 1.0
+    q_s = (q.astype(jnp.float32) * (sm_scale * fold)).astype(q.dtype)
 
     qp = pad_seq(q_s, q_len_p)
     dop = pad_seq(do, q_len_p)
@@ -271,6 +277,7 @@ def flash_attention_bwd(
         sm_scale=float(sm_scale),
         block_q=bq,
         block_kv=bkv,
+        use_exp2=use_exp2,
         kv_valid=kv_len if kv_len != kv_len_p else None,
         q_valid=q_len if q_len != q_len_p else None,
     )
@@ -310,7 +317,7 @@ def flash_attention_bwd(
 
     def _dkv(kern):
         return pl.pallas_call(
-            functools.partial(kern, **common),
+            functools.partial(kern, inv_fold=1.0 / fold, **common),
             grid=(batch, num_q_heads, kv_len_p // bkv, q_len_p // bq),
             in_specs=[
                 qspec_i, kvspec_i, kvspec_i, qspec_i,

@@ -253,7 +253,13 @@ def _paged_kernel(
     def _epilogue():
         l = l_scr[:, :1]
         l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
-        o_ref[0, 0] = (acc_scr[:] * l_inv).astype(o_ref.dtype)
+        o = acc_scr[:] * l_inv
+        # Zero-length sequences still execute block 0 (the prefetch chain
+        # must stay unbroken), where the all-masked tile degenerates to
+        # exp(MASK-MASK)=1 everywhere; squash the bogus mean-of-V here so
+        # empty slots return exact zeros like the gather/decode paths.
+        o = jnp.where(length > 0, o, 0.0)
+        o_ref[0, 0] = o.astype(o_ref.dtype)
 
 
 def _gathered_reference(
@@ -297,7 +303,7 @@ def paged_decode_attention(
     """Decode attention over paged KV; returns (B, Hq, D) bf16.
 
     Args:
-      q: (B, Hq, D) bf16 (or int8 with token-wise quantized pages).
+      q: (B, Hq, D) float (bf16/fp16/fp32).
       k_pages/v_pages: (Hkv, num_pages, page_size, D).
       lengths: (B,) int32 valid token counts.
       page_indices: (B, pages_per_seq) int32 page table (entries beyond the

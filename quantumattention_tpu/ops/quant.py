@@ -97,9 +97,21 @@ def quantize_channel_wise(t: jax.Array, qdtype=jnp.int8):
     return _dynamic_quantize(t, (-2,), qmax, qdtype)
 
 
-def dequantize(t_q: jax.Array, scale: jax.Array, dtype=jnp.float32) -> jax.Array:
-    """Inverse transform; broadcast scales from the left-aligned shape."""
+def dequantize(
+    t_q: jax.Array, scale: jax.Array, dtype=jnp.float32, axis: int = None
+) -> jax.Array:
+    """Inverse transform.
+
+    With ``axis=None`` (head-wise/token-wise scales) the scale shape is a
+    leading prefix of the tensor shape, so trailing axes are appended —
+    the reference's unsqueeze-right semantics (ops.py:75-86).  For scales
+    whose reduced axis is interior (e.g. channel-wise (B, H, D) from
+    ``quantize_channel_wise``), pass the reduced ``axis`` (-2 there) so the
+    scale re-expands in the right place.
+    """
     scale = scale.astype(dtype)
+    if axis is not None:
+        scale = jnp.expand_dims(scale, axis)
     while scale.ndim < t_q.ndim:
         scale = scale[..., None]
     return t_q.astype(dtype) * scale

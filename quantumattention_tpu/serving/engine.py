@@ -185,15 +185,15 @@ class Engine:
             if not req.done:  # may finish at prefill (max_new_tokens == 1)
                 self.active[slot] = req
 
-    def _prefill_chunk_impl(self, params, caches, chunk_tokens, slot, off, n_valid):
+    def _prefill_chunk_impl(self, params, caches, chunk_tokens, slot, off, tc):
         """Jitted (off static): one prefill chunk attending to cache prefix
         + itself, then appended to the cache (mixed prefill/decode building
         block — BASELINE config 4)."""
         from ..ops.flash import flash_attention
 
         cfg = self.cfg
-        tc = chunk_tokens.shape[1]
-        positions = off + jnp.arange(tc, dtype=jnp.int32)
+        width = chunk_tokens.shape[1]  # padded chunk width; tc <= width valid
+        positions = off + jnp.arange(width, dtype=jnp.int32)
         recorded = {}
 
         def attend(idx, q, k_new, v_new):
@@ -229,12 +229,15 @@ class Engine:
         logits = llama.forward_chunk(params, chunk_tokens, positions, cfg, attend)
         slot_arr = slot[None]
         off_arr = jnp.full((1,), off, jnp.int32)
-        nval_arr = n_valid[None]
+        nval_arr = jnp.full((1,), tc, jnp.int32)
         for li in range(cfg.num_layers):
             k_l, v_l = recorded[li]
+            # Slice to the valid tokens (tc static) so the cache write can
+            # never run past max_len — dynamic_update_slice would silently
+            # clamp and corrupt earlier tokens otherwise.
             caches[li] = kvc.append(
-                caches[li], slot_arr, k_l.astype(jnp.float32),
-                v_l.astype(jnp.float32), off_arr, nval_arr,
+                caches[li], slot_arr, k_l[:, :, :tc].astype(jnp.float32),
+                v_l[:, :, :tc].astype(jnp.float32), off_arr, nval_arr,
             )
         return caches, logits
 
@@ -242,7 +245,7 @@ class Engine:
         """Prefill via fixed-size chunks; returns the last chunk's logits."""
         if not hasattr(self, "_chunk_jit"):
             self._chunk_jit = jax.jit(
-                self._prefill_chunk_impl, static_argnames=("off",)
+                self._prefill_chunk_impl, static_argnames=("off", "tc")
             )
         n = len(req.prompt)
         chunk = self.prefill_chunk
@@ -255,7 +258,7 @@ class Engine:
             tokens[0, :tc] = req.prompt[off : off + tc]
             self.caches, logits = self._chunk_jit(
                 self.params, self.caches, jnp.asarray(tokens), slot,
-                off=off, n_valid=jnp.int32(tc),
+                off=off, tc=tc,
             )
             last_valid = tc
             off += tc

@@ -50,11 +50,12 @@ def tpu_generation() -> int:
     """
     if not is_tpu_backend():
         return 0
+    import re
+
     kind = jax.devices()[0].device_kind.lower()
-    for token in kind.replace("tpu", " ").replace("v", " v").split():
-        if token.startswith("v") and token[1:2].isdigit():
-            return int(token[1])
-    return 0
+    # Matches both "tpu v5 lite" style and bare "tpu7x" style names.
+    m = re.search(r"v?(\d+)", kind.replace("tpu", " ", 1))
+    return int(m.group(1)) if m else 0
 
 
 def supports_int8_mxu() -> bool:

@@ -157,3 +157,37 @@ def test_pallas_bwd_ragged_seq():
     g_oracle = jax.grad(make_loss(False), argnums=(0, 1, 2))(q, k, v)
     for gp, go, name in zip(g_pallas, g_oracle, "qkv"):
         assert rel_err(gp, go) < 2e-2, f"d{name} mismatch"
+
+
+def test_fp8_path_is_trainable_ste():
+    """The fp8 quantize-in-graph path must be differentiable (STE through
+    quantization; backward = oracle VJP)."""
+    import quantumattention_tpu as qa
+
+    q, k, v = make_qkv(1, 4, 4, 256, 256, 64)
+    q, k, v = (t.astype(jnp.bfloat16) for t in (q, k, v))
+
+    def loss(q, k, v):
+        out = qa.fp8_attn_func(q, k, v, is_causal=True)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    gq, gk, gv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    ref = jax.grad(
+        lambda q, k, v: jnp.sum(
+            sdpa_reference(q, k, v, is_causal=True).astype(jnp.float32) ** 2
+        ),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for g, r, name in zip((gq, gk, gv), ref, "qkv"):
+        assert rel_err(g, r) < 1e-1, f"d{name}"  # STE: approximate gradients
+
+
+def test_fp8_train_step_default_config():
+    """train_step with the default attention_impl='fp8' must run."""
+    from quantumattention_tpu.models import llama
+
+    cfg = llama.tiny()  # attention_impl defaults to "fp8"
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (1, 64), 0, cfg.vocab_size)
+    _, loss = llama.train_step(params, tokens, cfg)
+    assert np.isfinite(float(loss))
