@@ -82,6 +82,11 @@ def main() -> None:
     def fp8_headwise(q, k, v):
         return qa.fp8_attn_func(q, k, v, is_causal=args.causal)
 
+    def fp8_per_block(q, k, v):
+        return qa.fp8_attn_func(
+            q, k, v, is_causal=args.causal, scaling_method="per-block"
+        )
+
     def stock_flash(q, k, v):
         # Stock JAX kernel at its best measured block configuration (its
         # defaults run ~8x slower on v5e — see module docstring).
@@ -106,6 +111,7 @@ def main() -> None:
     t_stock = bench_one(stock_flash, q, k, v, args.iters)
     t_bf16 = bench_one(bf16_flash, q, k, v, args.iters)
     t_fp8 = bench_one(fp8_headwise, q, k, v, args.iters)
+    t_pb = bench_one(fp8_per_block, q, k, v, args.iters)
 
     # Decode throughput: int8 KV cache at Llama-3-8B attention shapes
     # (BASELINE.md decode config).
@@ -136,6 +142,7 @@ def main() -> None:
     tflops_stock = flops / t_stock / 1e12
     tflops_bf16 = flops / t_bf16 / 1e12
     tflops_fp8 = flops / t_fp8 / 1e12
+    tflops_pb = flops / t_pb / 1e12
 
     if args.verbose:
         print(
@@ -144,8 +151,9 @@ def main() -> None:
         )
         print(f"# bf16 flash: {t_bf16 * 1e3:.2f} ms  {tflops_bf16:.1f} TFLOP/s")
         print(f"# fp8 head-wise: {t_fp8 * 1e3:.2f} ms  {tflops_fp8:.1f} TFLOP/s")
+        print(f"# fp8 per-block: {t_pb * 1e3:.2f} ms  {tflops_pb:.1f} TFLOP/s")
 
-    best = max(tflops_fp8, tflops_bf16)
+    best = max(tflops_fp8, tflops_pb, tflops_bf16)
     print(
         json.dumps(
             {
@@ -155,6 +163,7 @@ def main() -> None:
                 "vs_baseline": round(best / tflops_stock, 3),
                 "detail": {
                     "fp8_headwise_tflops": round(tflops_fp8, 2),
+                    "fp8_per_block_tflops": round(tflops_pb, 2),
                     "bf16_flash_tflops": round(tflops_bf16, 2),
                     "stock_jax_flash_tuned_tflops": round(tflops_stock, 2),
                     "decode_int8kv_tokens_per_s_8b_shapes": round(

@@ -126,6 +126,7 @@ def _flash_kernel(
     use_int8_pv: bool,
     gqa_group: int,
     prescaled: bool,
+    k_cached: bool,
 ):
     idx = 0
     if has_offsets:
@@ -151,6 +152,9 @@ def _flash_kernel(
     idx += 3
     if scaling == "block":
         q8_scr, sq_scr = refs[idx], refs[idx + 1]
+        idx += 2
+        if k_cached:
+            k8_cache, sk_cache = refs[idx], refs[idx + 1]
 
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -208,12 +212,31 @@ def _flash_kernel(
         k = _compute_cast(k_ref[0, 0])  # (block_kv, D)
 
         if scaling == "block":
-            # Quantize the K tile on the fly (per-block scalar scale) and
-            # run the 8-bit MXU path; dequantization folds into the scalar
-            # multiply below together with sm_scale.
-            kf = k_ref[0, 0].astype(jnp.float32)
-            sk = jnp.maximum(jnp.max(jnp.abs(kf)) / 127.0, 1e-12)
-            k8 = jnp.round(kf * (1.0 / sk)).astype(jnp.int8)
+            # Quantize the K tile (per-block scalar scale) and run the
+            # 8-bit MXU path; dequantization folds into the scalar multiply
+            # below together with sm_scale.
+            if k_cached:
+                # Quantize each KV block once per (b, h) — on the first Q
+                # row that touches it — into a VMEM-resident int8 cache;
+                # later Q rows read the cache and the host index map elides
+                # the HBM re-fetch entirely.
+                first_i = jax.lax.div(j * block_kv, block_q) if causal else 0
+
+                @pl.when(i == first_i)
+                def _fill():
+                    kf = k_ref[0, 0].astype(jnp.float32)
+                    skv_ = jnp.maximum(jnp.max(jnp.abs(kf)) / 127.0, 1e-12)
+                    k8_cache[pl.ds(j * block_kv, block_kv)] = jnp.round(
+                        kf * (1.0 / skv_)
+                    ).astype(jnp.int8)
+                    sk_cache[j] = skv_
+
+                k8 = k8_cache[pl.ds(j * block_kv, block_kv)]
+                sk = sk_cache[j]
+            else:
+                kf = k_ref[0, 0].astype(jnp.float32)
+                sk = jnp.maximum(jnp.max(jnp.abs(kf)) / 127.0, 1e-12)
+                k8 = jnp.round(kf * (1.0 / sk)).astype(jnp.int8)
             s = jax.lax.dot_general(
                 q8_scr[:],
                 k8,
@@ -594,6 +617,16 @@ def flash_attention(
             pl.BlockSpec((1, 8, bkv), lambda b, h, i, j: (b, 0, j)),
         ]
         args += [qseg, kvseg]
+    # The per-block-quantized path caches int8 K in VMEM scratch across Q
+    # rows (when the whole K fits a modest budget and indexing is simple),
+    # so K is fetched from HBM exactly once per (batch, head).
+    k_cached = (
+        scaling == "block"
+        and not has_offsets
+        and window is None
+        and kv_len_p * head_dim <= 4 * 1024 * 1024
+    )
+
     if is_causal and not has_offsets:
         # Clamp the KV block index at the diagonal: skipped above-diagonal
         # steps re-reference the block already in VMEM, so Mosaic elides
@@ -606,9 +639,23 @@ def flash_attention(
         def kv_index(b, h, i, j):
             return (b, h // group, j, 0)
 
+    if k_cached:
+        # K only needs its fresh fetch on the fill step (the first Q row
+        # that touches block j); every other step maps to a constant block
+        # index, which Mosaic recognizes as unchanged and skips the DMA.
+        if is_causal:
+            def k_index(b, h, i, j):
+                first_i = jax.lax.div(j * bkv, bq)
+                return (b, h // group, jnp.where(i == first_i, j, 0), 0)
+        else:
+            def k_index(b, h, i, j):
+                return (b, h // group, jnp.where(i == 0, j, 0), 0)
+    else:
+        k_index = kv_index
+
     in_specs += [
         pl.BlockSpec((1, 1, bq, head_dim), lambda b, h, i, j: (b, h, i, 0)),
-        pl.BlockSpec((1, 1, bkv, head_dim), kv_index),
+        pl.BlockSpec((1, 1, bkv, head_dim), k_index),
         pl.BlockSpec((1, 1, bkv, head_dim), kv_index),
     ]
     args += [qp, kp, vp]
@@ -651,6 +698,7 @@ def flash_attention(
         use_int8_pv=use_int8_pv,
         gqa_group=group,
         prescaled=prescaled,
+        k_cached=k_cached,
     )
 
     # FLOP estimate for XLA's latency-hiding scheduler.
@@ -673,9 +721,23 @@ def flash_attention(
             [pltpu.VMEM((bq, head_dim), jnp.int8), pltpu.SMEM((1,), jnp.float32)]
             if scaling == "block"
             else []
+        )
+        + (
+            [
+                pltpu.VMEM((kv_len_p, head_dim), jnp.int8),
+                pltpu.SMEM((kv_len_p // bkv,), jnp.float32),
+            ]
+            if k_cached
+            else []
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            # The K-cache fill depends on Q-row order within a (b, h), so
+            # the i dim must stay sequential in that mode.
+            dimension_semantics=(
+                ("parallel", "parallel", "arbitrary", "arbitrary")
+                if k_cached
+                else ("parallel", "parallel", "parallel", "arbitrary")
+            ),
             vmem_limit_bytes=_vmem_limit_bytes(),
         ),
         cost_estimate=pl.CostEstimate(
