@@ -153,8 +153,14 @@ def _flash_kernel(
     if scaling == "block":
         q8_scr, sq_scr = refs[idx], refs[idx + 1]
         idx += 2
-        if k_cached:
-            k8_cache, sk_cache = refs[idx], refs[idx + 1]
+    if k_cached:
+        k_cache_ref = refs[idx]
+        idx += 1
+        if scaling == "block":
+            sk_cache = refs[idx]
+            idx += 1
+        v_cache_ref = refs[idx]
+        idx += 1
 
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -208,38 +214,47 @@ def _flash_kernel(
 
     @pl.when(should_run)
     def _run():
-        q = _compute_cast(q_ref[0, 0])  # (block_q, D)
-        k = _compute_cast(k_ref[0, 0])  # (block_kv, D)
+        # ---- KV source: fresh HBM block refs, or the VMEM-resident cache
+        # filled on the first Q row that touches each block (the host index
+        # map elides the HBM re-fetch for every later row, so K and V are
+        # each read from HBM exactly once per (batch, head)) ----
+        if k_cached:
+            first_i = jax.lax.div(j * block_kv, block_q) if causal else 0
+            ds = pl.ds(j * block_kv, block_kv)
 
-        if scaling == "block":
-            # Quantize the K tile (per-block scalar scale) and run the
-            # 8-bit MXU path; dequantization folds into the scalar multiply
-            # below together with sm_scale.
-            if k_cached:
-                # Quantize each KV block once per (b, h) — on the first Q
-                # row that touches it — into a VMEM-resident int8 cache;
-                # later Q rows read the cache and the host index map elides
-                # the HBM re-fetch entirely.
-                first_i = jax.lax.div(j * block_kv, block_q) if causal else 0
-
-                @pl.when(i == first_i)
-                def _fill():
+            @pl.when(i == first_i)
+            def _fill():
+                if scaling == "block":
                     kf = k_ref[0, 0].astype(jnp.float32)
                     skv_ = jnp.maximum(jnp.max(jnp.abs(kf)) / 127.0, 1e-12)
-                    k8_cache[pl.ds(j * block_kv, block_kv)] = jnp.round(
-                        kf * (1.0 / skv_)
-                    ).astype(jnp.int8)
+                    k_cache_ref[ds] = jnp.round(kf * (1.0 / skv_)).astype(
+                        jnp.int8
+                    )
                     sk_cache[j] = skv_
+                else:
+                    k_cache_ref[ds] = k_ref[0, 0]
+                v_cache_ref[ds] = v_ref[0, 0]
 
-                k8 = k8_cache[pl.ds(j * block_kv, block_kv)]
+            k_blk = k_cache_ref[ds]
+            v_blk = v_cache_ref[ds]
+            if scaling == "block":
                 sk = sk_cache[j]
-            else:
-                kf = k_ref[0, 0].astype(jnp.float32)
+        else:
+            k_blk = k_ref[0, 0]
+            v_blk = v_ref[0, 0]
+            if scaling == "block":
+                kf = k_blk.astype(jnp.float32)
                 sk = jnp.maximum(jnp.max(jnp.abs(kf)) / 127.0, 1e-12)
-                k8 = jnp.round(kf * (1.0 / sk)).astype(jnp.int8)
+                k_blk = jnp.round(kf * (1.0 / sk)).astype(jnp.int8)
+
+        q = _compute_cast(q_ref[0, 0])  # (block_q, D)
+
+        if scaling == "block":
+            # 8-bit MXU path on the in-kernel-quantized tiles; both dequant
+            # scalars fold into the multiply below together with sm_scale.
             s = jax.lax.dot_general(
                 q8_scr[:],
-                k8,
+                k_blk,
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
             ).astype(jnp.float32)
@@ -248,14 +263,14 @@ def _flash_kernel(
             # int32->f32 convert fuses with the scale multiply below.
             s = jax.lax.dot_general(
                 q_ref[0, 0],
-                k_ref[0, 0],
+                k_blk,
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
             ).astype(jnp.float32)
         else:
             s = jax.lax.dot_general(
                 q,
-                k,
+                _compute_cast(k_blk),
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
@@ -343,12 +358,12 @@ def _flash_kernel(
             p8 = jnp.round(p * 127.0).astype(jnp.int8)
             pv = jax.lax.dot_general(
                 p8,
-                v_ref[0, 0],
+                v_blk,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             ).astype(jnp.float32)
         else:
-            v = _compute_cast(v_ref[0, 0])  # (block_kv, D)
+            v = _compute_cast(v_blk)  # (block_kv, D)
             pv = jax.lax.dot_general(
                 p.astype(v.dtype),
                 v,
@@ -617,14 +632,20 @@ def flash_attention(
             pl.BlockSpec((1, 8, bkv), lambda b, h, i, j: (b, 0, j)),
         ]
         args += [qseg, kvseg]
-    # The per-block-quantized path caches int8 K in VMEM scratch across Q
-    # rows (when the whole K fits a modest budget and indexing is simple),
-    # so K is fetched from HBM exactly once per (batch, head).
+    # Per-block path only: cache quantized K (int8) and V in VMEM scratch
+    # across Q-block rows, so each is fetched from HBM exactly once per
+    # (batch, head) and K is quantized exactly once.  Measured on v5e this
+    # helps only here — the raw bf16/int8 paths' HBM streams were already
+    # fully pipelined by Mosaic, and routing them through the cache cost
+    # 3-5 TFLOP/s — so the raw paths keep their plain block specs.
+    k_cache_dtype = jnp.int8
+    _kv_bytes = kv_len_p * head_dim * (1 + v.dtype.itemsize)
     k_cached = (
         scaling == "block"
         and not has_offsets
         and window is None
-        and kv_len_p * head_dim <= 4 * 1024 * 1024
+        and not return_residuals
+        and _kv_bytes <= 16 * 1024 * 1024
     )
 
     if is_causal and not has_offsets:
@@ -640,7 +661,7 @@ def flash_attention(
             return (b, h // group, j, 0)
 
     if k_cached:
-        # K only needs its fresh fetch on the fill step (the first Q row
+        # K/V only need their fresh fetch on the fill step (the first Q row
         # that touches block j); every other step maps to a constant block
         # index, which Mosaic recognizes as unchanged and skips the DMA.
         if is_causal:
@@ -650,13 +671,15 @@ def flash_attention(
         else:
             def k_index(b, h, i, j):
                 return (b, h // group, jnp.where(i == 0, j, 0), 0)
+        v_index = k_index
     else:
         k_index = kv_index
+        v_index = kv_index
 
     in_specs += [
         pl.BlockSpec((1, 1, bq, head_dim), lambda b, h, i, j: (b, h, i, 0)),
         pl.BlockSpec((1, 1, bkv, head_dim), k_index),
-        pl.BlockSpec((1, 1, bkv, head_dim), kv_index),
+        pl.BlockSpec((1, 1, bkv, head_dim), v_index),
     ]
     args += [qp, kp, vp]
 
@@ -723,10 +746,13 @@ def flash_attention(
             else []
         )
         + (
-            [
-                pltpu.VMEM((kv_len_p, head_dim), jnp.int8),
-                pltpu.SMEM((kv_len_p // bkv,), jnp.float32),
-            ]
+            [pltpu.VMEM((kv_len_p, head_dim), k_cache_dtype)]
+            + (
+                [pltpu.SMEM((kv_len_p // bkv,), jnp.float32)]
+                if scaling == "block"
+                else []
+            )
+            + [pltpu.VMEM((kv_len_p, head_dim), v.dtype)]
             if k_cached
             else []
         ),
