@@ -54,6 +54,18 @@ def bench_one(fn, q, k, v, iters: int) -> float:
 
 
 def main() -> None:
+    # Persistent compilation cache: first-ever run pays ~5 min of Mosaic
+    # compiles across the five measured kernels; subsequent runs start hot.
+    import os
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR", "/tmp/quantumattention_jax_cache"
+        ),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=16)
     parser.add_argument("--heads", type=int, default=16)
