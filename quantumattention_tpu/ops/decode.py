@@ -39,14 +39,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import config
 from ..utils import checks
+from ..utils.shapes import round_up
 
 LOG2E = math.log2(math.e)
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 NUM_LANES = 128
-
-
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
 
 
 def _decode_kernel(
@@ -177,8 +174,8 @@ def decode_attention(
     if interpret is None:
         interpret = checks.resolve_interpret(config.interpret)
 
-    block_kv = min(block_kv, _round_up(s_max, 128))
-    s_pad = _round_up(s_max, block_kv)
+    block_kv = min(block_kv, round_up(s_max, 128))
+    s_pad = round_up(s_max, block_kv)
     if s_pad != s_max:
         pad4 = [(0, 0), (0, 0), (0, s_pad - s_max), (0, 0)]
         k_cache = jnp.pad(k_cache, pad4)
@@ -189,7 +186,7 @@ def decode_attention(
             v_scale = jnp.pad(v_scale, pad3)
 
     # The GQA group is the matmul M dim; pad to the fp32 sublane width.
-    group_pad = max(8, _round_up(group, 8))
+    group_pad = max(8, round_up(group, 8))
     qg = q.reshape(batch, num_kv_heads, group, head_dim)
     if group_pad != group:
         qg = jnp.pad(qg, [(0, 0), (0, 0), (0, group_pad - group), (0, 0)])

@@ -42,6 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import config
 from ..utils import checks
+from ..utils.shapes import round_up
 
 LOG2E = math.log2(math.e)
 
@@ -51,10 +52,6 @@ MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 #: Lane width of the residual (m, l) output layout.
 NUM_LANES = 128
-
-
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
 
 
 def _heuristic_blocks(
@@ -73,8 +70,8 @@ def _heuristic_blocks(
         # scoped VMEM): (1024, 2048) reaches 144-147 TFLOP/s bf16; smaller
         # blocks lose to KV re-reads, larger ones exhaust scoped VMEM.
         bq_t, bkv_t = 1024, 2048
-    bq = min(bq_t, _round_up(q_len, 128))
-    bkv = min(bkv_t, _round_up(kv_len, 128))
+    bq = min(bq_t, round_up(q_len, 128))
+    bkv = min(bkv_t, round_up(kv_len, 128))
     return bq, bkv
 
 
@@ -93,14 +90,15 @@ def _vmem_limit_bytes():
 
 
 def _compute_cast(x: jax.Array) -> jax.Array:
-    """Upcast 8-bit float operands for the MXU.
+    """Upcast 8-bit operands for the bf16 MXU path.
 
-    float8_e4m3fn embeds exactly in bfloat16 (4-bit exponent subset of 8,
-    3-bit mantissa subset of 7), so this cast is value-preserving; the fp32
-    accumulation then matches the reference's ``QK_ACC_TYPE = tl.float32``
-    (inductor/kernels/attention.py:856-858).
+    float8_e4m3fn and int8 embed exactly in bfloat16, so these casts are
+    value-preserving; the fp32 accumulation then matches the reference's
+    ``QK_ACC_TYPE = tl.float32`` (inductor/kernels/attention.py:856-858).
+    int8 must be upcast here because Mosaic rejects int operands with a
+    float accumulator (the dedicated int8 path keeps an int32 accumulator).
     """
-    if checks.is_fp8_dtype(x.dtype) or x.dtype == jnp.float16:
+    if checks.is_8bit_dtype(x.dtype) or x.dtype == jnp.float16:
         return x.astype(jnp.bfloat16)
     return x
 
@@ -117,7 +115,6 @@ def _flash_kernel(
     sm_scale: float,
     kv_valid: int,
     kv_len_padded: int,
-    q_valid: int,
     block_q: int,
     block_kv: int,
     use_exp2: bool,
@@ -377,6 +374,11 @@ def _flash_kernel(
         l = l_scr[:, :1]
         l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
         o = acc_scr[:] * l_inv
+        # A row whose every KV position was masked (e.g. a segment id with
+        # no counterpart) never sees a logit above MASK_VALUE: its p values
+        # degenerate to exp(MASK-MASK)=1 and o would be mean(V).  Such rows
+        # are defined to output zeros; detect them by the running max.
+        o = jnp.where(m_scr[:, :1] > 0.5 * MASK_VALUE, o, 0.0)
         if use_int8_pv:
             # Undo the P (1/127) and per-channel V scales in one pass.
             # The block covers all KV heads ((1, Hkv, D) — Mosaic's sublane
@@ -390,7 +392,8 @@ def _flash_kernel(
 
 
 def _autotuned_blocks(
-    q, k, v, scale_q, scale_k, scale_v, is_causal, sm_scale, window
+    q, k, v, scale_q, scale_k, scale_v, is_causal, sm_scale, window,
+    fused_block_quant,
 ):
     """Consult (and, when called eagerly, populate) the autotune cache.
 
@@ -403,8 +406,16 @@ def _autotuned_blocks(
 
     batch, hq, q_len, head_dim = q.shape
     hkv, kv_len = k.shape[1], k.shape[2]
+    # The quantization mode changes the kernel (int8 dots, VMEM KV cache),
+    # so it is part of the shape class.
+    if fused_block_quant:
+        kind = "flash-block"
+    elif scale_q is not None:
+        kind = f"flash-q{scale_q.ndim}"
+    else:
+        kind = "flash"
     key = autotune.shape_key(
-        "flash", batch, hq, hkv, q_len, kv_len, head_dim, is_causal, q.dtype
+        kind, batch, hq, hkv, q_len, kv_len, head_dim, is_causal, q.dtype
     )
     hit = autotune.lookup(key)
     if hit is not None:
@@ -423,6 +434,7 @@ def _autotuned_blocks(
                 window=window,
                 block_q=bq,
                 block_kv=bkv,
+                fused_block_quant=fused_block_quant,
             )
         )
         kwargs = {}
@@ -530,7 +542,8 @@ def flash_attention(
     bkv = block_kv or config.kernel.block_kv
     if bq is None and bkv is None and config.kernel.autotune and not interpret:
         bq, bkv = _autotuned_blocks(
-            q, k, v, scale_q, scale_k, scale_v, is_causal, sm_scale, window
+            q, k, v, scale_q, scale_k, scale_v, is_causal, sm_scale, window,
+            fused_block_quant,
         )
     if bq is None or bkv is None:
         hq, hkv = _heuristic_blocks(q_len, kv_len, head_dim)
@@ -550,8 +563,8 @@ def flash_attention(
 
     # Pad sequence dims to block multiples (zero padding keeps the PV matmul
     # NaN-free; padded KV columns are masked, padded Q rows are sliced off).
-    q_len_p = _round_up(q_len, bq)
-    kv_len_p = _round_up(kv_len, bkv)
+    q_len_p = round_up(q_len, bq)
+    kv_len_p = round_up(kv_len, bkv)
 
     def _pad_seq(t, target):
         if t is None or t.shape[2] == target:
@@ -712,7 +725,6 @@ def flash_attention(
         sm_scale=float(sm_scale),
         kv_valid=kv_len,
         kv_len_padded=kv_len_p,
-        q_valid=q_len,
         block_q=bq,
         block_kv=bkv,
         use_exp2=config.kernel.use_exp2,
@@ -774,7 +786,7 @@ def flash_attention(
         interpret=interpret,
     )(*args)
 
-    out = outs[0] if return_residuals else outs[0]
+    out = outs[0]
     if q_len_p != q_len:
         out = out[:, :, :q_len, :]
     if return_residuals:

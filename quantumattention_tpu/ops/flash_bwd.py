@@ -38,13 +38,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import config
 from ..utils import checks
+from ..utils.shapes import round_up
 
 LOG2E = math.log2(math.e)
 NUM_LANES = 128
-
-
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
 
 
 def _block_mask(
@@ -58,7 +55,6 @@ def _block_mask(
     q_valid: int,
 ):
     """Boolean keep-mask for one (bq, bkv) tile; None if nothing to mask."""
-    need = causal or window is not None
     row = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + q_start
     col = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + kv_start
     mask = None
@@ -229,10 +225,10 @@ def flash_attention_bwd(
     if is_causal and window is not None:
         window = (window[0], None)
 
-    bq = min(block_q, _round_up(q_len, 128))
-    bkv = min(block_kv, _round_up(kv_len, 128))
-    q_len_p = _round_up(q_len, bq)
-    kv_len_p = _round_up(kv_len, bkv)
+    bq = min(block_q, round_up(q_len, 128))
+    bkv = min(block_kv, round_up(kv_len, 128))
+    q_len_p = round_up(q_len, bq)
+    kv_len_p = round_up(kv_len, bkv)
 
     def pad_seq(t, target):
         if t.shape[2] == target:

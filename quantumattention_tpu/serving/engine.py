@@ -31,6 +31,7 @@ from ..models import llama
 from ..ops import quant
 from ..ops.decode import decode_attention
 from . import kv_cache as kvc
+from ..utils.shapes import round_up
 from .sampling import SamplingParams, sample
 
 
@@ -45,10 +46,6 @@ class Request:
     output: List[int] = dataclasses.field(default_factory=list)
     slot: Optional[int] = None
     done: bool = False
-
-
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
 
 
 class Engine:
@@ -75,6 +72,14 @@ class Engine:
         if prefill_chunk is not None and cache_backend != "slots":
             raise ValueError(
                 "chunked prefill currently requires the 'slots' backend"
+            )
+        if prefill_chunk is not None and max_len % prefill_chunk != 0:
+            # Chunk writes are full-width (bounded jit cache: one compile
+            # per chunk offset); alignment guarantees they never run past
+            # the cache end.
+            raise ValueError(
+                f"max_len ({max_len}) must be a multiple of prefill_chunk "
+                f"({prefill_chunk})"
             )
         self.prefill_chunk = prefill_chunk
         self.params = params
@@ -141,6 +146,8 @@ class Engine:
         eos_id: Optional[int] = None,
         sampling: Optional[SamplingParams] = None,
     ) -> Request:
+        if len(prompt) < 1:
+            raise ValueError("prompt must contain at least one token")
         if len(prompt) + max_new_tokens > self.max_len:
             raise ValueError(
                 f"prompt ({len(prompt)}) + max_new_tokens ({max_new_tokens}) "
@@ -178,7 +185,16 @@ class Engine:
 
     def _admit(self) -> None:
         while self.waiting and self.free_slots:
-            req = self.waiting.pop(0)
+            req = self.waiting[0]
+            if self.cache_backend == "paged":
+                # Backpressure: admit only when the pool can hold the
+                # request's full potential length, so neither prefill nor
+                # any later decode step can hit an out-of-pages error
+                # mid-stream (the reservation is made here, FIFO).
+                total = len(req.prompt) + req.max_new_tokens
+                if not self.alloc.can_fit(total, self.page_size):
+                    break
+            self.waiting.pop(0)
             slot = self.free_slots.pop(0)
             req.slot = slot
             self._prefill_into_slot(req)
@@ -229,15 +245,17 @@ class Engine:
         logits = llama.forward_chunk(params, chunk_tokens, positions, cfg, attend)
         slot_arr = slot[None]
         off_arr = jnp.full((1,), off, jnp.int32)
-        nval_arr = jnp.full((1,), tc, jnp.int32)
+        nval_arr = jnp.reshape(tc, (1,)).astype(jnp.int32)
         for li in range(cfg.num_layers):
             k_l, v_l = recorded[li]
-            # Slice to the valid tokens (tc static) so the cache write can
-            # never run past max_len — dynamic_update_slice would silently
-            # clamp and corrupt earlier tokens otherwise.
+            # Full-width writes (tc stays traced -> one compile per chunk
+            # offset, max_len/chunk total).  Alignment is guaranteed by the
+            # max_len % prefill_chunk check at construction, so the write
+            # can never run past the cache; rows beyond tc hold garbage but
+            # lengths (off + tc) masks them and the next chunk overwrites.
             caches[li] = kvc.append(
-                caches[li], slot_arr, k_l[:, :, :tc].astype(jnp.float32),
-                v_l[:, :, :tc].astype(jnp.float32), off_arr, nval_arr,
+                caches[li], slot_arr, k_l.astype(jnp.float32),
+                v_l.astype(jnp.float32), off_arr, nval_arr,
             )
         return caches, logits
 
@@ -245,7 +263,7 @@ class Engine:
         """Prefill via fixed-size chunks; returns the last chunk's logits."""
         if not hasattr(self, "_chunk_jit"):
             self._chunk_jit = jax.jit(
-                self._prefill_chunk_impl, static_argnames=("off", "tc")
+                self._prefill_chunk_impl, static_argnames=("off",)
             )
         n = len(req.prompt)
         chunk = self.prefill_chunk
@@ -258,7 +276,7 @@ class Engine:
             tokens[0, :tc] = req.prompt[off : off + tc]
             self.caches, logits = self._chunk_jit(
                 self.params, self.caches, jnp.asarray(tokens), slot,
-                off=off, tc=tc,
+                off=off, tc=jnp.int32(tc),
             )
             last_valid = tc
             off += tc
@@ -274,7 +292,10 @@ class Engine:
             self._maybe_finish(req, tok)
             return
         n = len(req.prompt)
-        padded = _round_up(max(n, 1), self.prefill_bucket)
+        # Clamp the bucket to the cache: an unclamped pad could make the
+        # write wider than max_len (a shape error at best, silent
+        # dynamic_update_slice clamping at worst).
+        padded = min(round_up(n, self.prefill_bucket), self.max_len)
         tokens = np.zeros((1, padded), np.int32)
         tokens[0, :n] = req.prompt
         logits, kv = self._prefill_jit(self.params, jnp.asarray(tokens))
@@ -292,8 +313,12 @@ class Engine:
         else:
             from . import paged_cache as pgc
 
-            # Reserve pages for the padded chunk, write page by page.
-            self.alloc.allocate(req.slot, padded, self.page_size)
+            # Reserve the request's FULL potential length up front (prompt
+            # + max_new_tokens, at least the padded prefill chunk) so the
+            # admission-time can_fit check is a real reservation and decode
+            # can never run out of pages mid-stream.
+            reserve = max(padded, n + req.max_new_tokens)
+            self.alloc.allocate(req.slot, reserve, self.page_size)
             n_pages = padded // self.page_size
             page_ids = jnp.asarray(
                 self.alloc.tables[req.slot, :n_pages], jnp.int32

@@ -18,6 +18,8 @@ class SamplingParams:
     def __post_init__(self):
         if self.temperature < 0:
             raise ValueError("temperature must be >= 0")
+        if self.top_k is not None and self.top_k < 1:
+            raise ValueError("top_k must be >= 1")
         if self.top_p is not None and not (0 < self.top_p <= 1):
             raise ValueError("top_p must be in (0, 1]")
 
@@ -32,7 +34,8 @@ def sample(
         raise ValueError("stochastic sampling requires a PRNG key")
     logits = logits / params.temperature
     if params.top_k is not None:
-        kth = jnp.sort(logits, axis=-1)[:, -params.top_k][:, None]
+        top_k = min(params.top_k, logits.shape[-1])
+        kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
         logits = jnp.where(logits < kth, -jnp.inf, logits)
     if params.top_p is not None:
         sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]

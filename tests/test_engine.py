@@ -187,3 +187,69 @@ def test_engine_chunked_prefill_rejects_paged(params):
             params, CFG, num_slots=1, max_len=256,
             cache_backend="paged", prefill_chunk=32,
         )
+
+
+def test_engine_rejects_empty_prompt(params):
+    eng = Engine(params, CFG, num_slots=1, max_len=128, cache_dtype=jnp.bfloat16)
+    with pytest.raises(ValueError, match="at least one"):
+        eng.submit([])
+
+
+def test_engine_prefill_bucket_clamped_to_max_len(params):
+    """Prompt near a non-bucket-aligned max_len must not crash or corrupt."""
+    eng = Engine(
+        params, CFG, num_slots=1, max_len=200, cache_dtype=jnp.bfloat16,
+        prefill_bucket=128,
+    )
+    req = eng.submit(list(range(3, 193)), max_new_tokens=5)  # 190 tokens
+    eng.run_to_completion()
+    assert req.done and len(req.output) == 5
+
+
+def test_engine_paged_backpressure(params):
+    """Requests beyond the page pool wait instead of crashing, and run
+    once pages free up."""
+    eng = Engine(
+        params, CFG, num_slots=2, max_len=256, cache_dtype=jnp.bfloat16,
+        cache_backend="paged", page_size=64,
+        num_pages=4,  # exactly one 256-token sequence
+    )
+    r1 = eng.submit([1, 2, 3], max_new_tokens=2)
+    r2 = eng.submit([4, 5, 6], max_new_tokens=2)
+    done = eng.run_to_completion()
+    assert {r.id for r in done} == {r1.id, r2.id}
+    assert len(r1.output) == 2 and len(r2.output) == 2
+
+
+def test_engine_chunked_prefill_requires_alignment(params):
+    with pytest.raises(ValueError, match="multiple"):
+        Engine(
+            params, CFG, num_slots=1, max_len=200, cache_dtype=jnp.bfloat16,
+            prefill_chunk=64,
+        )
+
+
+def test_fully_masked_segment_rows_output_zeros():
+    """A q token whose segment matches no kv token must output exact zeros
+    (not mean(V))."""
+    from quantumattention_tpu.ops.flash import flash_attention
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(k1, (1, 2, 128, 64), jnp.float32)
+    k = jax.random.normal(k2, (1, 2, 128, 64), jnp.float32)
+    v = jax.random.normal(k3, (1, 2, 128, 64), jnp.float32)
+    q_seg = jnp.zeros((1, 128), jnp.int32).at[0, 5].set(99)
+    kv_seg = jnp.zeros((1, 128), jnp.int32)
+    out = flash_attention(
+        q, k, v, q_segment_ids=q_seg, kv_segment_ids=kv_seg,
+        block_q=128, block_kv=128,
+    )
+    np.testing.assert_array_equal(np.asarray(out[0, :, 5, :]), 0.0)
+    # Other rows unaffected.
+    from quantumattention_tpu.ops.sdpa import sdpa_reference
+
+    ref = sdpa_reference(q, k, v, q_segment_ids=q_seg, kv_segment_ids=kv_seg)
+    err = np.abs(
+        np.asarray(out[0, :, :5], np.float32) - np.asarray(ref[0, :, :5], np.float32)
+    ).max()
+    assert err < 5e-2
