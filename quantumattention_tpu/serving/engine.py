@@ -179,6 +179,22 @@ class Engine:
             out.extend(self.step())
         return out
 
+    def generate(
+        self,
+        prompts: Sequence[Sequence[int]],
+        max_new_tokens: int = 32,
+        eos_id: Optional[int] = None,
+        sampling: Optional[SamplingParams] = None,
+    ) -> List[List[int]]:
+        """Batch convenience: submit every prompt, run to completion,
+        return outputs in submission order."""
+        reqs = [
+            self.submit(p, max_new_tokens, eos_id=eos_id, sampling=sampling)
+            for p in prompts
+        ]
+        self.run_to_completion()
+        return [r.output for r in reqs]
+
     # ------------------------------------------------------------------
     # Prefill / admission
     # ------------------------------------------------------------------

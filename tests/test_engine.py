@@ -253,3 +253,10 @@ def test_fully_masked_segment_rows_output_zeros():
         np.asarray(out[0, :, :5], np.float32) - np.asarray(ref[0, :, :5], np.float32)
     ).max()
     assert err < 5e-2
+
+
+def test_engine_generate_batch_api(params):
+    eng = Engine(params, CFG, num_slots=2, max_len=128, cache_dtype=jnp.bfloat16)
+    outs = eng.generate([[1, 2, 3], [4, 5], [6]], max_new_tokens=2)
+    assert len(outs) == 3
+    assert all(len(o) == 2 for o in outs)
