@@ -59,3 +59,40 @@ def test_fuzz_flash_vs_oracle(seed):
         f"seed={seed} hq={hq} hkv={hkv} sq={sq} skv={skv} d={d} "
         f"causal={is_causal} window={window} blocks=({bq},{bkv}): rmse={err}"
     )
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_backward_vs_oracle(seed):
+    """Random configs through the Pallas backward vs jax.grad of the oracle."""
+    from quantumattention_tpu.ops.autodiff import attention_with_vjp
+
+    rng = random.Random(1000 + seed)
+    hkv = rng.choice([1, 2])
+    group = rng.choice([1, 2, 4])
+    sq = rng.randrange(64, 384)
+    is_causal = rng.random() < 0.5
+    d = rng.choice([64, 128])
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+    q = jax.random.normal(k1, (1, hkv * group, sq, d), jnp.float32)
+    k = jax.random.normal(k2, (1, hkv, sq, d), jnp.float32)
+    v = jax.random.normal(k3, (1, hkv, sq, d), jnp.float32)
+
+    def loss_fused(q, k, v):
+        out = attention_with_vjp(
+            q, k, v, is_causal=is_causal, block_q=128, block_kv=128
+        )
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    from quantumattention_tpu.ops.sdpa import sdpa_reference as oracle
+
+    def loss_ref(q, k, v):
+        return jnp.sum(oracle(q, k, v, is_causal=is_causal).astype(jnp.float32) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gr, "qkv"):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        err = np.abs(a - b).max() / (np.abs(b).max() + 1e-9)
+        assert err < 3e-2, f"seed={seed} d{name}: {err}"

@@ -189,3 +189,33 @@ def test_ring_attention_natural_exp_domain(sp_mesh):
         )
     ref = sdpa_reference(q, k, v, is_causal=True)
     assert rmse(out, ref) < RMSE_TOL
+
+
+def test_pod_mesh_and_local_batch():
+    from quantumattention_tpu.parallel.multihost import (
+        initialize_distributed,
+        local_batch_size,
+        pod_mesh,
+    )
+
+    initialize_distributed()  # single-process: must be a no-op
+    m = pod_mesh(dp=2, sp=2)  # tp absorbs the rest (8 devices -> tp=2)
+    assert dict(zip(m.axis_names, m.devices.shape)) == {
+        "dp": 2, "sp": 2, "tp": 2,
+    }
+    assert local_batch_size(16, m, "dp") == 8
+    with pytest.raises(ValueError, match="divisible"):
+        local_batch_size(7, m, "dp")
+    with pytest.raises(ValueError, match="divisible"):
+        pod_mesh(dp=3)
+
+
+def test_ring_attention_multiple_blocks_per_shard(sp_mesh):
+    """Shards larger than one kernel block exercise q_offset arithmetic
+    across block boundaries."""
+    q, k, v = make_qkv(1, 2, 2, 1024, 64, seed=31)  # 256/shard, 2 blocks
+    out = ring_attention(
+        q, k, v, mesh=sp_mesh, is_causal=True, block_q=128, block_kv=128
+    )
+    ref = sdpa_reference(q, k, v, is_causal=True)
+    assert rmse(out, ref) < RMSE_TOL
