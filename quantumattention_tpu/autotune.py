@@ -31,7 +31,6 @@ import jax
 import jax.numpy as jnp
 
 from . import config
-from .utils import checks
 
 _CACHE: Optional[Dict[str, List[int]]] = None
 

@@ -28,8 +28,18 @@ def _path_str(path) -> str:
     return "/".join(parts)
 
 
+def _normalize(path: Union[str, Path]) -> Path:
+    """np.savez appends '.npz' to extensionless paths; mirror that on load
+    so a save/load round-trip with one path string works."""
+    path = Path(path)
+    if path.suffix != ".npz":
+        path = Path(str(path) + ".npz")
+    return path
+
+
 def save_params(params: Any, path: Union[str, Path]) -> None:
     """Write a params pytree to ``path`` (.npz)."""
+    path = _normalize(path)
     leaves = {}
     flat, _ = jax.tree_util.tree_flatten_with_path(params)
     for kpath, leaf in flat:
@@ -54,7 +64,7 @@ def load_params(template: Any, path: Union[str, Path]) -> Any:
     ``template`` supplies the pytree structure — typically
     ``init_params(key, cfg)`` output (its values are discarded).
     """
-    with np.load(path) as data:
+    with np.load(_normalize(path)) as data:
         flat, treedef = jax.tree_util.tree_flatten_with_path(template)
         loaded = []
         for kpath, leaf in flat:

@@ -274,6 +274,33 @@ def _qkv_proj(cfg: LlamaConfig, layer: Params, h: jax.Array):
     return q, k, v
 
 
+def _layer_attention(
+    cfg: LlamaConfig,
+    idx: int,
+    layer: Params,
+    x: jax.Array,
+    cos: jax.Array,
+    sin: jax.Array,
+    attend_fn,
+):
+    """One attention sublayer over (B, T, E): norm -> QKV -> RoPE ->
+    ``attend_fn(idx, q, k, v)`` on (B, H, T, D) tensors -> output proj.
+
+    Returns (new_x, k, v) with k/v the post-RoPE tensors (for KV caching).
+    """
+    batch, t, _ = x.shape
+    h = rms_norm(x, layer["attn_norm"], cfg.rms_norm_eps)
+    q, k, v = _qkv_proj(cfg, layer, h)
+    q = q.reshape(batch, t, cfg.num_q_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+    k = k.reshape(batch, t, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+    v = v.reshape(batch, t, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    out = attend_fn(idx, q, k, v)
+    out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(batch, t, cfg.q_dim)
+    return x + jnp.einsum("bsq,qe->bse", out, layer["wo"]), k, v
+
+
 def attention_block(
     cfg: LlamaConfig,
     layer: Params,
@@ -281,18 +308,12 @@ def attention_block(
     cos: jax.Array,
     sin: jax.Array,
 ) -> jax.Array:
-    """Self-attention sublayer over (B, S, E) activations."""
-    batch, seq, _ = x.shape
-    h = rms_norm(x, layer["attn_norm"], cfg.rms_norm_eps)
-    q, k, v = _qkv_proj(cfg, layer, h)
-    q = q.reshape(batch, seq, cfg.num_q_heads, cfg.head_dim).transpose(0, 2, 1, 3)
-    k = k.reshape(batch, seq, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
-    v = v.reshape(batch, seq, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
-    q = apply_rope(q, cos, sin)
-    k = apply_rope(k, cos, sin)
-    out = _attend(cfg, q, k, v, is_causal=True)
-    out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(batch, seq, cfg.q_dim)
-    return x + jnp.einsum("bsq,qe->bse", out, layer["wo"])
+    """Self-attention sublayer over (B, S, E) activations (fused kernel)."""
+    x, _, _ = _layer_attention(
+        cfg, 0, layer, x, cos, sin,
+        lambda _i, q, k, v: _attend(cfg, q, k, v, is_causal=True),
+    )
+    return x
 
 
 def mlp_block(cfg: LlamaConfig, layer: Params, x: jax.Array) -> jax.Array:
@@ -308,6 +329,36 @@ def mlp_block(cfg: LlamaConfig, layer: Params, x: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+def _decoder(
+    params: Params,
+    tokens: jax.Array,
+    positions: jax.Array,
+    cfg: LlamaConfig,
+    attend_fn,
+    collect_kv: bool = False,
+):
+    """The shared decoder body: embed -> [attention, MLP] x L -> norm ->
+    head.  ``attend_fn(idx, q, k, v)`` serves every attention sublayer;
+    with ``collect_kv`` the post-RoPE K/V of each layer are also returned.
+    """
+    cos, sin = rope_table(positions, cfg.head_dim, cfg.rope_theta)
+    x = params["embed"][tokens].astype(cfg.dtype)
+    kv = []
+    for idx, layer in enumerate(params["layers"]):
+        x, k, v = _layer_attention(cfg, idx, layer, x, cos, sin, attend_fn)
+        if collect_kv:
+            kv.append((k, v))
+        x = mlp_block(cfg, layer, x)
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
+    logits = jnp.einsum("bse,ev->bsv", x, head).astype(jnp.float32)
+    return (logits, kv) if collect_kv else logits
+
+
+def _fused_attend(cfg: LlamaConfig):
+    return lambda _i, q, k, v: _attend(cfg, q, k, v, is_causal=True)
+
+
 def forward(
     params: Params,
     tokens: jax.Array,
@@ -316,20 +367,9 @@ def forward(
     positions: Optional[jax.Array] = None,
 ) -> jax.Array:
     """(B, S) int32 tokens -> (B, S, vocab) fp32 logits."""
-    _, seq = tokens.shape
     if positions is None:
-        positions = jnp.arange(seq, dtype=jnp.int32)
-    cos, sin = rope_table(positions, cfg.head_dim, cfg.rope_theta)
-
-    x = params["embed"][tokens].astype(cfg.dtype)
-    for layer in params["layers"]:
-        x = attention_block(cfg, layer, x, cos, sin)
-        x = mlp_block(cfg, layer, x)
-    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    head = (
-        params["embed"].T if cfg.tie_embeddings else params["lm_head"]
-    )
-    return jnp.einsum("bse,ev->bsv", x, head).astype(jnp.float32)
+        positions = jnp.arange(tokens.shape[1], dtype=jnp.int32)
+    return _decoder(params, tokens, positions, cfg, _fused_attend(cfg))
 
 
 def forward_prefill(
@@ -345,32 +385,11 @@ def forward_prefill(
     (B, Hkv, S, D) in cfg.dtype — the exact tensors decode attention must
     see, i.e. *after* RoPE.
     """
-    batch, seq = tokens.shape
     if positions is None:
-        positions = jnp.arange(seq, dtype=jnp.int32)
-    cos, sin = rope_table(positions, cfg.head_dim, cfg.rope_theta)
-
-    x = params["embed"][tokens].astype(cfg.dtype)
-    kv = []
-    for layer in params["layers"]:
-        h = rms_norm(x, layer["attn_norm"], cfg.rms_norm_eps)
-        q, k, v = _qkv_proj(cfg, layer, h)
-        q = q.reshape(batch, seq, cfg.num_q_heads, cfg.head_dim).transpose(0, 2, 1, 3)
-        k = k.reshape(batch, seq, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
-        v = v.reshape(batch, seq, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
-        kv.append((k, v))
-        out = _attend(cfg, q, k, v, is_causal=True)
-        out = (
-            out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(batch, seq, cfg.q_dim)
-        )
-        x = x + jnp.einsum("bsq,qe->bse", out, layer["wo"])
-        x = mlp_block(cfg, layer, x)
-    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
-    logits = jnp.einsum("bse,ev->bsv", x, head).astype(jnp.float32)
-    return logits, kv
+        positions = jnp.arange(tokens.shape[1], dtype=jnp.int32)
+    return _decoder(
+        params, tokens, positions, cfg, _fused_attend(cfg), collect_kv=True
+    )
 
 
 def forward_chunk(
@@ -387,25 +406,7 @@ def forward_chunk(
     (typically: fused attention over cache-prefix ++ chunk with
     ``q_offset = chunk start``).  Returns (B, T, vocab) fp32 logits.
     """
-    batch, t = tokens.shape
-    cos, sin = rope_table(positions, cfg.head_dim, cfg.rope_theta)
-
-    x = params["embed"][tokens].astype(cfg.dtype)
-    for idx, layer in enumerate(params["layers"]):
-        h = rms_norm(x, layer["attn_norm"], cfg.rms_norm_eps)
-        q, k, v = _qkv_proj(cfg, layer, h)
-        q = q.reshape(batch, t, cfg.num_q_heads, cfg.head_dim).transpose(0, 2, 1, 3)
-        k = k.reshape(batch, t, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
-        v = v.reshape(batch, t, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
-        out = attend_fn(idx, q, k, v)
-        out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(batch, t, cfg.q_dim)
-        x = x + jnp.einsum("bsq,qe->bse", out, layer["wo"])
-        x = mlp_block(cfg, layer, x)
-    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
-    return jnp.einsum("bse,ev->bsv", x, head).astype(jnp.float32)
+    return _decoder(params, tokens, positions, cfg, attend_fn)
 
 
 def forward_decode(
@@ -427,25 +428,15 @@ def forward_decode(
 
     Returns (B, vocab) fp32 logits for the next token.
     """
-    batch = tokens.shape[0]
-    cos, sin = rope_table(positions[:, None], cfg.head_dim, cfg.rope_theta)
 
-    x = params["embed"][tokens][:, None, :].astype(cfg.dtype)  # (B, 1, E)
-    for idx, layer in enumerate(params["layers"]):
-        h = rms_norm(x, layer["attn_norm"], cfg.rms_norm_eps)
-        q, k, v = _qkv_proj(cfg, layer, h)
-        q = q.reshape(batch, 1, cfg.num_q_heads, cfg.head_dim).transpose(0, 2, 1, 3)
-        k = k.reshape(batch, 1, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
-        v = v.reshape(batch, 1, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
+    def attend_t1(idx, q, k, v):  # (B, H, 1, D) <-> engine's (B, H, D)
         out = attend_fn(idx, q[:, :, 0, :], k[:, :, 0, :], v[:, :, 0, :])
-        out = out.astype(x.dtype).reshape(batch, 1, cfg.q_dim)
-        x = x + jnp.einsum("bsq,qe->bse", out, layer["wo"])
-        x = mlp_block(cfg, layer, x)
-    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
-    return jnp.einsum("bse,ev->bsv", x, head)[:, 0, :].astype(jnp.float32)
+        return out[:, :, None, :]
+
+    logits = _decoder(
+        params, tokens[:, None], positions[:, None], cfg, attend_t1
+    )
+    return logits[:, 0, :]
 
 
 def loss_fn(params: Params, tokens: jax.Array, cfg: LlamaConfig) -> jax.Array:

@@ -414,6 +414,12 @@ def _autotuned_blocks(
         kind = f"flash-q{scale_q.ndim}"
     else:
         kind = "flash"
+    if scale_v is not None:
+        kind += "-pv8"
+    if window is not None:
+        # Window extents change the block-skip fraction and thus the
+        # optimal blocks; fold them into the shape class.
+        kind += f"-w{window[0]}_{window[1]}"
     key = autotune.shape_key(
         kind, batch, hq, hkv, q_len, kv_len, head_dim, is_causal, q.dtype
     )

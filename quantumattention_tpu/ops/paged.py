@@ -32,14 +32,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import config
 from ..utils import checks
+from ..utils.shapes import cdiv
 
 LOG2E = math.log2(math.e)
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 NUM_LANES = 128
-
-
-def _cdiv(a: int, b: int) -> int:
-    return -(-a // b)
 
 
 class _PageGather:
@@ -335,9 +332,19 @@ def paged_decode_attention(
         # The interpreter's DMA semantics are unreliable when several DMA
         # kernels execute inside one program; route interpret mode through
         # a jnp gather + the ragged decode kernel (identical semantics).
-        # Per-page DMA slices also need a 128-aligned minor dim (Mosaic
-        # tiling), so small head dims take the gather path too.
-        use_dma = not interpret and head_dim % 128 == 0
+        # Per-page DMA slices also need Mosaic-tileable shapes: a
+        # 128-aligned minor dim (head_dim for KV pages; page_size for the
+        # 1-D scale pages) and an 8/32-aligned second-to-minor (page_size).
+        # Misaligned configs take the gather path, which materializes each
+        # sequence's full padded KV per call — correct but O(B*S_max)
+        # traffic, so prefer page_size=128 and head_dim % 128 == 0 in
+        # production.
+        use_dma = (
+            not interpret
+            and head_dim % 128 == 0
+            and page_size % 32 == 0
+            and (not quantized or page_size % 128 == 0)
+        )
     if not use_dma:
         return _gathered_reference(
             q, k_pages, v_pages, lengths, page_indices,
@@ -345,7 +352,7 @@ def paged_decode_attention(
             sm_scale=sm_scale, interpret=interpret,
         )
 
-    group_pad = max(8, _cdiv(group, 8) * 8)
+    group_pad = max(8, cdiv(group, 8) * 8)
     qg = q.reshape(batch, num_kv_heads, group, head_dim)
     if group_pad != group:
         qg = jnp.pad(qg, [(0, 0), (0, 0), (0, group_pad - group), (0, 0)])

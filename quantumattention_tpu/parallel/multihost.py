@@ -10,10 +10,9 @@ slowest axis (dp) crosses DCN — the scaling-book layout rule.
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
-import numpy as np
 from jax.sharding import Mesh
 
 from .mesh import make_mesh
@@ -28,12 +27,28 @@ def initialize_distributed(
 
     On Cloud TPU pods the arguments are auto-detected from the metadata
     server; elsewhere pass them explicitly or via JAX_COORDINATOR_ADDRESS /
-    JAX_NUM_PROCESSES / JAX_PROCESS_ID.
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID (jax reads the coordinator address
+    itself but not the process id, so it is read here).
     """
-    if num_processes is None:
-        num_processes = int(os.environ.get("JAX_NUM_PROCESSES", "1"))
-    if num_processes <= 1 and coordinator_address is None:
-        return
+    env_np = os.environ.get("JAX_NUM_PROCESSES")
+    if num_processes is None and env_np is not None:
+        num_processes = int(env_np)
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    if (
+        num_processes is not None
+        and num_processes <= 1
+        and coordinator_address is None
+    ):
+        return  # explicit single-process: nothing to bring up
+    if (
+        num_processes is None
+        and coordinator_address is None
+        and os.environ.get("JAX_COORDINATOR_ADDRESS") is None
+    ):
+        return  # no distributed configuration present at all
+    # None values are passed through so jax's cluster auto-detection
+    # (Cloud TPU metadata, SLURM, ...) can fill them in.
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

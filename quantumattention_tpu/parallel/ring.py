@@ -25,7 +25,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from .. import config
 from ..ops.flash import flash_attention
@@ -119,7 +119,13 @@ def _ring_body(
     (o, _, _, _, _), _ = jax.lax.scan(
         step, (o0, m0, l0, k, v), jnp.arange(n), unroll=True
     )
-    return o.astype(v.dtype)
+    # Match flash_attention's output contract: 8-bit value dtypes promote
+    # to bf16 (casting the merged fp32 result to fp8 would silently
+    # saturate/quantize it).
+    out_dtype = v.dtype
+    if jnp.dtype(out_dtype).itemsize == 1:
+        out_dtype = jnp.bfloat16
+    return o.astype(out_dtype)
 
 
 def ring_attention(

@@ -42,8 +42,8 @@ def head_parallel_attention(
     if q.shape[1] % n or k.shape[1] % n:
         raise ValueError(
             f"q heads ({q.shape[1]}) and kv heads ({k.shape[1]}) must both "
-            f"divide the '{axis_name}' axis size ({n}); replicate KV instead "
-            "for finer Q-head sharding"
+            f"be divisible by the '{axis_name}' axis size ({n}); replicate "
+            "KV instead for finer Q-head sharding"
         )
 
     hspec = P(None, axis_name, None, None)

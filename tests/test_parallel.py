@@ -117,7 +117,7 @@ def test_head_parallel_fp8_scales(tp_mesh):
 
 def test_head_parallel_rejects_indivisible(tp_mesh):
     q, k, v = make_qkv(1, 8, 2, 256, 64)
-    with pytest.raises(ValueError, match="divide"):
+    with pytest.raises(ValueError, match="divisible"):
         head_parallel_attention(q, k, v, mesh=tp_mesh)
 
 
