@@ -28,14 +28,28 @@ def main():
     v = jax.random.normal(k3, (1, H, S, D), jnp.bfloat16)
 
     window = (args.window, 0) if args.window else None
+    wtag = f" window={args.window}" if args.window else ""
     fn = jax.jit(
         lambda q, k, v: qa.attn_func(q, k, v, is_causal=True, window=window)
     )
     t = do_bench(lambda: fn(q, k, v), iters=3, warmup=1, reps=2)
     print(
-        f"S={S} causal{f' window={args.window}' if args.window else ''}: "
-        f"{t * 1e3:.1f} ms  "
+        f"S={S} causal{wtag} bf16: {t * 1e3:.1f} ms  "
         f"{attention_tflops(t, 1, H, S, S, D, causal=True):.1f} TFLOP/s"
+    )
+    # Per-block in-kernel quantized path: must stay >= bf16 at long context
+    # (the K-only VMEM cache keeps it alive past the 16 MiB K+V budget).
+    fn_pb = jax.jit(
+        lambda q, k, v: qa.fp8_attn_func(
+            q, k, v, is_causal=True, scaling_method="per-block",
+            window=window,
+        )
+    )
+    t_pb = do_bench(lambda: fn_pb(q, k, v), iters=3, warmup=1, reps=2)
+    print(
+        f"S={S} causal{wtag} per-block: {t_pb * 1e3:.1f} ms  "
+        f"{attention_tflops(t_pb, 1, H, S, S, D, causal=True):.1f} TFLOP/s "
+        f"({t / t_pb:.2f}x bf16)"
     )
 
 

@@ -105,19 +105,35 @@ def shape_key(
     )
 
 
+def _kernel_limit_mb() -> int:
+    """The scoped-VMEM limit the kernel will actually run with.
+
+    Mirrors ops.flash._vmem_limit_bytes so the pruner and the kernel agree
+    (a 32-vs-64 MiB mismatch would reject candidates — including the
+    measured-best (1024, 2048) at d=256 — that the kernel runs fine).
+    """
+    from .utils import checks
+
+    if config.kernel.vmem_limit_mb:
+        return int(config.kernel.vmem_limit_mb)
+    return 64 if checks.tpu_generation() >= 5 else 16
+
+
 def vmem_fits(
     block_q: int,
     block_kv: int,
     head_dim: int,
     qkv_bytes: int = 2,
-    limit_mb: int = 32,
+    limit_mb: Optional[int] = None,
 ) -> bool:
     """Scoped-VMEM fit model (reference prune analogue, attention.py:765-785).
 
     Counts the score/probability tiles (fp32), the fp32 accumulator + stats
     scratch, and double-buffered Q/K/V blocks, against a conservative slice
-    of the configured limit.
+    of the limit the kernel will actually request.
     """
+    if limit_mb is None:
+        limit_mb = _kernel_limit_mb()
     tiles = 2 * block_q * block_kv * 4  # s and p, fp32
     scratch = block_q * head_dim * 4 + 2 * block_q * 128 * 4
     buffers = 2 * (block_q + 2 * block_kv) * head_dim * qkv_bytes
@@ -153,12 +169,46 @@ def _time_fetch(fn: Callable[[], jax.Array], iters: int = 3) -> float:
 
 def lookup(key: str) -> Optional[Tuple[int, int]]:
     hit = _load_cache().get(key)
-    return tuple(hit) if hit else None  # type: ignore[return-value]
+    if isinstance(hit, list) and len(hit) == 2:
+        return tuple(hit)  # type: ignore[return-value]
+    return None
 
 
 def record(key: str, block_q: int, block_kv: int) -> None:
     _load_cache()[key] = [block_q, block_kv]
     _save_cache()
+
+
+def lookup_value(key: str):
+    """Raw cache access for non-block entries (e.g. backend-path choices)."""
+    return _load_cache().get(key)
+
+
+def record_value(key: str, value) -> None:
+    _load_cache()[key] = value
+    _save_cache()
+
+
+def synth_like(t: "jax.Array") -> "jax.Array":
+    """A concrete random array matching a (possibly abstract) array's shape
+    class.
+
+    The enabler for tuning *inside* ``jax.jit``: the Inductor analogue
+    benchmarks real buffers at compile time (reference attention.py:1034);
+    JAX tracing only carries avals, so we synthesize device-resident inputs
+    of the same shape/dtype and time those.  Values are irrelevant to
+    kernel timing (no data-dependent control flow on TPU).
+    """
+    dtype = jnp.dtype(t.dtype)
+    key = jax.random.PRNGKey(0)
+    if jnp.issubdtype(dtype, jnp.integer):
+        iinfo = jnp.iinfo(dtype)
+        return jax.random.randint(
+            key, t.shape, iinfo.min // 2, iinfo.max // 2, jnp.int32
+        ).astype(dtype)
+    if dtype.itemsize == 1:  # fp8: sample in a safe range then cast
+        return (jax.random.normal(key, t.shape, jnp.float32) * 10).astype(dtype)
+    return jax.random.normal(key, t.shape, dtype)
 
 
 def tune(

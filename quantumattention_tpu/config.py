@@ -64,8 +64,17 @@ kernel = _Namespace(
     # Use base-2 exponent domain for the online softmax (folds log2(e) into
     # the scale like the reference's exp2 softmax, tk/attention.py:238-240).
     use_exp2=True,
-    # Enable the timed block-size autotuner (shape-class keyed, disk cached).
-    autotune=_env_bool("QUANTUM_ATTN_AUTOTUNE", False),
+    # Enable the timed block-size autotuner (shape-class keyed, disk
+    # cached).  On by default, like the reference's compile-time
+    # autotune_select_algorithm (attention.py:1034): the first call per
+    # shape class pays a short timed sweep; every later call (and every
+    # later process, via the disk cache) takes the cached winner.
+    autotune=_env_bool("QUANTUM_ATTN_AUTOTUNE", True),
+    # Also tune when first encountered inside jax.jit, by timing
+    # synthesized same-shape buffers at trace time (autotune.synth_like).
+    # Without this, traced call sites silently fall back to the heuristic
+    # table on a cache miss.
+    autotune_in_jit=_env_bool("QUANTUM_ATTN_AUTOTUNE_IN_JIT", True),
     # Mosaic scoped-VMEM limit override in MiB (None = compiler default,
     # 16 MiB on v5e; raising it permits larger score tiles).
     vmem_limit_mb=None,
@@ -92,6 +101,11 @@ attention = _Namespace(
     # (the VPU cost of quantizing P exceeds the MXU saving); useful where
     # decode DMA bandwidth dominates or on fp8-native MXUs.
     enable_int8_pv=_env_bool("QUANTUM_ATTN_ENABLE_INT8_PV", False),
+    # fp8-native MXU matmul (e4m3 operands fed to the MXU directly, fp32
+    # accumulation — the reference's fp8 WGMMA analogue). "auto" gates on
+    # tpu_generation() >= 6 (v5e has no fp8 MXU); True forces it on (used
+    # by CPU interpret-mode tests), False forces the upcast/int8 paths.
+    fp8_dot=_env_str("QUANTUM_ATTN_FP8_DOT", "auto"),
 )
 
 

@@ -208,6 +208,7 @@ def attention(
     window: Optional[Tuple[Optional[int], Optional[int]]] = None,
     q_segment_ids: Any = None,
     kv_segment_ids: Any = None,
+    block_mask: Any = None,
 ):
     """bf16/fp16 fused attention driver (reference nn.py:325-391).
 
@@ -225,13 +226,15 @@ def attention(
         checks.is_8bit_dtype(query.dtype)
         or checks.is_8bit_dtype(key.dtype)
         or q_segment_ids is not None
+        or block_mask is not None
     ):
-        # Pre-quantized operands are not differentiable, and the VJP wrapper
-        # does not thread segment ids; use the raw kernel.
+        # Pre-quantized operands are not differentiable, and the VJP
+        # wrapper does not thread segment ids / sparse masks; use the raw
+        # kernel (forward-only, like every reference path).
         return flash_attention(
             query, key, value, is_causal=is_causal, sm_scale=scale,
             window=window, q_segment_ids=q_segment_ids,
-            kv_segment_ids=kv_segment_ids,
+            kv_segment_ids=kv_segment_ids, block_mask=block_mask,
         )
     return autodiff.attention_with_vjp(
         query, key, value, is_causal=is_causal, sm_scale=scale, window=window
@@ -274,11 +277,32 @@ def fp8_attention(
     """
     if scaling_method is None:
         scaling_method = "head-wise"
-    if scaling_method not in ("head-wise", "token-wise", "per-block"):
+    if scaling_method not in ("head-wise", "token-wise", "per-block", "auto"):
         raise ValueError(f"unknown scaling_method: {scaling_method!r}")
 
     if (scale_q is None) != (scale_k is None):
         raise ValueError("scale_q and scale_k must be provided together")
+
+    if scaling_method == "auto":
+        # Backend/path autotune (the analogue of the reference tuning
+        # across TK / Triton / aten backends, attention.py:888-1034): time
+        # {bf16 flash, head-wise 8-bit, per-block 8-bit} once per shape
+        # class and dispatch to the cached winner.
+        if scale_q is not None:
+            raise ValueError(
+                "scaling_method='auto' tunes the quantization path; "
+                "do not pass scale_q/scale_k"
+            )
+        if checks.is_8bit_dtype(query.dtype) or checks.is_8bit_dtype(key.dtype):
+            raise ValueError("scaling_method='auto' expects float q/k")
+        scaling_method = _tuned_path(
+            query, key, value, is_causal, scale, window
+        )
+        if scaling_method == "none":
+            return attention(
+                query, key, value, attn_mask, dropout_p, is_causal,
+                scale=scale, window=window,
+            )
 
     if scaling_method == "per-block" and scale_q is not None:
         raise ValueError("per-block scaling quantizes in-kernel; "
@@ -327,6 +351,65 @@ def fp8_attention(
         sm_scale=scale,
         window=window,
     )
+
+
+def _tuned_path(query, key, value, is_causal, scale, window) -> str:
+    """Pick the fastest of {bf16 flash, head-wise 8-bit, per-block 8-bit}
+    for this shape class — "none" means run unquantized.
+
+    Eager calls time the real inputs; traced calls synthesize same-shape
+    device buffers (autotune.synth_like) so the tune still happens at
+    trace time, exactly once per shape class, winner persisted to disk.
+    """
+    from . import autotune
+
+    batch, hq, q_len, head_dim = query.shape
+    hkv, kv_len = key.shape[1], key.shape[2]
+    pkey = autotune.shape_key(
+        "path", batch, hq, hkv, q_len, kv_len, head_dim, is_causal,
+        query.dtype,
+    )
+    if window is not None:
+        pkey += f"|w{window[0]}_{window[1]}"
+    hit = autotune.lookup_value(pkey)
+    if isinstance(hit, str):
+        return hit
+    default = "per-block"
+    if not config.kernel.autotune or checks.resolve_interpret(config.interpret):
+        return default
+    if isinstance(query, jax.core.Tracer):
+        if not config.kernel.autotune_in_jit or jax.process_count() > 1:
+            return default
+        try:
+            query, key, value = (
+                autotune.synth_like(t) for t in (query, key, value)
+            )
+        except Exception:
+            return default
+
+    def _mk(method):
+        if method == "none":
+            return jax.jit(
+                lambda q, k, v: flash_attention(
+                    q, k, v, is_causal=is_causal, sm_scale=scale,
+                    window=window,
+                )
+            )
+        statics = _Fp8Statics(method, is_causal, scale, window)
+        return jax.jit(lambda q, k, v: _fp8_forward(statics, q, k, v))
+
+    best, best_t = default, float("inf")
+    for name in ("none", "head-wise", "per-block"):
+        fn = _mk(name)
+        try:
+            t = autotune._time_fetch(lambda: fn(query, key, value))
+        except Exception:  # compile failure: skip this choice
+            continue
+        if t < best_t:
+            best, best_t = name, t
+    if best_t < float("inf"):
+        autotune.record_value(pkey, best)
+    return best
 
 
 class _Fp8Statics(NamedTuple):
@@ -384,10 +467,32 @@ def _fp8_diff_fwd(statics, query, key, value):
 
 
 def _fp8_diff_bwd(statics, residuals, g):
+    """STE backward for the quantize-in-graph path: the gradient of exact
+    (unquantized) attention at the float inputs.
+
+    Blockwise route (default): recompute the float forward's (o, m, l) with
+    the fused kernel, then run the Pallas dq/dkv backward kernels — O(S)
+    memory, the same recompute-in-backward structure as standard flash
+    training.  The O(S^2) oracle VJP (materializes full logits) remains
+    only as the config-gated fallback.
+    """
     query, key, value = residuals
     window = statics.window
     if statics.is_causal and window is not None:
         window = (window[0], None)
+
+    if config.kernel.pallas_bwd:
+        from .ops.flash_bwd import flash_attention_bwd
+
+        out, (m, l) = flash_attention(
+            query, key, value, is_causal=statics.is_causal,
+            sm_scale=statics.scale, window=window, return_residuals=True,
+        )
+        return flash_attention_bwd(
+            query, key, value, out, g.astype(out.dtype), m, l,
+            is_causal=statics.is_causal, sm_scale=statics.scale,
+            window=window,
+        )
 
     def oracle(q, k, v):
         return sdpa_reference(

@@ -46,12 +46,15 @@ def attn_func(
     window: Window = None,
     q_segment_ids: Any = None,
     kv_segment_ids: Any = None,
+    block_mask: Any = None,
 ):
     """Fused bf16/fp16 attention (reference quantum_attn_interface.py:41-59).
 
     Raises ``ValueError`` when the fused kernel cannot serve the inputs.
-    Segment ids enable packed-sequence (multi-document) masking — an
-    extension over the reference.
+    Segment ids enable packed-sequence (multi-document) masking, and
+    ``block_mask`` (a (ceil(Sq/128), ceil(Skv/128)) granule bitmap) enables
+    splash-style block-sparse attention — extensions over the reference
+    (whose masks stop at causal + ragged tails, tk/attention.py:252-272).
     """
     return dispatch.attention(
         query,
@@ -64,6 +67,7 @@ def attn_func(
         window=window,
         q_segment_ids=q_segment_ids,
         kv_segment_ids=kv_segment_ids,
+        block_mask=block_mask,
     )
 
 

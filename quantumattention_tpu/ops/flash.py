@@ -33,7 +33,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -52,6 +52,19 @@ MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 #: Lane width of the residual (m, l) output layout.
 NUM_LANES = 128
+
+#: Scoped-VMEM budgets for the per-block path's resident KV caches: below
+#: KV_CACHE_BUDGET_BYTES both the quantized K and the raw V stay cached
+#: across Q rows; up to K_CACHE_BUDGET_BYTES only the (8-bit) K cache
+#: survives and V streams from HBM — this keeps the quantized fast path
+#: alive out to ~256K context (32 MiB of int8 K at D=128) instead of
+#: degrading at 16 MiB total.
+KV_CACHE_BUDGET_BYTES = 16 * 1024 * 1024
+K_CACHE_BUDGET_BYTES = 32 * 1024 * 1024
+
+#: Granule (in tokens, both axes) of the block-sparse attention bitmap.
+#: Fixed so mask semantics do not depend on tuned kernel block sizes.
+MASK_GRANULE = 128
 
 
 def _heuristic_blocks(
@@ -84,7 +97,10 @@ def _vmem_limit_bytes():
     """
     if config.kernel.vmem_limit_mb:
         return int(config.kernel.vmem_limit_mb) * 1024 * 1024
-    if checks.tpu_generation() >= 4:
+    if checks.tpu_generation() >= 5:
+        # v5e/v5p/v6e carry 128 MiB physical VMEM; v4 and earlier have far
+        # less (v4: 32 MiB VMEM + CMEM), where a 64 MiB scoped request would
+        # fail Mosaic compilation outright instead of degrading.
         return 64 * 1024 * 1024
     return None
 
@@ -121,13 +137,21 @@ def _flash_kernel(
     return_residuals: bool,
     use_int8_dot: bool,
     use_int8_pv: bool,
+    use_fp8_dot: bool,
+    fast_accum: bool,
     gqa_group: int,
     prescaled: bool,
     k_cached: bool,
+    v_cached: bool,
+    has_block_mask: bool = False,
+    block_qdtype: Any = jnp.int8,
 ):
     idx = 0
     if has_offsets:
         q_off_ref, kv_off_ref = refs[idx], refs[idx + 1]
+        idx += 2
+    if has_block_mask:
+        block_any_ref, mask_ref = refs[idx], refs[idx + 1]
         idx += 2
     if scaling in ("head", "token"):
         scale_q_ref, scale_k_ref = refs[idx], refs[idx + 1]
@@ -156,8 +180,9 @@ def _flash_kernel(
         if scaling == "block":
             sk_cache = refs[idx]
             idx += 1
-        v_cache_ref = refs[idx]
-        idx += 1
+        if v_cached:
+            v_cache_ref = refs[idx]
+            idx += 1
 
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -172,6 +197,21 @@ def _flash_kernel(
         q_off = 0
         kv_off = 0
 
+    # Per-block quantization container: int8 rides the 2x 8-bit MXU path on
+    # v5e; fp8 e4m3 rides the native fp8 MXU on v6e+ (the analogue of the
+    # reference's fp8 WGMMA, tk/attention.py:233).
+    _block_int = jnp.issubdtype(jnp.dtype(block_qdtype), jnp.integer)
+    _block_qmax = 127.0 if _block_int else 448.0
+
+    def _quantize_tile(xf):
+        """amax/qmax per-tile dynamic quantization (reference nn.py:14-19
+        math at per-block granularity)."""
+        s = jnp.maximum(jnp.max(jnp.abs(xf)) / _block_qmax, 1e-12)
+        scaled = xf * (1.0 / s)
+        if _block_int:
+            scaled = jnp.round(scaled)
+        return scaled.astype(block_qdtype), s
+
     @pl.when(j == 0)
     def _init():
         m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
@@ -183,8 +223,8 @@ def _flash_kernel(
             # outside the kernel — nn.py:410-418): one amax + scale + cast
             # per Q block, reused across every KV step.
             qf = q_ref[0, 0].astype(jnp.float32)
-            sq = jnp.maximum(jnp.max(jnp.abs(qf)) / 127.0, 1e-12)
-            q8_scr[:] = jnp.round(qf * (1.0 / sq)).astype(jnp.int8)
+            q8, sq = _quantize_tile(qf)
+            q8_scr[:] = q8
             sq_scr[0] = sq
 
     # ---- block-level skip (reference: causal two-stage decomposition and
@@ -208,6 +248,12 @@ def _flash_kernel(
             )
     if kv_valid < kv_len_padded:
         should_run = jnp.logical_and(should_run, j * block_kv < kv_valid)
+    if has_block_mask:
+        # Splash-style block-sparse skip: a kernel block whose every mask
+        # granule is zero never launches its matmuls or DMAs-consuming
+        # compute (the bitmap's OR-reduction per kernel block lives in
+        # SMEM, precomputed on the host).
+        should_run = jnp.logical_and(should_run, block_any_ref[i, j] > 0)
 
     @pl.when(should_run)
     def _run():
@@ -222,38 +268,36 @@ def _flash_kernel(
             @pl.when(i == first_i)
             def _fill():
                 if scaling == "block":
-                    kf = k_ref[0, 0].astype(jnp.float32)
-                    skv_ = jnp.maximum(jnp.max(jnp.abs(kf)) / 127.0, 1e-12)
-                    k_cache_ref[ds] = jnp.round(kf * (1.0 / skv_)).astype(
-                        jnp.int8
-                    )
+                    k8, skv_ = _quantize_tile(k_ref[0, 0].astype(jnp.float32))
+                    k_cache_ref[ds] = k8
                     sk_cache[j] = skv_
                 else:
                     k_cache_ref[ds] = k_ref[0, 0]
-                v_cache_ref[ds] = v_ref[0, 0]
+                if v_cached:
+                    v_cache_ref[ds] = v_ref[0, 0]
 
             k_blk = k_cache_ref[ds]
-            v_blk = v_cache_ref[ds]
+            v_blk = v_cache_ref[ds] if v_cached else v_ref[0, 0]
             if scaling == "block":
                 sk = sk_cache[j]
         else:
             k_blk = k_ref[0, 0]
             v_blk = v_ref[0, 0]
             if scaling == "block":
-                kf = k_blk.astype(jnp.float32)
-                sk = jnp.maximum(jnp.max(jnp.abs(kf)) / 127.0, 1e-12)
-                k_blk = jnp.round(kf * (1.0 / sk)).astype(jnp.int8)
-
-        q = _compute_cast(q_ref[0, 0])  # (block_q, D)
+                k_blk, sk = _quantize_tile(k_blk.astype(jnp.float32))
 
         if scaling == "block":
             # 8-bit MXU path on the in-kernel-quantized tiles; both dequant
             # scalars fold into the multiply below together with sm_scale.
+            # int8 container goes through the int32 accumulator Mosaic
+            # requires; the fp8 container (v6e+) accumulates fp32 natively.
             s = jax.lax.dot_general(
                 q8_scr[:],
                 k_blk,
                 (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32,
+                preferred_element_type=(
+                    jnp.int32 if _block_int else jnp.float32
+                ),
             ).astype(jnp.float32)
         elif use_int8_dot:
             # Mosaic requires an int accumulator for int8 operands; the
@@ -264,9 +308,20 @@ def _flash_kernel(
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
             ).astype(jnp.float32)
+        elif use_fp8_dot:
+            # Generation-gated fp8-native MXU matmul: e4m3 operands feed the
+            # MXU directly with fp32 accumulation — the TPU analogue of the
+            # reference's fp8 WGMMA (tk/attention.py:233).  Reached on v6e+
+            # (or when config.attention.fp8_dot is forced on).
+            s = jax.lax.dot_general(
+                q_ref[0, 0],
+                k_blk,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         else:
             s = jax.lax.dot_general(
-                q,
+                _compute_cast(q_ref[0, 0]),
                 _compute_cast(k_blk),
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -295,6 +350,7 @@ def _flash_kernel(
             or window is not None
             or kv_valid < kv_len_padded
             or has_segments
+            or has_block_mask
         )
         if need_mask:
             def apply_mask(s):
@@ -327,6 +383,52 @@ def _flash_kernel(
                     q_seg = q_seg_ref[0][:, :1]  # (bq, 1)
                     kv_seg = kv_seg_ref[0][:1, :]  # (1, bkv)
                     mask = _and(mask, q_seg == kv_seg)
+                if has_block_mask:
+                    # Expand this block's slice of the granule bitmap to
+                    # element level with two tiny MXU matmuls built from
+                    # iota-compare selection matrices.  Gathers and
+                    # sublane-expanding reshapes are layout-hostile in
+                    # Mosaic, and dynamic lane slicing is illegal, so the
+                    # mask block arrives as FULL granule rows (bq/G, nkv_g)
+                    # and the column select rides the first matmul:
+                    #   sub_cols[a, c] = sub_rows[a, j*nkb + c//G]
+                    #   elem[r, c]     = sub_cols[r//G, c]
+                    # Cost ~6% of the QK matmul.
+                    g = MASK_GRANULE
+                    nqb, nkb = block_q // g, block_kv // g
+                    sub_rows = mask_ref[:, :].astype(jnp.bfloat16)
+                    nkv_g = sub_rows.shape[1]
+                    gk = jax.lax.broadcasted_iota(
+                        jnp.int32, (nkv_g, block_kv), 0
+                    )
+                    cc = (
+                        jax.lax.broadcasted_iota(
+                            jnp.int32, (nkv_g, block_kv), 1
+                        )
+                        // g
+                        + j * nkb
+                    )
+                    rk = (gk == cc).astype(jnp.bfloat16)
+                    sub_cols = jax.lax.dot_general(
+                        sub_rows, rk, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    rr = (
+                        jax.lax.broadcasted_iota(
+                            jnp.int32, (block_q, nqb), 0
+                        )
+                        // g
+                    )
+                    aa = jax.lax.broadcasted_iota(
+                        jnp.int32, (block_q, nqb), 1
+                    )
+                    rq = (rr == aa).astype(jnp.bfloat16)
+                    elem = jax.lax.dot_general(
+                        rq, sub_cols.astype(jnp.bfloat16),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    mask = _and(mask, elem > 0.5)
                 return jnp.where(mask, s, MASK_VALUE)
 
             # Note: branching per block with lax.cond to spare interior
@@ -361,6 +463,13 @@ def _flash_kernel(
             ).astype(jnp.float32)
         else:
             v = _compute_cast(v_blk)  # (block_kv, D)
+            # NOTE on use_fast_accum: the reference maps it to a reduced-
+            # precision tl.dot accumulator (mm_common.py:79); the TPU MXU
+            # has no such mode — Mosaic rejects non-32-bit matmul
+            # accumulators outright ('Expected matmul acc to be 32-bit'),
+            # because fp32 accumulation is the hardware's only path.  The
+            # flag therefore maps to the epilogue's approximate reciprocal
+            # (see _epilogue), the TPU fast-math knob that actually exists.
             pv = jax.lax.dot_general(
                 p.astype(v.dtype),
                 v,
@@ -372,7 +481,14 @@ def _flash_kernel(
     @pl.when(j == num_kv_blocks - 1)
     def _epilogue():
         l = l_scr[:, :1]
-        l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+        # fast_accum -> approximate reciprocal for the softmax
+        # normalization (the TPU analogue of the reference's fast-math
+        # epilogue division, attention.py:158-324 'div' PTX micro-op).
+        if fast_accum:
+            recip = pl.reciprocal(l, approx=True)
+        else:
+            recip = 1.0 / l
+        l_inv = jnp.where(l == 0.0, 0.0, recip)
         o = acc_scr[:] * l_inv
         # A row whose every KV position was masked (e.g. a segment id with
         # no counterpart) never sees a logit above MASK_VALUE: its p values
@@ -395,12 +511,14 @@ def _autotuned_blocks(
     q, k, v, scale_q, scale_k, scale_v, is_causal, sm_scale, window,
     fused_block_quant,
 ):
-    """Consult (and, when called eagerly, populate) the autotune cache.
+    """Consult (and populate) the autotune cache.
 
-    The timed sweep can only run outside a trace — the Inductor analogue
-    (reference attention.py:1034) benchmarks at compile time, which JAX has
-    no hook for; inside jit we take a cache hit or fall back to the
-    heuristic table.
+    The Inductor analogue (reference attention.py:1034) benchmarks its
+    choice list at compile time.  JAX has no compile-time hook, so eager
+    calls time the real inputs directly, and calls *inside* ``jax.jit``
+    synthesize concrete device buffers of the same shape class at trace
+    time and time those — either way the winner lands in the disk cache
+    and every later trace takes the cache hit.
     """
     from .. import autotune
 
@@ -427,7 +545,25 @@ def _autotuned_blocks(
     if hit is not None:
         return hit
     if isinstance(q, jax.core.Tracer):
-        return None, None  # tracing: cannot time; heuristic fallback
+        if not config.kernel.autotune_in_jit:
+            return None, None  # heuristic fallback
+        if jax.process_count() > 1:
+            # Multi-host SPMD programs must be bit-identical across hosts;
+            # independently-timed winners could diverge (and hang the pod).
+            # Pre-populate the disk cache offline instead.
+            return None, None
+        try:
+            # Pre-tune from inside the trace on synthesized inputs (see
+            # autotune.synth_like).  The timed runs pass explicit blocks,
+            # so they bypass this function — no recursion.
+            q, k, v = (autotune.synth_like(t) for t in (q, k, v))
+            if scale_q is not None:
+                scale_q = autotune.synth_like(scale_q)
+                scale_k = autotune.synth_like(scale_k)
+            if scale_v is not None:
+                scale_v = autotune.synth_like(scale_v)
+        except Exception:
+            return None, None  # synthesis failed: heuristic fallback
 
     candidates = autotune.prune_candidates(q_len, kv_len, head_dim)
 
@@ -469,6 +605,7 @@ def flash_attention(
     kv_offset: Optional[jax.Array] = None,
     q_segment_ids: Optional[jax.Array] = None,
     kv_segment_ids: Optional[jax.Array] = None,
+    block_mask: Optional[jax.Array] = None,
     block_q: Optional[int] = None,
     block_kv: Optional[int] = None,
     return_residuals: bool = False,
@@ -532,6 +669,18 @@ def flash_attention(
         and scaling != "none"
         and config.attention.enable_int8_qk
     )
+    # Generation-gated fp8-native matmul path (reference fp8 WGMMA,
+    # tk/attention.py:233; gate mirror of checks.py:61-64).
+    fp8_native = checks.fp8_dot_enabled()
+    use_fp8_dot = (
+        checks.is_fp8_dtype(q.dtype)
+        and checks.is_fp8_dtype(k.dtype)
+        and scaling != "none"
+        and fp8_native
+    )
+    block_qdtype = (
+        jnp.float8_e4m3fn if (scaling == "block" and fp8_native) else jnp.int8
+    )
     if q.dtype == jnp.int8 and scaling == "none":
         raise ValueError("int8 q/k require scales")
     use_int8_pv = v.dtype == jnp.int8 and scale_v is not None
@@ -546,7 +695,10 @@ def flash_attention(
 
     bq = block_q or config.kernel.block_q
     bkv = block_kv or config.kernel.block_kv
-    if bq is None and bkv is None and config.kernel.autotune and not interpret:
+    if (
+        bq is None and bkv is None and config.kernel.autotune
+        and not interpret and block_mask is None
+    ):
         bq, bkv = _autotuned_blocks(
             q, k, v, scale_q, scale_k, scale_v, is_causal, sm_scale, window,
             fused_block_quant,
@@ -555,6 +707,16 @@ def flash_attention(
         hq, hkv = _heuristic_blocks(q_len, kv_len, head_dim)
         bq = bq or hq
         bkv = bkv or hkv
+    if block_mask is not None:
+        # The mask block arrives as full granule rows (bq/G, nkv_g), so
+        # Mosaic's sublane rule needs bq/G to be a multiple of 8 — or the
+        # whole mask to be a single block.  Pin block_q accordingly.
+        g8 = 8 * MASK_GRANULE
+        if q_len >= g8:
+            if (bq // MASK_GRANULE) % 8 != 0:
+                bq = g8
+        else:
+            bq = round_up(q_len, MASK_GRANULE)
 
     # Fold sm_scale (and the exp2-domain log2(e)) into q ahead of the kernel:
     # one elementwise pass over Q in HBM (XLA fuses it with the producer)
@@ -602,6 +764,35 @@ def flash_attention(
         )
         in_specs += [off_spec, off_spec]
         args += [q_off, kv_off]
+    if block_mask is not None:
+        if has_offsets:
+            raise ValueError(
+                "block_mask with ring position offsets is not supported"
+            )
+        g = MASK_GRANULE
+        nq_g, nkv_g = q_len_p // g, kv_len_p // g
+        expected = (-(-q_len // g), -(-kv_len // g))
+        bm = jnp.asarray(block_mask).astype(jnp.int32)
+        if bm.shape != expected:
+            raise ValueError(
+                f"block_mask must be (ceil(Sq/{g}), ceil(Skv/{g})) = "
+                f"{expected}, got {bm.shape}"
+            )
+        bm = jnp.pad(
+            bm,
+            [(0, nq_g - bm.shape[0]), (0, nkv_g - bm.shape[1])],
+        )
+        # Per-kernel-block OR-reduction drives the whole-block skip (SMEM,
+        # scalar-indexed); the granule bitmap itself feeds the in-kernel
+        # element expansion.
+        block_any = bm.reshape(
+            q_len_p // bq, bq // g, kv_len_p // bkv, bkv // g
+        ).max(axis=(1, 3))
+        in_specs += [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((bq // g, nkv_g), lambda b, h, i, j: (i, 0)),
+        ]
+        args += [block_any.astype(jnp.int32), bm.astype(jnp.float32)]
     if scaling == "head":
         smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
         in_specs += [smem_spec, smem_spec]
@@ -651,21 +842,33 @@ def flash_attention(
             pl.BlockSpec((1, 8, bkv), lambda b, h, i, j: (b, 0, j)),
         ]
         args += [qseg, kvseg]
-    # Per-block path only: cache quantized K (int8) and V in VMEM scratch
+    # Per-block path only: cache quantized K (8-bit) and V in VMEM scratch
     # across Q-block rows, so each is fetched from HBM exactly once per
     # (batch, head) and K is quantized exactly once.  Measured on v5e this
     # helps only here — the raw bf16/int8 paths' HBM streams were already
     # fully pipelined by Mosaic, and routing them through the cache cost
     # 3-5 TFLOP/s — so the raw paths keep their plain block specs.
-    k_cache_dtype = jnp.int8
-    _kv_bytes = kv_len_p * head_dim * (1 + v.dtype.itemsize)
-    k_cached = (
+    #
+    # Long-context degradation ladder: when K+V no longer fit the scoped
+    # budget together, keep the quantized K cache (the part that also saves
+    # requantization work) and stream V fresh from HBM; past the K-only
+    # budget fall back to plain streaming.  This keeps the fastest/most-
+    # accurate quantized path alive at 32K-256K contexts instead of
+    # silently degrading at 16 MiB.
+    k_cache_dtype = block_qdtype
+    _k_bytes = kv_len_p * head_dim  # 8-bit container
+    _kv_bytes = _k_bytes * (1 + v.dtype.itemsize)
+    _cacheable = (
         scaling == "block"
         and not has_offsets
         and window is None
         and not return_residuals
-        and _kv_bytes <= 16 * 1024 * 1024
+        # A mask-skipped (i, j) block would skip the K-cache fill its later
+        # Q rows rely on, so the cache is incompatible with sparsity.
+        and block_mask is None
     )
+    v_cached = _cacheable and _kv_bytes <= KV_CACHE_BUDGET_BYTES
+    k_cached = v_cached or (_cacheable and _k_bytes <= K_CACHE_BUDGET_BYTES)
 
     if is_causal and not has_offsets:
         # Clamp the KV block index at the diagonal: skipped above-diagonal
@@ -690,7 +893,7 @@ def flash_attention(
         else:
             def k_index(b, h, i, j):
                 return (b, h // group, jnp.where(i == 0, j, 0), 0)
-        v_index = k_index
+        v_index = k_index if v_cached else kv_index
     else:
         k_index = kv_index
         v_index = kv_index
@@ -737,9 +940,14 @@ def flash_attention(
         return_residuals=return_residuals,
         use_int8_dot=use_int8_dot,
         use_int8_pv=use_int8_pv,
+        use_fp8_dot=use_fp8_dot,
+        fast_accum=config.use_fast_accum,
         gqa_group=group,
         prescaled=prescaled,
         k_cached=k_cached,
+        v_cached=v_cached,
+        has_block_mask=block_mask is not None,
+        block_qdtype=block_qdtype,
     )
 
     # FLOP estimate for XLA's latency-hiding scheduler.
@@ -759,7 +967,10 @@ def flash_attention(
             pltpu.VMEM((bq, head_dim), jnp.float32),
         ]
         + (
-            [pltpu.VMEM((bq, head_dim), jnp.int8), pltpu.SMEM((1,), jnp.float32)]
+            [
+                pltpu.VMEM((bq, head_dim), block_qdtype),
+                pltpu.SMEM((1,), jnp.float32),
+            ]
             if scaling == "block"
             else []
         )
@@ -770,7 +981,11 @@ def flash_attention(
                 if scaling == "block"
                 else []
             )
-            + [pltpu.VMEM((kv_len_p, head_dim), v.dtype)]
+            + (
+                [pltpu.VMEM((kv_len_p, head_dim), v.dtype)]
+                if v_cached
+                else []
+            )
             if k_cached
             else []
         ),

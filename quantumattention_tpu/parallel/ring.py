@@ -34,30 +34,30 @@ from ..ops.flash import flash_attention
 NUM_LANES = 128
 
 
-def _merge(o_a, m_a, l_a, o_b, m_b, l_b):
-    """Merge two partial attention results with online-softmax rescaling.
+def _merge_unnormalized(u, m, l, o_t, m_t, l_t):
+    """Fold one ring step's normalized partial (o_t, m_t, l_t) into the
+    running UNNORMALIZED accumulator (u, m, l).
 
-    All stats fp32, (B, H, Sq, 128) lane-replicated; outputs fp32
-    unnormalized-accumulator convention is NOT used — both inputs are
-    normalized outputs with their own (m, l); the merge renormalizes:
+    Carrying u = sum(exp-weighted V rows) instead of a normalized output
+    halves the per-step VPU work of the old renormalizing merge (no divide
+    + re-multiply each step); the single division happens once at ring
+    exit.  Same rescale math as the kernel between KV tiles (reference
+    merge operator tk/attention.py:274-313), applied across chips:
 
-      m = max(m_a, m_b); l = l_a*e^(m_a-m) + l_b*e^(m_b-m)
-      o = (o_a*l_a*e^(m_a-m) + o_b*l_b*e^(m_b-m)) / l
+      m' = max(m, m_t)
+      u' = u*e^(m-m') + o_t*l_t*e^(m_t-m')
+      l' = l*e^(m-m') + l_t*e^(m_t-m')
 
     The exponent base must match the kernel's softmax domain
     (config.kernel.use_exp2), read at trace time like the kernel does.
     """
     exp = jnp.exp2 if config.kernel.use_exp2 else jnp.exp
-    m = jnp.maximum(m_a, m_b)
-    a = exp(m_a - m) * l_a
-    b = exp(m_b - m) * l_b
-    l = a + b
-    l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
-    o = (
-        o_a.astype(jnp.float32) * a[..., :1]
-        + o_b.astype(jnp.float32) * b[..., :1]
-    ) * l_inv[..., :1]
-    return o, m, l
+    m_new = jnp.maximum(m, m_t)
+    a = exp(m - m_new)
+    b = exp(m_t - m_new)
+    u_new = u * a[..., :1] + o_t.astype(jnp.float32) * (l_t * b)[..., :1]
+    l_new = l * a + l_t * b
+    return u_new, m_new, l_new
 
 
 def _ring_body(
@@ -73,9 +73,11 @@ def _ring_body(
     block_kv: Optional[int],
     has_scales: bool,
 ):
-    """shard_map body: q/k/v are the local (B, H, S_local, D) shards;
-    args carries replicated head-wise (scale_q, scale_k) when quantized."""
+    """shard_map body: q/k/v are the local (B, H, S_local, D) shards; args
+    carries (scale_q, scale_k) when quantized — head-wise (B, H) scales
+    replicate; token-wise (B, H, S_local) scale_k shards rotate with KV."""
     scale_q, scale_k = args if has_scales else (None, None)
+    tokenwise = has_scales and scale_q.ndim == 3
     n = jax.lax.axis_size(axis_name)
     rank = jax.lax.axis_index(axis_name)
     q_len = q.shape[2]
@@ -85,40 +87,66 @@ def _ring_body(
     perm = [(i, (i + 1) % n) for i in range(n)]
 
     def step(carry, t):
-        o, m, l, k_blk, v_blk = carry
+        u, m, l, k_blk, v_blk, sk_blk = carry
         src = (rank - t) % n
         kv_off = src * kv_len
-        o_t, (m_t, l_t) = flash_attention(
-            q,
-            k_blk,
-            v_blk,
-            scale_q=scale_q,
-            scale_k=scale_k,
-            is_causal=is_causal,
-            sm_scale=sm_scale,
-            window=window,
-            q_offset=q_off,
-            kv_offset=kv_off,
-            block_q=block_q,
-            block_kv=block_kv,
-            return_residuals=True,
-        )
-        o_new, m_new, l_new = _merge(o, m, l, o_t.astype(jnp.float32), m_t, l_t)
-        # Rotate KV to the next chip (skipped semantically on the last step,
-        # but keeping it unconditional lets XLA pipeline the loop; the extra
-        # rotation returns KV to its home chip).
+
+        def compute(operand):
+            u, m, l = operand
+            o_t, (m_t, l_t) = flash_attention(
+                q,
+                k_blk,
+                v_blk,
+                scale_q=scale_q,
+                scale_k=sk_blk if tokenwise else scale_k,
+                is_causal=is_causal,
+                sm_scale=sm_scale,
+                window=window,
+                q_offset=q_off,
+                kv_offset=kv_off,
+                block_q=block_q,
+                block_kv=block_kv,
+                return_residuals=True,
+            )
+            return _merge_unnormalized(u, m, l, o_t, m_t, l_t)
+
+        if is_causal:
+            # A KV shard strictly above this chip's diagonal contributes
+            # nothing: skip the whole kernel launch (the cross-chip
+            # analogue of the kernel's block-level causal skip).  Shards
+            # and Q rows have equal extents, so "src > rank" is exactly
+            # the fully-masked condition.
+            u, m, l = jax.lax.cond(
+                kv_off <= q_off + q_len - 1,
+                compute,
+                lambda operand: operand,
+                (u, m, l),
+            )
+        else:
+            u, m, l = compute((u, m, l))
+        # Rotate KV (and token-wise K scales) to the next chip.  The final
+        # rotation is semantically redundant, but keeping it unconditional
+        # lets XLA pipeline the loop; it returns KV to its home chip.
         k_nxt = jax.lax.ppermute(k_blk, axis_name, perm)
         v_nxt = jax.lax.ppermute(v_blk, axis_name, perm)
-        return (o_new, m_new, l_new, k_nxt, v_nxt), None
+        sk_nxt = (
+            jax.lax.ppermute(sk_blk, axis_name, perm) if tokenwise else sk_blk
+        )
+        return (u, m, l, k_nxt, v_nxt, sk_nxt), None
 
     batch, heads, _, head_dim = q.shape
-    o0 = jnp.zeros((batch, heads, q_len, head_dim), jnp.float32)
+    u0 = jnp.zeros((batch, heads, q_len, head_dim), jnp.float32)
     m0 = jnp.full((batch, heads, q_len, NUM_LANES), -jnp.inf, jnp.float32)
     l0 = jnp.zeros((batch, heads, q_len, NUM_LANES), jnp.float32)
+    sk0 = scale_k if tokenwise else jnp.zeros((), jnp.float32)
 
-    (o, _, _, _, _), _ = jax.lax.scan(
-        step, (o0, m0, l0, k, v), jnp.arange(n), unroll=True
+    # No unroll: compile time stays flat in the ring size (an unrolled
+    # 16-chip pod axis would inline 16 kernel calls into one XLA graph).
+    (u, _, l, _, _, _), _ = jax.lax.scan(
+        step, (u0, m0, l0, k, v, sk0), jnp.arange(n)
     )
+    l_lead = l[..., :1]
+    o = u * jnp.where(l_lead == 0.0, 0.0, 1.0 / l_lead)
     # Match flash_attention's output contract: 8-bit value dtypes promote
     # to bf16 (casting the merged fp32 result to fp8 would silently
     # saturate/quantize it).
@@ -148,19 +176,23 @@ def ring_attention(
     Args:
       q/k/v: (B, H, S, D) global arrays; S is sharded over ``axis_name``
         (other dims may be sharded over other mesh axes by the caller's jit).
-      scale_q/scale_k: optional head-wise (B, H)/(B, Hkv) dequantization
-        scales for pre-quantized fp8/int8 q/k — head-wise granularity is
-        position-independent, so the scales replicate across the ring while
-        the quantized KV payload rotates (half the ICI traffic of bf16).
+      scale_q/scale_k: optional dequantization scales for pre-quantized
+        fp8/int8 q/k.  Head-wise (B, H)/(B, Hkv) scales are position-
+        independent and replicate across the ring; token-wise (B, H, S)
+        scales shard over ``axis_name`` and scale_k rotates alongside its
+        KV payload.  Either way the quantized KV halves the ICI traffic
+        vs a bf16 ring.
 
     Returns (B, H, S, D) with the same sequence sharding as q.
     """
     has_scales = scale_q is not None
-    if has_scales and scale_q.ndim != 2:
+    if has_scales and scale_q.ndim not in (2, 3):
         raise ValueError(
-            "ring_attention supports head-wise (B, H) scales only; "
-            "token-wise scales would need to rotate with the KV shards"
+            "ring_attention scales must be head-wise (B, H) or token-wise "
+            f"(B, H, S); got rank {scale_q.ndim}"
         )
+    if has_scales and scale_q.ndim != scale_k.ndim:
+        raise ValueError("scale_q/scale_k rank mismatch")
     body = functools.partial(
         _ring_body,
         axis_name=axis_name,
@@ -173,7 +205,12 @@ def ring_attention(
     )
     spec = P(None, None, axis_name, None)
     if has_scales:
-        scale_spec = P(None, None)
+        # Head-wise scales are position-independent and replicate across
+        # the ring; token-wise scales are per-position and shard over the
+        # sequence axis — scale_k then rotates alongside its KV shard.
+        scale_spec = (
+            P(None, None) if scale_q.ndim == 2 else P(None, None, axis_name)
+        )
         return jax.shard_map(
             body,
             mesh=mesh,

@@ -2,18 +2,24 @@
 
 The reference stops at the kernel boundary; this engine is the TPU build's
 serving extension (BASELINE.md decode config): slot-based continuous
-batching over a quantized ragged KV cache, with chunk-free prefill and a
-fully-jitted decode step.
+batching over a quantized ragged KV cache, with mixed prefill/decode
+scheduling and a fully-jitted decode step.
 
 Architecture (jit-stability first):
   * the KV cache has a fixed number of slots (max concurrent sequences) and
     a fixed max length — all jitted functions see static shapes;
-  * prefill runs one request at a time, padded to a bucket length, and
-    writes the prompt's K/V into the request's slot (compiles once per
-    bucket);
+  * prefill is chunked (both backends): every engine ``step()`` advances at
+    most ONE prefill chunk and then runs ONE decode step over all active
+    slots, so live decode streams keep producing tokens while long prompts
+    prefill (true continuous batching — a long prompt can no longer stall
+    the fleet);
   * decode runs over ALL slots every step (inactive slots have length 0,
     whose KV blocks the kernel skips via the scalar-prefetched lengths);
-  * the Python layer does admission/eviction only — no tensor math.
+  * paged backend: admission makes a FULL reservation (prompt padding AND
+    max_new_tokens) before a request leaves the waiting queue, so neither
+    prefill nor any later decode step can run out of pages mid-stream;
+  * the Python layer does admission/eviction only — no tensor math;
+  * per-token streaming via ``on_token`` callbacks.
 """
 
 from __future__ import annotations
@@ -21,7 +27,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import itertools
-from typing import Dict, List, Optional, Sequence
+from typing import Callable, Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -42,10 +48,15 @@ class Request:
     max_new_tokens: int = 32
     eos_id: Optional[int] = None
     sampling: SamplingParams = dataclasses.field(default_factory=SamplingParams)
+    #: Streaming callback: called as ``on_token(token_id, request)`` for
+    #: every generated token, in order, as soon as it is sampled.
+    on_token: Optional[Callable[[int, "Request"], None]] = None
     # Filled by the engine:
     output: List[int] = dataclasses.field(default_factory=list)
     slot: Optional[int] = None
     done: bool = False
+    #: Number of prompt tokens already prefilled (chunked prefill state).
+    prefill_pos: int = 0
 
 
 class Engine:
@@ -69,10 +80,6 @@ class Engine:
     ) -> None:
         if cache_backend not in ("slots", "paged"):
             raise ValueError(f"unknown cache_backend: {cache_backend!r}")
-        if prefill_chunk is not None and cache_backend != "slots":
-            raise ValueError(
-                "chunked prefill currently requires the 'slots' backend"
-            )
         if prefill_chunk is not None and max_len % prefill_chunk != 0:
             # Chunk writes are full-width (bounded jit cache: one compile
             # per chunk offset); alignment guarantees they never run past
@@ -81,6 +88,27 @@ class Engine:
                 f"max_len ({max_len}) must be a multiple of prefill_chunk "
                 f"({prefill_chunk})"
             )
+        if cache_backend == "paged":
+            # Page-alignment invariants: prefill writes are padded to
+            # prefill_bucket / prefill_chunk widths and mapped onto whole
+            # pages, so both must be page multiples (a misaligned bucket
+            # would floor-divide to too few pages and silently spill the
+            # tail into the wrong page).
+            if max_len % page_size != 0:
+                raise ValueError(
+                    f"max_len ({max_len}) must be a multiple of page_size "
+                    f"({page_size})"
+                )
+            if prefill_bucket % page_size != 0:
+                raise ValueError(
+                    f"prefill_bucket ({prefill_bucket}) must be a multiple "
+                    f"of page_size ({page_size})"
+                )
+            if prefill_chunk is not None and prefill_chunk % page_size != 0:
+                raise ValueError(
+                    f"prefill_chunk ({prefill_chunk}) must be a multiple "
+                    f"of page_size ({page_size})"
+                )
         self.prefill_chunk = prefill_chunk
         self.params = params
         self.cfg = cfg
@@ -120,6 +148,7 @@ class Engine:
         self.free_slots = list(range(num_slots))
         self.active: Dict[int, Request] = {}  # slot -> request
         self.waiting: List[Request] = []
+        self.prefilling: List[Request] = []  # admitted, chunks pending
         self.finished: List[Request] = []
         self.last_token = np.zeros((num_slots,), np.int32)
         self._req_ids = itertools.count()
@@ -145,6 +174,7 @@ class Engine:
         max_new_tokens: int = 32,
         eos_id: Optional[int] = None,
         sampling: Optional[SamplingParams] = None,
+        on_token: Optional[Callable[[int, Request], None]] = None,
     ) -> Request:
         if len(prompt) < 1:
             raise ValueError("prompt must contain at least one token")
@@ -159,14 +189,37 @@ class Engine:
             max_new_tokens=max_new_tokens,
             eos_id=eos_id,
             sampling=sampling or SamplingParams(),
+            on_token=on_token,
         )
+        if self.cache_backend == "paged":
+            # Reject requests that could NEVER be admitted: waiting cannot
+            # help when the request's full reservation exceeds the whole
+            # pool (run_to_completion would otherwise spin forever on an
+            # oversubscribed pool).
+            need = self.alloc.pages_for(
+                self._reservation_tokens(req), self.page_size
+            )
+            if need > self.alloc.num_pages:
+                raise ValueError(
+                    f"request needs {need} pages but the pool only has "
+                    f"{self.alloc.num_pages}; raise num_pages or shrink "
+                    "the request"
+                )
         self.waiting.append(req)
         return req
 
     def step(self) -> List[Request]:
-        """Admit + prefill waiting requests, run one decode step; returns
-        requests that finished this step."""
+        """One engine step of mixed prefill/decode scheduling.
+
+        Admits waiting requests (with full paged reservations), advances at
+        most ONE prefill chunk, then runs ONE decode step over every active
+        slot — so decode streams keep producing tokens while long prompts
+        prefill (BASELINE config 4's continuous-batching contract).
+        Returns requests that finished this step.
+        """
         self._admit()
+        if self.prefilling:
+            self._prefill_advance(self.prefilling[0])
         newly_finished: List[Request] = []
         if self.active:
             newly_finished = self._decode()
@@ -175,7 +228,7 @@ class Engine:
     def run_to_completion(self) -> List[Request]:
         """Drive step() until every submitted request is done."""
         out: List[Request] = []
-        while self.waiting or self.active:
+        while self.waiting or self.prefilling or self.active:
             out.extend(self.step())
         return out
 
@@ -199,23 +252,53 @@ class Engine:
     # Prefill / admission
     # ------------------------------------------------------------------
 
+    def _reservation_tokens(self, req: Request) -> int:
+        """Exact token capacity this request's prefill + decode will use:
+        the prompt padded to its prefill width (bucket or chunk), and room
+        for every potential new token.  The paged admission check and the
+        allocation reserve the SAME quantity, so a request that is admitted
+        can never hit an out-of-pages error mid-stream."""
+        n = len(req.prompt)
+        if self.prefill_chunk is not None and n > self.prefill_chunk:
+            padded = round_up(n, self.prefill_chunk)
+        else:
+            padded = min(round_up(n, self.prefill_bucket), self.max_len)
+        return max(padded, n + req.max_new_tokens)
+
     def _admit(self) -> None:
+        """Move waiting requests into the prefill queue, reserving their
+        full paged footprint up front (FIFO backpressure: the head of the
+        queue blocks admission until its reservation fits)."""
         while self.waiting and self.free_slots:
             req = self.waiting[0]
             if self.cache_backend == "paged":
-                # Backpressure: admit only when the pool can hold the
-                # request's full potential length, so neither prefill nor
-                # any later decode step can hit an out-of-pages error
-                # mid-stream (the reservation is made here, FIFO).
-                total = len(req.prompt) + req.max_new_tokens
-                if not self.alloc.can_fit(total, self.page_size):
+                reserve = self._reservation_tokens(req)
+                if not self.alloc.can_fit(reserve, self.page_size):
                     break
             self.waiting.pop(0)
             slot = self.free_slots.pop(0)
             req.slot = slot
-            self._prefill_into_slot(req)
-            if not req.done:  # may finish at prefill (max_new_tokens == 1)
-                self.active[slot] = req
+            if self.cache_backend == "paged":
+                self.alloc.allocate(slot, reserve, self.page_size)
+            self.prefilling.append(req)
+
+    def _prefill_advance(self, req: Request) -> None:
+        """Advance one request's prefill by at most one chunk; when the
+        prompt is fully in cache, sample the first token and promote the
+        request to the decode set."""
+        n = len(req.prompt)
+        chunked = self.prefill_chunk is not None and n > self.prefill_chunk
+        if chunked:
+            logits_last = self._prefill_one_chunk(req)
+            if req.prefill_pos < n:
+                return  # more chunks to go; decode still runs this step
+        else:
+            logits_last = self._prefill_whole(req)
+        self.prefilling.remove(req)
+        first = self._sample(logits_last, req.sampling)
+        finished_now = self._emit(req, int(first[0]))
+        if not finished_now:  # may finish at prefill (max_new_tokens == 1)
+            self.active[req.slot] = req
 
     def _prefill_chunk_impl(self, params, caches, chunk_tokens, slot, off, tc):
         """Jitted (off static): one prefill chunk attending to cache prefix
@@ -275,38 +358,108 @@ class Engine:
             )
         return caches, logits
 
-    def _prefill_chunked(self, req: Request) -> jax.Array:
-        """Prefill via fixed-size chunks; returns the last chunk's logits."""
-        if not hasattr(self, "_chunk_jit"):
-            self._chunk_jit = jax.jit(
-                self._prefill_chunk_impl, static_argnames=("off",)
+    def _prefill_chunk_paged_impl(
+        self, params, pages, chunk_tokens, table_row, off, tc
+    ):
+        """Jitted (off static): one paged prefill chunk — attends to the
+        page-gathered cache prefix + itself, then writes itself into this
+        slot's reserved pages (mixed prefill/decode on the paged backend;
+        BASELINE config 4)."""
+        from ..ops.flash import flash_attention
+        from .paged_cache import write_tokens as pgc_write
+
+        cfg = self.cfg
+        psize = self.page_size
+        width = chunk_tokens.shape[1]  # padded chunk width; tc <= width
+        positions = off + jnp.arange(width, dtype=jnp.int32)
+        recorded = {}
+
+        def attend(idx, q, k_new, v_new):
+            recorded[idx] = (k_new, v_new)
+            lp = pages[idx]
+            if off > 0:
+                # off is chunk-aligned and chunks are page multiples, so
+                # the prefix covers whole pages exactly.
+                n_pg = off // psize
+                pids = table_row[:n_pg]
+
+                def prefix(vals, scales):
+                    p = jnp.take(vals, pids, axis=1)  # (Hkv, n_pg, psize, D)
+                    p = p.astype(jnp.float32).reshape(
+                        cfg.num_kv_heads, off, cfg.head_dim
+                    )
+                    if scales is not None:
+                        s = jnp.take(scales, pids, axis=1).reshape(
+                            cfg.num_kv_heads, off
+                        )
+                        p = p * s[..., None]
+                    return p[None].astype(jnp.bfloat16)
+
+                k_all = jnp.concatenate(
+                    [prefix(lp.k, lp.k_scale), k_new.astype(jnp.bfloat16)],
+                    axis=2,
+                )
+                v_all = jnp.concatenate(
+                    [prefix(lp.v, lp.v_scale), v_new.astype(jnp.bfloat16)],
+                    axis=2,
+                )
+            else:
+                k_all, v_all = k_new, v_new
+            return flash_attention(
+                q, k_all, v_all, is_causal=True, q_offset=jnp.int32(off)
             )
+
+        logits = llama.forward_chunk(params, chunk_tokens, positions, cfg, attend)
+        first_pg = off // psize
+        n_pg_chunk = width // psize
+        pids_chunk = table_row[first_pg : first_pg + n_pg_chunk]
+        for li in range(cfg.num_layers):
+            k_l, v_l = recorded[li]
+            # Full-width writes into this slot's own reserved pages; rows
+            # beyond tc hold garbage that lengths mask and the next chunk
+            # (or the first decode append) overwrites.
+            pages[li] = pgc_write(
+                pages[li], pids_chunk, 0,
+                k_l[0].astype(jnp.float32), v_l[0].astype(jnp.float32),
+            )
+        del tc  # traced; only threaded through for jit-cache keying parity
+        return pages, logits
+
+    def _prefill_one_chunk(self, req: Request) -> jax.Array:
+        """Run exactly one prefill chunk for ``req``; returns the chunk's
+        last-valid-position logits (meaningful only on the final chunk)."""
         n = len(req.prompt)
+        off = req.prefill_pos
         chunk = self.prefill_chunk
-        slot = jnp.int32(req.slot)
-        off = 0
-        logits = None
-        while off < n:
-            tc = min(chunk, n - off)
-            tokens = np.zeros((1, chunk), np.int32)
-            tokens[0, :tc] = req.prompt[off : off + tc]
+        tc = min(chunk, n - off)
+        tokens = np.zeros((1, chunk), np.int32)
+        tokens[0, :tc] = req.prompt[off : off + tc]
+        if self.cache_backend == "slots":
+            if not hasattr(self, "_chunk_jit"):
+                self._chunk_jit = jax.jit(
+                    self._prefill_chunk_impl, static_argnames=("off",)
+                )
             self.caches, logits = self._chunk_jit(
-                self.params, self.caches, jnp.asarray(tokens), slot,
+                self.params, self.caches, jnp.asarray(tokens),
+                jnp.int32(req.slot), off=off, tc=jnp.int32(tc),
+            )
+        else:
+            if not hasattr(self, "_chunk_paged_jit"):
+                self._chunk_paged_jit = jax.jit(
+                    self._prefill_chunk_paged_impl, static_argnames=("off",)
+                )
+            table_row = jnp.asarray(self.alloc.tables[req.slot], jnp.int32)
+            self.pages, logits = self._chunk_paged_jit(
+                self.params, self.pages, jnp.asarray(tokens), table_row,
                 off=off, tc=jnp.int32(tc),
             )
-            last_valid = tc
-            off += tc
-        return logits[:, last_valid - 1, :]
+            self.alloc.lengths[req.slot] = off + tc
+        req.prefill_pos = off + tc
+        return logits[:, tc - 1, :]
 
-    def _prefill_into_slot(self, req: Request) -> None:
-        if self.prefill_chunk is not None and len(req.prompt) > self.prefill_chunk:
-            logits_last = self._prefill_chunked(req)
-            first = self._sample(logits_last, req.sampling)
-            tok = int(first[0])
-            req.output.append(tok)
-            self.last_token[req.slot] = tok
-            self._maybe_finish(req, tok)
-            return
+    def _prefill_whole(self, req: Request) -> jax.Array:
+        """Single-shot prefill (prompt fits one bucket/chunk); returns the
+        last prompt position's logits."""
         n = len(req.prompt)
         # Clamp the bucket to the cache: an unclamped pad could make the
         # write wider than max_len (a shape error at best, silent
@@ -329,13 +482,10 @@ class Engine:
         else:
             from . import paged_cache as pgc
 
-            # Reserve the request's FULL potential length up front (prompt
-            # + max_new_tokens, at least the padded prefill chunk) so the
-            # admission-time can_fit check is a real reservation and decode
-            # can never run out of pages mid-stream.
-            reserve = max(padded, n + req.max_new_tokens)
-            self.alloc.allocate(req.slot, reserve, self.page_size)
-            n_pages = padded // self.page_size
+            # Pages were reserved at admission (_admit); padded is a page
+            # multiple by the construction-time alignment invariants, and
+            # ceil-division guards the general case.
+            n_pages = -(-padded // self.page_size)
             page_ids = jnp.asarray(
                 self.alloc.tables[req.slot, :n_pages], jnp.int32
             )
@@ -346,12 +496,8 @@ class Engine:
                     k_l[0].astype(jnp.float32), v_l[0].astype(jnp.float32),
                 )
             self.alloc.lengths[req.slot] = n
-        # First generated token from the last prompt position.
-        first = self._sample(logits[:, n - 1, :], req.sampling)
-        tok = int(first[0])
-        req.output.append(tok)
-        self.last_token[req.slot] = tok
-        self._maybe_finish(req, tok)
+        req.prefill_pos = n
+        return logits[:, n - 1, :]
 
     # ------------------------------------------------------------------
     # Decode
@@ -504,15 +650,24 @@ class Engine:
         # Sample per active request (sampling params may differ per request).
         for slot, req in list(self.active.items()):
             tok = int(self._sample(logits[slot : slot + 1], req.sampling)[0])
-            req.output.append(tok)
-            self.last_token[slot] = tok
-            if self._maybe_finish(req, tok):
+            if self._emit(req, tok):
                 finished.append(req)
         return finished
 
     # ------------------------------------------------------------------
     # Helpers
     # ------------------------------------------------------------------
+
+    def _emit(self, req: Request, tok: int) -> bool:
+        """Record a newly sampled token: append, remember it as the slot's
+        next decode input, stream it to the request's callback, and check
+        termination.  Returns True when the request finished."""
+        req.output.append(tok)
+        if req.slot is not None:
+            self.last_token[req.slot] = tok
+        if req.on_token is not None:
+            req.on_token(tok, req)
+        return self._maybe_finish(req, tok)
 
     def _sample(self, logits: jax.Array, sp: SamplingParams) -> jax.Array:
         if sp.temperature == 0.0:

@@ -63,6 +63,31 @@ def supports_int8_mxu() -> bool:
     return tpu_generation() >= 5
 
 
+def supports_fp8_mxu() -> bool:
+    """Whether the MXU multiplies fp8 e4m3 operands natively (v6e+).
+
+    The TPU mirror of the reference's Hopper CC >= 9.0 gate for its fp8
+    WGMMA kernel (reference checks.py:61-64, tk/attention.py:233).  v5e has
+    no fp8 MXU mode — 8-bit throughput there comes from the int8 path.
+    """
+    return tpu_generation() >= 6
+
+
+def fp8_dot_enabled() -> bool:
+    """Resolve config.attention.fp8_dot ("auto" => generation gate).
+
+    Forcing it on (config.patch({"attention.fp8_dot": True})) lets CPU
+    interpret-mode tests exercise the fp8-native dot path that compiled
+    kernels take on v6e+.
+    """
+    from .. import config
+
+    mode = config.attention.fp8_dot
+    if mode == "auto":
+        return supports_fp8_mxu()
+    return bool(mode)
+
+
 def supports_fp8_storage() -> bool:
     """float8_e4m3fn arrays are supported by this jax/backend."""
     try:

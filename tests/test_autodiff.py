@@ -191,3 +191,28 @@ def test_fp8_train_step_default_config():
     tokens = jax.random.randint(jax.random.PRNGKey(1), (1, 64), 0, cfg.vocab_size)
     _, loss = llama.train_step(params, tokens, cfg)
     assert np.isfinite(float(loss))
+
+
+@pytest.mark.parametrize("scaling_method", ["head-wise", "per-block"])
+def test_fp8_blockwise_bwd_matches_oracle_vjp(scaling_method):
+    """The fp8 STE backward must give the same gradients through the
+    blockwise Pallas kernels (O(S) memory) as through the O(S^2) oracle
+    recompute — both are the gradient of exact unquantized attention."""
+    import quantumattention_tpu as qa
+    from quantumattention_tpu import config
+
+    q, k, v = make_qkv(1, 4, 2, 384, 384, 64, seed=31)
+    q, k, v = (t.astype(jnp.bfloat16) for t in (q, k, v))
+
+    def loss(q, k, v):
+        out = qa.fp8_attn_func(
+            q, k, v, is_causal=True, scaling_method=scaling_method
+        )
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    with config.patch({"kernel.pallas_bwd": True}):
+        g_block = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    with config.patch({"kernel.pallas_bwd": False}):
+        g_oracle = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for gb, go, name in zip(g_block, g_oracle, "qkv"):
+        assert rel_err(gb, go) < 2e-2, f"d{name}"

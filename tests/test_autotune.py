@@ -25,10 +25,15 @@ def test_shape_key_buckets_long_sequences():
 
 
 def test_prune_respects_vmem():
+    # The fit model now follows the limit the kernel will actually request
+    # (64 MiB on v5e+); pin it so the assertion is device-independent.
+    # The measured-best (1024, 2048) must survive the v5e budget (the old
+    # 32 MiB model wrongly rejected configs the kernel runs fine)...
+    assert autotune.vmem_fits(1024, 2048, 128, limit_mb=64)
+    assert autotune.vmem_fits(1024, 2048, 256, limit_mb=64)
+    # ...but not the pre-v5 default budget.
+    assert not autotune.vmem_fits(1024, 2048, 128, limit_mb=16)
     cands = autotune.prune_candidates(8192, 8192, 128)
-    assert (1024, 2048) in cands
-    assert (2048, 2048) not in cands
-    # 2*2048*2048*4 = 32 MiB of fp32 tiles alone exceeds the 32 MiB slice
     assert all(autotune.vmem_fits(bq, bkv, 128) for bq, bkv in cands)
 
 

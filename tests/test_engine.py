@@ -181,12 +181,104 @@ def test_engine_chunked_prefill_matches_whole(params, cache_dtype):
         assert agree >= n_new - 1, f"{rc.output} vs {rw.output}"
 
 
-def test_engine_chunked_prefill_rejects_paged(params):
-    with pytest.raises(ValueError, match="slots"):
-        Engine(
-            params, CFG, num_slots=1, max_len=256,
-            cache_backend="paged", prefill_chunk=32,
-        )
+@pytest.mark.parametrize("cache_dtype", ["bf16", "int8"])
+def test_engine_chunked_prefill_paged_matches_whole(params, cache_dtype):
+    """Chunked prefill on the PAGED backend: generation must match the
+    whole-prompt paged prefill (bf16 exactly; int8 re-quantizes the
+    prefix it attends to, so allow one-token drift)."""
+    dtype = jnp.bfloat16 if cache_dtype == "bf16" else jnp.int8
+    prompt = list(range(3, 90))  # 87 tokens -> 3 chunks of 32
+    n_new = 4
+
+    whole = Engine(
+        params, CFG, num_slots=1, max_len=256, cache_dtype=dtype,
+        cache_backend="paged", page_size=32,
+    )
+    rw = whole.submit(prompt, max_new_tokens=n_new)
+    whole.run_to_completion()
+
+    chunked = Engine(
+        params, CFG, num_slots=1, max_len=256, cache_dtype=dtype,
+        cache_backend="paged", page_size=32, prefill_chunk=32,
+    )
+    rc = chunked.submit(prompt, max_new_tokens=n_new)
+    chunked.run_to_completion()
+
+    if cache_dtype == "bf16":
+        assert rc.output == rw.output
+    else:
+        agree = sum(a == b for a, b in zip(rc.output, rw.output))
+        assert agree >= n_new - 1, f"{rc.output} vs {rw.output}"
+
+
+@pytest.mark.parametrize("backend", ["slots", "paged"])
+def test_engine_decode_not_starved_by_prefill(params, backend):
+    """The continuous-batching contract (BASELINE config 4): active decode
+    streams must advance EVERY engine step while a long prompt prefills in
+    chunks."""
+    kw = dict(cache_backend=backend)
+    if backend == "paged":
+        kw["page_size"] = 32
+    eng = Engine(
+        params, CFG, num_slots=2, max_len=256, cache_dtype=jnp.bfloat16,
+        prefill_chunk=32, **kw,
+    )
+    ra = eng.submit([1, 2, 3], max_new_tokens=12)
+    eng.step()  # prefill A (short prompt: single chunk) + first decode
+    assert len(ra.output) >= 1
+    rb = eng.submit(list(range(3, 100)), max_new_tokens=2)  # 97 tokens
+    while rb.prefill_pos < len(rb.prompt):
+        before = len(ra.output)
+        eng.step()
+        # Decode advanced even though B was mid-prefill this step.
+        assert len(ra.output) == before + 1
+        assert rb.prefill_pos > 0  # prefill advanced too
+    eng.run_to_completion()
+    assert ra.done and rb.done
+    # A's tokens must be unaffected by B prefilling concurrently.
+    solo = Engine(
+        params, CFG, num_slots=1, max_len=256, cache_dtype=jnp.bfloat16
+    )
+    rs = solo.submit([1, 2, 3], max_new_tokens=12)
+    solo.run_to_completion()
+    assert ra.output == rs.output
+
+
+def test_engine_streaming_callback(params):
+    """on_token streams every generated token, in order, as sampled."""
+    seen = []
+    eng = Engine(params, CFG, num_slots=1, max_len=128, cache_dtype=jnp.bfloat16)
+    req = eng.submit(
+        [7, 8, 9], max_new_tokens=5,
+        on_token=lambda tok, r: seen.append((tok, len(r.output))),
+    )
+    eng.run_to_completion()
+    assert [t for t, _ in seen] == req.output
+    assert [n for _, n in seen] == list(range(1, len(req.output) + 1))
+
+
+def test_engine_paged_oversized_request_rejected_at_submit(params):
+    """A request whose reservation exceeds the whole pool can never be
+    admitted; submit must raise instead of letting run_to_completion spin
+    forever."""
+    eng = Engine(
+        params, CFG, num_slots=2, max_len=256, cache_dtype=jnp.bfloat16,
+        cache_backend="paged", page_size=64, num_pages=2,  # 128 tokens total
+    )
+    with pytest.raises(ValueError, match="pages"):
+        eng.submit(list(range(3, 150)), max_new_tokens=32)  # needs 3 pages
+
+
+def test_engine_paged_alignment_validation(params):
+    with pytest.raises(ValueError, match="page_size"):
+        Engine(params, CFG, num_slots=1, max_len=250,
+               cache_backend="paged", page_size=64)
+    with pytest.raises(ValueError, match="prefill_bucket"):
+        Engine(params, CFG, num_slots=1, max_len=256,
+               cache_backend="paged", page_size=64, prefill_bucket=96)
+    with pytest.raises(ValueError, match="prefill_chunk"):
+        Engine(params, CFG, num_slots=1, max_len=256,
+               cache_backend="paged", page_size=64, prefill_chunk=32)
 
 
 def test_engine_rejects_empty_prompt(params):

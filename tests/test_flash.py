@@ -133,3 +133,77 @@ def test_flash_segment_ids_validation():
     q, k, v = make_qkv(1, 2, 2, 128, 128, 64)
     with pytest.raises(ValueError, match="both"):
         flash_attention(q, k, v, q_segment_ids=jnp.zeros((1, 128), jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# Block-sparse masks (splash-style; beyond the reference's causal/ragged)
+# ---------------------------------------------------------------------------
+
+
+def _expand_block_mask(bm, sq, skv, g=128):
+    e = np.repeat(np.repeat(np.asarray(bm, bool), g, axis=0), g, axis=1)
+    return e[:sq, :skv]
+
+
+@pytest.mark.parametrize("is_causal", [False, True])
+def test_block_sparse_mask_vs_oracle(is_causal):
+    import quantumattention_tpu as qa
+
+    b, h, s, d = 1, 2, 1024, 64
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(41), 3)
+    q = jax.random.normal(k1, (b, h, s, d), jnp.bfloat16)
+    k = jax.random.normal(k2, (b, h, s, d), jnp.bfloat16)
+    v = jax.random.normal(k3, (b, h, s, d), jnp.bfloat16)
+    rng = np.random.RandomState(0)
+    bm = rng.rand(s // 128, s // 128) < 0.5
+    bm[np.arange(s // 128), np.arange(s // 128)] = True  # keep diagonal
+    out = qa.attn_func(
+        q, k, v, is_causal=is_causal, block_mask=jnp.asarray(bm)
+    )
+    elem = _expand_block_mask(bm, s, s)
+    if is_causal:
+        elem = elem & np.tril(np.ones((s, s), bool))
+    ref = sdpa_reference(q, k, v, attn_mask=jnp.asarray(elem[None, None]))
+    assert rmse(out, ref) < RMSE_TOL
+
+
+def test_block_sparse_ragged_and_gqa():
+    import quantumattention_tpu as qa
+
+    b, hq, hkv, sq, skv, d = 1, 4, 2, 250, 999, 64
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(43), 3)
+    q = jax.random.normal(k1, (b, hq, sq, d), jnp.bfloat16)
+    k = jax.random.normal(k2, (b, hkv, skv, d), jnp.bfloat16)
+    v = jax.random.normal(k3, (b, hkv, skv, d), jnp.bfloat16)
+    nq, nk = -(-sq // 128), -(-skv // 128)
+    rng = np.random.RandomState(1)
+    bm = rng.rand(nq, nk) < 0.6
+    bm[0, 0] = True
+    out = qa.attn_func(q, k, v, block_mask=jnp.asarray(bm))
+    elem = _expand_block_mask(bm, sq, skv)
+    ref = sdpa_reference(q, k, v, attn_mask=jnp.asarray(elem[None, None]))
+    assert rmse(out, ref) < RMSE_TOL
+
+
+def test_block_sparse_fully_masked_rows_zero():
+    import quantumattention_tpu as qa
+
+    b, h, s, d = 1, 2, 512, 64
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(44), 3)
+    q = jax.random.normal(k1, (b, h, s, d), jnp.bfloat16)
+    k = jax.random.normal(k2, (b, h, s, d), jnp.bfloat16)
+    v = jax.random.normal(k3, (b, h, s, d), jnp.bfloat16)
+    bm = np.ones((4, 4), bool)
+    bm[2, :] = False  # rows 256:384 attend to nothing
+    out = qa.attn_func(q, k, v, block_mask=jnp.asarray(bm))
+    out_np = np.asarray(out, np.float32)
+    assert np.all(out_np[:, :, 256:384, :] == 0.0)
+    assert np.any(out_np[:, :, :256, :] != 0.0)
+
+
+def test_block_sparse_shape_validation():
+    import quantumattention_tpu as qa
+
+    q = jnp.zeros((1, 2, 512, 64), jnp.bfloat16)
+    with pytest.raises(ValueError, match="block_mask"):
+        qa.attn_func(q, q, q, block_mask=jnp.ones((3, 4), jnp.int32))

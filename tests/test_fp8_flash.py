@@ -221,3 +221,149 @@ def test_per_block_rejects_scales():
             q, q, q, scaling_method="per-block",
             scale_q=jnp.ones((1, 2)), scale_k=jnp.ones((1, 2)),
         )
+
+
+def test_fp8_native_dot_forced():
+    """The generation-gated fp8-native MXU dot (reference fp8 WGMMA analogue,
+    tk/attention.py:233), forced on so CPU interpret mode exercises the
+    v6e+ code path."""
+    from quantumattention_tpu import config
+    from quantumattention_tpu.utils import checks
+
+    # Default gate: off unless tpu_generation() >= 6.
+    assert checks.fp8_dot_enabled() == checks.supports_fp8_mxu()
+
+    q, k, v = make_qkv(2, 4, 4, 384, 384, 64, seed=11)
+    q8, sq = quant.quantize_head_wise(q)
+    k8, sk = quant.quantize_head_wise(k)
+    ref = sdpa_reference(q, k, v, is_causal=True)
+    with config.patch({"attention.fp8_dot": True}):
+        assert checks.fp8_dot_enabled()
+        out = flash_attention(
+            q8, k8, v.astype(jnp.bfloat16), scale_q=sq, scale_k=sk,
+            is_causal=True, block_q=128, block_kv=128,
+        )
+    assert rmse(out, ref) < RMSE_TOL
+    # And the upcast path agrees tightly (same e4m3 operand values either
+    # way; only the multiply unit differs).
+    with config.patch({"attention.fp8_dot": False}):
+        out_upcast = flash_attention(
+            q8, k8, v.astype(jnp.bfloat16), scale_q=sq, scale_k=sk,
+            is_causal=True, block_q=128, block_kv=128,
+        )
+    assert rmse(out, out_upcast) < 1e-3
+
+
+def test_fp8_native_dot_tokenwise():
+    from quantumattention_tpu import config
+
+    q, k, v = make_qkv(1, 4, 2, 256, 999, 64, seed=12)
+    q8, sq = quant.quantize_token_wise(q)
+    k8, sk = quant.quantize_token_wise(k)
+    with config.patch({"attention.fp8_dot": True}):
+        out = flash_attention(
+            q8, k8, v.astype(jnp.bfloat16), scale_q=sq, scale_k=sk,
+            block_q=128, block_kv=128,
+        )
+    assert rmse(out, sdpa_reference(q, k, v)) < RMSE_TOL
+
+
+def test_per_block_fp8_container():
+    """per-block in-kernel quantization with the fp8 e4m3 container (the
+    v6e+ path; int8 is the v5e container)."""
+    import quantumattention_tpu as qa
+    from quantumattention_tpu import config
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(13), 3)
+    q = jax.random.normal(k1, (1, 4, 512, 128), jnp.bfloat16)
+    k = jax.random.normal(k2, (1, 4, 512, 128), jnp.bfloat16)
+    v = jax.random.normal(k3, (1, 4, 512, 128), jnp.bfloat16)
+    ref = sdpa_reference(q, k, v, is_causal=True)
+    with config.patch({"attention.fp8_dot": True}):
+        out = qa.fp8_attn_func(
+            q, k, v, is_causal=True, scaling_method="per-block"
+        )
+    assert rmse(out, ref) < RMSE_TOL
+
+
+def test_per_block_k_only_cache(monkeypatch):
+    """K-only VMEM cache mode (long-context ladder): force the V-cache
+    budget to zero so the kernel keeps only the quantized K cache and
+    streams V — the path 32K-256K contexts take on hardware."""
+    import quantumattention_tpu as qa
+    from quantumattention_tpu.ops import flash as flash_mod
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(14), 3)
+    q = jax.random.normal(k1, (1, 2, 512, 128), jnp.bfloat16)
+    k = jax.random.normal(k2, (1, 2, 512, 128), jnp.bfloat16)
+    v = jax.random.normal(k3, (1, 2, 512, 128), jnp.bfloat16)
+    ref = sdpa_reference(q, k, v, is_causal=True)
+    monkeypatch.setattr(flash_mod, "KV_CACHE_BUDGET_BYTES", 0)
+    out = qa.fp8_attn_func(
+        q, k, v, is_causal=True, scaling_method="per-block"
+    )
+    assert rmse(out, ref) < RMSE_TOL
+    # Non-causal too (different fill/index maps).
+    out_nc = qa.fp8_attn_func(q, k, v, scaling_method="per-block")
+    assert rmse(out_nc, sdpa_reference(q, k, v)) < RMSE_TOL
+
+
+def test_fast_accum_pv():
+    """use_fast_accum: bf16-accumulated P@V (reference mm_common.py:79).
+    Cross-block accumulation stays fp32, so accuracy degrades only mildly."""
+    from quantumattention_tpu import config
+
+    q, k, v = make_qkv(1, 4, 4, 512, 512, 128, seed=15)
+    qb, kb, vb = (t.astype(jnp.bfloat16) for t in (q, k, v))
+    ref = sdpa_reference(q, k, v, is_causal=True)
+    with config.patch({"use_fast_accum": True}):
+        out = flash_attention(
+            qb, kb, vb, is_causal=True, block_q=128, block_kv=128
+        )
+    assert rmse(out, ref) < RMSE_TOL
+
+
+def test_auto_scaling_method_dispatch():
+    """scaling_method='auto' (backend-path autotune, the analogue of the
+    reference tuning across backends): correct output, cache-hit honored."""
+    import quantumattention_tpu as qa
+    from quantumattention_tpu import autotune
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(21), 3)
+    q = jax.random.normal(k1, (1, 4, 256, 64), jnp.bfloat16)
+    k = jax.random.normal(k2, (1, 4, 256, 64), jnp.bfloat16)
+    v = jax.random.normal(k3, (1, 4, 256, 64), jnp.bfloat16)
+    ref = sdpa_reference(q, k, v, is_causal=True)
+    # Interpret mode: tuner returns its default without timing.
+    out = qa.fp8_attn_func(q, k, v, is_causal=True, scaling_method="auto")
+    assert rmse(out, ref) < RMSE_TOL
+    # A cached winner must be honored — pin "none" (bf16 path) and check
+    # the output now matches the unquantized kernel bit-for-bit.
+    pkey = autotune.shape_key("path", 1, 4, 4, 256, 256, 64, True, q.dtype)
+    prev = autotune.lookup_value(pkey)
+    try:
+        autotune.record_value(pkey, "none")
+        out_none = qa.fp8_attn_func(
+            q, k, v, is_causal=True, scaling_method="auto"
+        )
+        out_bf16 = qa.attn_func(q, k, v, is_causal=True)
+        np.testing.assert_array_equal(
+            np.asarray(out_none), np.asarray(out_bf16)
+        )
+    finally:
+        if prev is None:
+            autotune._load_cache().pop(pkey, None)
+            autotune._save_cache()
+        else:
+            autotune.record_value(pkey, prev)
+
+
+def test_auto_rejects_scales_and_8bit():
+    import quantumattention_tpu as qa
+
+    q = jnp.zeros((1, 2, 128, 64), jnp.bfloat16)
+    with pytest.raises(ValueError, match="auto"):
+        qa.fp8_attn_func(
+            q, q, q, scaling_method="auto",
+            scale_q=jnp.ones((1, 2)), scale_k=jnp.ones((1, 2)),
+        )

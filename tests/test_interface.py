@@ -42,10 +42,10 @@ def test_attn_func_grid(dtype, sq, skv, d, is_causal):
     if is_causal and sq != skv:
         pytest.skip("causal + rectangular skipped (reference parity :32-33)")
     q, k, v = make_qkv(2, 8, sq, skv, d, dtype)
-    try:
-        out = qa.attn_func(q, k, v, is_causal=is_causal)
-    except ValueError as exc:  # unsupported combos skip (reference :50-53)
-        pytest.skip(str(exc))
+    # Strict: every combo in this grid is supported; a ValueError here is a
+    # capability REGRESSION and must fail loudly (the reference's
+    # skip-on-ValueError pattern, :50-53, can mask exactly that).
+    out = qa.attn_func(q, k, v, is_causal=is_causal)
     ref = sdpa_reference(q, k, v, is_causal=is_causal)
     assert rmse(out, ref) < RMSE_TOL
 
@@ -58,12 +58,10 @@ def test_fp8_attn_func_grid(scaling, sq, skv, d, is_causal):
     if is_causal and sq != skv:
         pytest.skip("causal + rectangular skipped (reference parity)")
     q, k, v = make_qkv(1, 8, sq, skv, d, jnp.bfloat16, seed=1)
-    try:
-        out = qa.fp8_attn_func(
-            q, k, v, is_causal=is_causal, scaling_method=scaling
-        )
-    except ValueError as exc:
-        pytest.skip(str(exc))
+    # Strict: see test_attn_func_grid — no skip-on-ValueError masking.
+    out = qa.fp8_attn_func(
+        q, k, v, is_causal=is_causal, scaling_method=scaling
+    )
     ref = sdpa_reference(q, k, v, is_causal=is_causal)
     assert rmse(out, ref) < RMSE_TOL
 

@@ -169,13 +169,42 @@ def test_ring_attention_fp8_scales(sp_mesh):
     assert rmse(out, ref) < RMSE_TOL
 
 
-def test_ring_rejects_token_wise_scales(sp_mesh):
+def test_ring_token_wise_scales(sp_mesh):
+    """Token-wise quantized ring: the per-position K scales shard over the
+    sequence axis and rotate with their KV payload."""
+    from quantumattention_tpu.ops.quant import quantize_token_wise
+
+    q, k, v = make_qkv(1, 4, 4, 512, 64, seed=17, dtype=jnp.float32)
+    q8, sq = quantize_token_wise(q, jnp.int8)
+    k8, sk = quantize_token_wise(k, jnp.int8)
+    out = ring_attention(
+        q8, k8, v.astype(jnp.bfloat16), mesh=sp_mesh,
+        scale_q=sq, scale_k=sk, is_causal=True,
+        block_q=128, block_kv=128,
+    )
+    ref = sdpa_reference(q8, k8, v, scale_q=sq, scale_k=sk, is_causal=True)
+    assert rmse(out, ref) < RMSE_TOL
+
+
+def test_ring_rejects_bad_scale_rank(sp_mesh):
     q, k, v = make_qkv(1, 4, 4, 512, 64, dtype=jnp.float32)
-    with pytest.raises(ValueError, match="head-wise"):
+    with pytest.raises(ValueError, match="rank"):
         ring_attention(
             q, k, v, mesh=sp_mesh,
-            scale_q=jnp.ones((1, 4, 512)), scale_k=jnp.ones((1, 4, 512)),
+            scale_q=jnp.ones((1, 4, 512, 1)), scale_k=jnp.ones((1, 4, 512, 1)),
         )
+
+
+def test_ring_causal_sp8():
+    """Causal ring at sp=8 (whole virtual mesh): above-diagonal shards skip
+    their kernel launch entirely; result still matches the oracle."""
+    mesh = qmesh.make_mesh((8,), ("sp",))
+    q, k, v = make_qkv(1, 2, 2, 1024, 64, seed=23)
+    out = ring_attention(
+        q, k, v, mesh=mesh, is_causal=True, block_q=128, block_kv=128
+    )
+    ref = sdpa_reference(q, k, v, is_causal=True)
+    assert rmse(out, ref) < RMSE_TOL
 
 
 def test_ring_attention_natural_exp_domain(sp_mesh):
@@ -219,3 +248,61 @@ def test_ring_attention_multiple_blocks_per_shard(sp_mesh):
     )
     ref = sdpa_reference(q, k, v, is_causal=True)
     assert rmse(out, ref) < RMSE_TOL
+
+
+def test_pipeline_parallel_matches_sequential():
+    """GPipe-style PP over a 4-stage mesh axis must equal sequential stage
+    application on every microbatch."""
+    from quantumattention_tpu.parallel.pp import pipeline_apply
+
+    mesh = qmesh.make_mesh((4,), ("pp",))
+    n_stages, n_micro, mb, dim = 4, 6, 2, 64
+    keys = jax.random.split(jax.random.PRNGKey(3), 3)
+    params = {
+        "w": jax.random.normal(keys[0], (n_stages, dim, dim), jnp.float32)
+        * 0.1,
+        "b": jax.random.normal(keys[1], (n_stages, dim), jnp.float32) * 0.1,
+    }
+    x = jax.random.normal(keys[2], (n_micro, mb, dim), jnp.float32)
+
+    def stage_fn(p, a):
+        return jnp.tanh(a @ p["w"] + p["b"])
+
+    out = pipeline_apply(stage_fn, params, x, mesh=mesh)
+
+    ref = x
+    for s in range(n_stages):
+        p = {"w": params["w"][s], "b": params["b"][s]}
+        ref = stage_fn(p, ref)
+    assert out.shape == x.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_pipeline_parallel_attention_stage():
+    """PP with a real attention block as the stage function (the fused
+    kernel inside a pipeline stage)."""
+    from quantumattention_tpu.parallel.pp import pipeline_apply
+    import quantumattention_tpu as qa
+
+    mesh = qmesh.make_mesh((2,), ("pp",))
+    n_stages, n_micro, heads, s, d = 2, 3, 2, 128, 64
+    keys = jax.random.split(jax.random.PRNGKey(5), 2)
+    params = {
+        "wo": jax.random.normal(keys[0], (n_stages, heads * d, heads * d),
+                                jnp.float32) * 0.05,
+    }
+    x = jax.random.normal(keys[1], (n_micro, 1, s, heads * d), jnp.float32)
+
+    def stage_fn(p, a):
+        b = a.shape[0]
+        qkv = a.reshape(b, s, heads, d).transpose(0, 2, 1, 3)
+        qkv = qkv.astype(jnp.bfloat16)
+        att = qa.attn_func(qkv, qkv, qkv, is_causal=True)
+        att = att.transpose(0, 2, 1, 3).reshape(b, s, heads * d)
+        return a + att.astype(jnp.float32) @ p["wo"]
+
+    out = pipeline_apply(stage_fn, params, x, mesh=mesh)
+    ref = x
+    for st in range(n_stages):
+        ref = stage_fn({"wo": params["wo"][st]}, ref.reshape(-1, s, heads * d)).reshape(x.shape)
+    assert rmse(out, ref) < 1e-2
