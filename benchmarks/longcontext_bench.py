@@ -10,10 +10,15 @@ import jax
 import jax.numpy as jnp
 
 import quantumattention_tpu as qa
+from quantumattention_tpu import config
 from quantumattention_tpu.utils.profiling import attention_tflops, do_bench
 
 
 def main():
+    jax.config.update(
+        "jax_compilation_cache_dir", "/tmp/quantumattention_jax_cache"
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     p = argparse.ArgumentParser()
     p.add_argument("--seq", type=int, default=131072)
     p.add_argument("--heads", type=int, default=8)
@@ -29,6 +34,11 @@ def main():
 
     window = (args.window, 0) if args.window else None
     wtag = f" window={args.window}" if args.window else ""
+    # Pin the measured-best blocks for the whole run: an autotune sweep at
+    # 131K context would spend many minutes per candidate compile for
+    # marginal gain.
+    config.set("kernel.block_q", 1024)
+    config.set("kernel.block_kv", 2048)
     fn = jax.jit(
         lambda q, k, v: qa.attn_func(q, k, v, is_causal=True, window=window)
     )

@@ -22,6 +22,7 @@ heuristic table.
 from __future__ import annotations
 
 import json
+import math
 import os
 import time
 from pathlib import Path
@@ -42,6 +43,7 @@ CANDIDATES: Tuple[Tuple[int, int], ...] = (
     (512, 2048),
     (1024, 1024),
     (1024, 2048),
+    (1024, 4096),
     (2048, 1024),
     (2048, 2048),
 )
@@ -145,7 +147,17 @@ def prune_candidates(
     kv_len: int,
     head_dim: int,
     candidates: Sequence[Tuple[int, int]] = CANDIDATES,
+    max_candidates: int = 5,
 ) -> List[Tuple[int, int]]:
+    """VMEM-pruned candidate list, capped near the heuristic pick.
+
+    Every candidate costs a full kernel compile before it can be timed
+    (minutes each through a remote Mosaic compiler), so the sweep is capped
+    at ``max_candidates``, keeping the heuristic table's pick plus its
+    nearest neighbors in log-block-size distance (the same shrink-toward-
+    known-good policy as the reference's heuristic pruning,
+    attention.py:709-785).
+    """
     out = []
     for bq, bkv in candidates:
         if bq > max(q_len, 128) * 2 or bkv > max(kv_len, 128) * 2:
@@ -153,7 +165,18 @@ def prune_candidates(
         if not vmem_fits(bq, bkv, head_dim):
             continue
         out.append((bq, bkv))
-    return out or [(min(512, max(q_len, 128)), min(512, max(kv_len, 128)))]
+    if not out:
+        return [(min(512, max(q_len, 128)), min(512, max(kv_len, 128)))]
+    if len(out) > max_candidates:
+        from .ops.flash import _heuristic_blocks
+
+        h_bq, h_bkv = _heuristic_blocks(q_len, kv_len, head_dim)
+
+        def dist(c):
+            return abs(math.log2(c[0] / h_bq)) + abs(math.log2(c[1] / h_bkv))
+
+        out = sorted(out, key=dist)[:max_candidates]
+    return out
 
 
 def _time_fetch(fn: Callable[[], jax.Array], iters: int = 3) -> float:

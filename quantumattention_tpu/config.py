@@ -64,6 +64,12 @@ kernel = _Namespace(
     # Use base-2 exponent domain for the online softmax (folds log2(e) into
     # the scale like the reference's exp2 softmax, tk/attention.py:238-240).
     use_exp2=True,
+    # Run the probability tile's exp2 + row-sum on bf16 vectors (fp32
+    # max-subtract and accumulators).  Measured on v5e at the benchmark
+    # shape: SLOWER (143.7 -> 136.2 bf16, 130 -> 121 per-block) — the v5e
+    # VPU gains nothing from bf16 vectors and the casts cost a pass; kept
+    # as an off-by-default knob for generations where bf16 VPU packs 2x.
+    softmax_bf16=_env_bool("QUANTUM_ATTN_SOFTMAX_BF16", False),
     # Enable the timed block-size autotuner (shape-class keyed, disk
     # cached).  On by default, like the reference's compile-time
     # autotune_select_algorithm (attention.py:1034): the first call per

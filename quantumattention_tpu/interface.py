@@ -115,7 +115,14 @@ def fp8_attn_func(
     window: Window = None,
 ):
     """FP8 fused attention, default head-wise scales
-    (reference quantum_attn_interface.py:101-127)."""
+    (reference quantum_attn_interface.py:101-127).
+
+    ``scaling_method``: "head-wise" (default; reference parity),
+    "token-wise" (reference parity), "per-block" (in-kernel fused
+    quantization — beyond the reference), or "auto" (backend-path
+    autotune across {bf16, head-wise, per-block}, the analogue of the
+    reference tuning across TK/Triton/aten backends).
+    """
     return dispatch.fp8_attention(
         query,
         key,

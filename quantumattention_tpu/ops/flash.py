@@ -134,6 +134,7 @@ def _flash_kernel(
     block_q: int,
     block_kv: int,
     use_exp2: bool,
+    softmax_bf16: bool,
     return_residuals: bool,
     use_int8_dot: bool,
     use_int8_pv: bool,
@@ -330,6 +331,12 @@ def _flash_kernel(
         # ---- scale folding (reference tk/attention.py:204-210 for
         # head-wise, inductor/kernels/attention.py:391-395 for token-wise;
         # log2e fold per attention.py:400) ----
+        # NOTE (measured v5e): deferring the scalar dequant scale into the
+        # exp2 argument (raw-int32 row max; scale folded into the
+        # elementwise chain) was tried and REGRESSED per-block 138.7 ->
+        # 130.3 TFLOP/s — Mosaic fuses the convert+scale into the softmax
+        # pass just fine, and the int-domain max breaks that fusion.  Keep
+        # the straightforward scaled-f32 structure.
         base = sm_scale * (LOG2E if use_exp2 else 1.0)
         if scaling == "block":
             s = s * (sq_scr[0] * sk * base)
@@ -444,8 +451,20 @@ def _flash_kernel(
         m_curr = jnp.max(s, axis=-1, keepdims=True)  # (block_q, 1)
         m_next = jnp.maximum(m_prev, m_curr)  # broadcast -> lane-replicated
         alpha = exp(m_prev - m_next)
-        p = exp(s - m_next[:, :1])
-        l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        if softmax_bf16:
+            # Reduced-precision probability tile: the max-subtract stays
+            # fp32, the exp2 + row-sum run on bf16 vectors (the score-tile
+            # elementwise passes are the kernel's VPU bottleneck once the
+            # matmuls run at the 8-bit MXU rate).  exp2 outputs live in
+            # (0, 1], where bf16's 8-bit mantissa keeps the attention
+            # output comfortably inside the 1e-2 RMSE bar.
+            p = exp((s - m_next[:, :1]).astype(jnp.bfloat16))
+            l_next = alpha * l_prev + jnp.sum(
+                p, axis=-1, keepdims=True, dtype=jnp.float32
+            )
+        else:
+            p = exp(s - m_next[:, :1])
+            l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
         m_scr[:] = m_next
         l_scr[:] = l_next
 
@@ -937,6 +956,7 @@ def flash_attention(
         block_q=bq,
         block_kv=bkv,
         use_exp2=config.kernel.use_exp2,
+        softmax_bf16=config.kernel.softmax_bf16,
         return_residuals=return_residuals,
         use_int8_dot=use_int8_dot,
         use_int8_pv=use_int8_pv,

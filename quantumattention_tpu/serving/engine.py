@@ -225,12 +225,40 @@ class Engine:
             newly_finished = self._decode()
         return newly_finished
 
-    def run_to_completion(self) -> List[Request]:
-        """Drive step() until every submitted request is done."""
+    def run_to_completion(self, decode_burst: Optional[int] = None) -> List[Request]:
+        """Drive step() until every submitted request is done.
+
+        ``decode_burst``: when > 1 and the engine is in a pure-decode phase
+        (nothing waiting or prefilling, slots backend, identical sampling
+        params), run up to that many decode steps inside ONE jitted scan —
+        one host dispatch per burst instead of per token (sampling, EOS
+        detection, and per-request budgets all happen on device).
+        """
         out: List[Request] = []
         while self.waiting or self.prefilling or self.active:
-            out.extend(self.step())
+            n = self._burst_size(decode_burst)
+            if n > 1:
+                out.extend(self._decode_burst(n))
+            else:
+                out.extend(self.step())
         return out
+
+    def _burst_size(self, decode_burst: Optional[int]) -> int:
+        """Largest safe decode burst right now (1 = use the per-step path)."""
+        if not decode_burst or decode_burst <= 1:
+            return 1
+        if self.waiting or self.prefilling or not self.active:
+            return 1  # mixed prefill/decode must interleave per step
+        if self.cache_backend != "slots":
+            return 1  # paged page-table growth is host-side per token
+        reqs = list(self.active.values())
+        if len({r.sampling for r in reqs}) != 1:
+            return 1  # on-device sampling is shared across the burst
+        n = decode_burst
+        for r in reqs:
+            n = min(n, r.max_new_tokens - len(r.output))
+            n = min(n, self.max_len - len(r.prompt) - len(r.output))
+        return max(n, 1)
 
     def generate(
         self,
@@ -620,6 +648,74 @@ class Engine:
 
         logits = llama.forward_decode(params, tokens, positions, cfg, attend)
         return pages, logits
+
+    def _decode_burst_impl(
+        self, params, caches, tokens, active, remaining, eos_ids, key,
+        *, n_steps: int, sp: SamplingParams,
+    ):
+        """Jitted: ``n_steps`` decode steps in one ``lax.scan`` (slots
+        backend).  Sampling, EOS detection, and per-slot new-token budgets
+        all run on device; the host gets back the token and emitted-mask
+        traces — one dispatch per burst instead of per token."""
+
+        def one(carry, _):
+            caches, tokens, active, remaining, key = carry
+            caches, logits = self._decode_step_impl(
+                params, caches, tokens, active
+            )
+            key, sub = jax.random.split(key)
+            if sp.temperature == 0.0:
+                nxt = sample(logits, sp)
+            else:
+                nxt = sample(logits, sp, sub)
+            emitted = active
+            nxt = jnp.where(active, nxt, tokens)
+            remaining = remaining - active.astype(jnp.int32)
+            hit_eos = jnp.logical_and(nxt == eos_ids, eos_ids >= 0)
+            active = jnp.logical_and(
+                active, jnp.logical_and(~hit_eos, remaining > 0)
+            )
+            return (caches, nxt, active, remaining, key), (nxt, emitted)
+
+        (caches, *_), (toks, emits) = jax.lax.scan(
+            one, (caches, tokens, active, remaining, key), None,
+            length=n_steps,
+        )
+        return caches, toks, emits
+
+    def _decode_burst(self, n: int) -> List[Request]:
+        sp = next(iter(self.active.values())).sampling
+        if not hasattr(self, "_burst_jits"):
+            self._burst_jits = {}
+        jitted = self._burst_jits.get((n, sp))
+        if jitted is None:
+            jitted = jax.jit(
+                functools.partial(self._decode_burst_impl, n_steps=n, sp=sp),
+                donate_argnums=(1,),
+            )
+            self._burst_jits[(n, sp)] = jitted
+        active_mask = np.zeros((self.num_slots,), bool)
+        eos = np.full((self.num_slots,), -1, np.int32)
+        remaining = np.zeros((self.num_slots,), np.int32)
+        for slot, req in self.active.items():
+            active_mask[slot] = True
+            eos[slot] = -1 if req.eos_id is None else req.eos_id
+            remaining[slot] = req.max_new_tokens - len(req.output)
+        self._key, sub = jax.random.split(self._key)
+        self.caches, toks, emits = jitted(
+            self.params, self.caches, jnp.asarray(self.last_token),
+            jnp.asarray(active_mask), jnp.asarray(remaining),
+            jnp.asarray(eos), sub,
+        )
+        toks = np.asarray(toks)
+        emits = np.asarray(emits)
+        finished: List[Request] = []
+        for t in range(n):
+            for slot, req in list(self.active.items()):
+                if emits[t, slot]:
+                    if self._emit(req, int(toks[t, slot])):
+                        finished.append(req)
+        return finished
 
     def _decode(self) -> List[Request]:
         active_mask = np.zeros((self.num_slots,), bool)

@@ -352,3 +352,29 @@ def test_engine_generate_batch_api(params):
     outs = eng.generate([[1, 2, 3], [4, 5], [6]], max_new_tokens=2)
     assert len(outs) == 3
     assert all(len(o) == 2 for o in outs)
+
+
+def test_engine_decode_burst_matches_per_step(params):
+    """Burst decode (n steps in one jitted scan, on-device sampling/EOS)
+    must produce exactly the per-step outputs."""
+    prompt = [3, 17, 42, 99, 7]
+    ref_eng = Engine(params, CFG, num_slots=2, max_len=256,
+                     cache_dtype=jnp.bfloat16)
+    r_ref = ref_eng.submit(prompt, max_new_tokens=9)
+    ref_eng.run_to_completion()
+
+    eng = Engine(params, CFG, num_slots=2, max_len=256,
+                 cache_dtype=jnp.bfloat16)
+    r = eng.submit(prompt, max_new_tokens=9)
+    eng.run_to_completion(decode_burst=4)
+    assert r.done and r.output == r_ref.output
+
+    # Burst with two concurrent requests + EOS stopping mid-burst.
+    eng2 = Engine(params, CFG, num_slots=2, max_len=256,
+                  cache_dtype=jnp.bfloat16)
+    ra = eng2.submit(prompt, max_new_tokens=9)
+    eos = r_ref.output[4]  # force an early stop at the 5th token
+    rb = eng2.submit(prompt, max_new_tokens=9, eos_id=eos)
+    eng2.run_to_completion(decode_burst=4)
+    assert ra.output == r_ref.output
+    assert rb.done and rb.output == r_ref.output[:5]

@@ -207,3 +207,25 @@ def test_block_sparse_shape_validation():
     q = jnp.zeros((1, 2, 512, 64), jnp.bfloat16)
     with pytest.raises(ValueError, match="block_mask"):
         qa.attn_func(q, q, q, block_mask=jnp.ones((3, 4), jnp.int32))
+
+
+@pytest.mark.parametrize("path", ["bf16", "per-block"])
+def test_softmax_bf16_mode(path):
+    """kernel.softmax_bf16: reduced-precision probability tile must stay
+    inside the accuracy bar on both the float and quantized paths."""
+    import quantumattention_tpu as qa
+    from quantumattention_tpu import config
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(51), 3)
+    q = jax.random.normal(k1, (1, 4, 512, 64), jnp.bfloat16)
+    k = jax.random.normal(k2, (1, 4, 512, 64), jnp.bfloat16)
+    v = jax.random.normal(k3, (1, 4, 512, 64), jnp.bfloat16)
+    ref = sdpa_reference(q, k, v, is_causal=True)
+    with config.patch({"kernel.softmax_bf16": True}):
+        if path == "bf16":
+            out = qa.attn_func(q, k, v, is_causal=True)
+        else:
+            out = qa.fp8_attn_func(
+                q, k, v, is_causal=True, scaling_method="per-block"
+            )
+    assert rmse(out, ref) < RMSE_TOL
