@@ -125,6 +125,25 @@ def main() -> None:
     t_fp8 = bench_one(fp8_headwise, q, k, v, args.iters)
     t_pb = bench_one(fp8_per_block, q, k, v, args.iters)
 
+    # Causal comparison at pinned measured-best blocks (the per-block
+    # path's VMEM K-cache makes it the fastest causal kernel).
+    from quantumattention_tpu import config as qa_config
+
+    with qa_config.patch(
+        {"kernel.block_q": 1024, "kernel.block_kv": 2048}
+    ):
+        t_bf16_c = bench_one(
+            lambda q, k, v: qa.attn_func(q, k, v, is_causal=True),
+            q, k, v, args.iters,
+        )
+        t_pb_c = bench_one(
+            lambda q, k, v: qa.fp8_attn_func(
+                q, k, v, is_causal=True, scaling_method="per-block"
+            ),
+            q, k, v, args.iters,
+        )
+    causal_flops = flops // 2
+
     # Decode throughput: int8 KV cache at Llama-3-8B attention shapes
     # (BASELINE.md decode config).
     from quantumattention_tpu.ops.decode import decode_attention
@@ -178,6 +197,12 @@ def main() -> None:
                     "fp8_per_block_tflops": round(tflops_pb, 2),
                     "bf16_flash_tflops": round(tflops_bf16, 2),
                     "stock_jax_flash_tuned_tflops": round(tflops_stock, 2),
+                    "fp8_per_block_causal_tflops": round(
+                        causal_flops / t_pb_c / 1e12, 2
+                    ),
+                    "bf16_causal_tflops": round(
+                        causal_flops / t_bf16_c / 1e12, 2
+                    ),
                     "decode_int8kv_tokens_per_s_8b_shapes": round(
                         decode_tok_s
                     ),

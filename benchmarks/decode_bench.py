@@ -6,6 +6,9 @@ int8 cache ~22.4k tok/s vs bf16 ~7.2k (2.26x; decode is bandwidth-bound).
 """
 
 import argparse
+import sys
+
+sys.path.insert(0, "/root/repo")
 
 import jax
 import jax.numpy as jnp

@@ -5,6 +5,9 @@ Measured on TPU v5e: 109 TFLOP/s at S=131072 (B=1, H=8, D=128, causal).
 """
 
 import argparse
+import sys
+
+sys.path.insert(0, "/root/repo")
 
 import jax
 import jax.numpy as jnp

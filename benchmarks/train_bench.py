@@ -6,6 +6,9 @@ Measured on TPU v5e (8B shapes, 2 layers, S=2048, B=4): ~38k tok/s
 """
 
 import argparse
+import sys
+
+sys.path.insert(0, "/root/repo")
 
 import jax
 import jax.numpy as jnp

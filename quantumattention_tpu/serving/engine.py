@@ -158,10 +158,17 @@ class Engine:
             functools.partial(llama.forward_prefill, cfg=cfg),
             static_argnames=(),
         )
-        self._decode_jit = jax.jit(self._decode_step_impl, donate_argnums=(1,))
+        # Cache donation is a TPU-memory optimization only: the CPU runtime
+        # corrupts retained aliases of donated buffers (see kv_cache.append's
+        # note), and a jit that returns an input unchanged can alias it — so
+        # on CPU (the test runtime) donation is disabled outright.
+        donate = (1,) if jax.default_backend() != "cpu" else ()
+        self._decode_jit = jax.jit(
+            self._decode_step_impl, donate_argnums=donate
+        )
         if cache_backend == "paged":
             self._decode_paged_jit = jax.jit(
-                self._decode_paged_impl, donate_argnums=(1,)
+                self._decode_paged_impl, donate_argnums=donate
             )
 
     # ------------------------------------------------------------------
@@ -689,9 +696,10 @@ class Engine:
             self._burst_jits = {}
         jitted = self._burst_jits.get((n, sp))
         if jitted is None:
+            donate = (1,) if jax.default_backend() != "cpu" else ()
             jitted = jax.jit(
                 functools.partial(self._decode_burst_impl, n_steps=n, sp=sp),
-                donate_argnums=(1,),
+                donate_argnums=donate,
             )
             self._burst_jits[(n, sp)] = jitted
         active_mask = np.zeros((self.num_slots,), bool)

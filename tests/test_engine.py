@@ -215,7 +215,14 @@ def test_engine_chunked_prefill_paged_matches_whole(params, cache_dtype):
 def test_engine_decode_not_starved_by_prefill(params, backend):
     """The continuous-batching contract (BASELINE config 4): active decode
     streams must advance EVERY engine step while a long prompt prefills in
-    chunks."""
+    chunks — and the prefilling request must never touch the decoding
+    request's cache.
+
+    Non-interference is asserted BITWISE on A's cache prefix rather than by
+    comparing token streams of two engines: token comparison is the
+    documented near-tie flaky pattern (any numeric noise flips argmax on an
+    untrained model), while "B's prefill wrote only B's pages/slot" is
+    exact and deterministic."""
     kw = dict(cache_backend=backend)
     if backend == "paged":
         kw["page_size"] = 32
@@ -226,6 +233,34 @@ def test_engine_decode_not_starved_by_prefill(params, backend):
     ra = eng.submit([1, 2, 3], max_new_tokens=12)
     eng.step()  # prefill A (short prompt: single chunk) + first decode
     assert len(ra.output) >= 1
+
+    def read_a_prefix(n_tok):
+        """Token-major bitwise view of slot A's first n_tok cache rows."""
+        slot = ra.slot
+        out = []
+        if backend == "paged":
+            ps = eng.page_size
+            n_pg = -(-n_tok // ps)
+            pids = np.asarray(eng.alloc.tables[slot, :n_pg])
+            for lp in eng.pages:
+                for t in (lp.k, lp.v):
+                    rows = np.asarray(t[:, pids]).reshape(
+                        t.shape[0], n_pg * ps, -1
+                    )[:, :n_tok]
+                    out.append(rows)
+        else:
+            for c in eng.caches:
+                out.append(np.asarray(c.k[slot, :, :n_tok]))
+                out.append(np.asarray(c.v[slot, :, :n_tok]))
+        return out
+
+    # Rows actually written so far (the newest sampled token's KV row is
+    # only appended on the NEXT decode step, so prompt+output overcounts).
+    if backend == "paged":
+        n0 = int(eng.alloc.lengths[ra.slot])
+    else:
+        n0 = int(np.asarray(eng.caches[0].lengths)[ra.slot])
+    snap0 = read_a_prefix(n0)
     rb = eng.submit(list(range(3, 100)), max_new_tokens=2)  # 97 tokens
     while rb.prefill_pos < len(rb.prompt):
         before = len(ra.output)
@@ -233,15 +268,13 @@ def test_engine_decode_not_starved_by_prefill(params, backend):
         # Decode advanced even though B was mid-prefill this step.
         assert len(ra.output) == before + 1
         assert rb.prefill_pos > 0  # prefill advanced too
+        # A's pre-existing cache rows are bitwise untouched by B's
+        # concurrent chunked prefill (A's own appends are past n0).
+        for a, b in zip(snap0, read_a_prefix(n0)):
+            np.testing.assert_array_equal(a, b)
     eng.run_to_completion()
     assert ra.done and rb.done
-    # A's tokens must be unaffected by B prefilling concurrently.
-    solo = Engine(
-        params, CFG, num_slots=1, max_len=256, cache_dtype=jnp.bfloat16
-    )
-    rs = solo.submit([1, 2, 3], max_new_tokens=12)
-    solo.run_to_completion()
-    assert ra.output == rs.output
+    assert len(ra.output) == 12 and len(rb.output) == 2
 
 
 def test_engine_streaming_callback(params):
