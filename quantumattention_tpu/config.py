@@ -112,6 +112,14 @@ attention = _Namespace(
     # tpu_generation() >= 6 (v5e has no fp8 MXU); True forces it on (used
     # by CPU interpret-mode tests), False forces the upcast/int8 paths.
     fp8_dot=_env_str("QUANTUM_ATTN_FP8_DOT", "auto"),
+    # Decode kernel: quantize Q per row in-kernel and run QK^T on the int8
+    # MXU against the int8 KV cache, instead of dequantizing K to bf16.
+    # Off by default: measured SLOWER on v5e (21.5k vs 26.9k tok/s at
+    # Llama-3-8B decode shapes) — a DMA-only probe shows the kernel is
+    # purely bandwidth-bound (218 GB/s with NO compute at all), so the K
+    # upcast it removes was already free, and the extra q-quantization /
+    # int32 path only adds serial work.
+    decode_int8_qk=_env_bool("QUANTUM_ATTN_DECODE_INT8_QK", False),
 )
 
 

@@ -60,6 +60,7 @@ def _decode_kernel(
     block_kv: int,
     group_pad: int,
     block_batch: int,
+    int8_qk: bool = False,
 ):
     if quantized:
         q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref = refs[:6]
@@ -90,13 +91,39 @@ def _decode_kernel(
     def _run():
         q = q_ref[:, 0]  # (bb, group_pad, D) float
         k = k_ref[:, 0]  # (bb, block_kv, D)
-        kc = k.astype(jnp.bfloat16) if checks.is_8bit_dtype(k.dtype) else k
-        s = jax.lax.dot_general(
-            q, kc, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # (bb, group_pad, block_kv)
-
-        s = s * (sm_scale * LOG2E)
+        if int8_qk:
+            # Quantize Q per row (tiny: bb x G x D) and multiply on the
+            # int8 MXU directly against the int8 cache block.  This
+            # replaces the K upcast — a VPU convert over the whole
+            # (bb, block_kv, D) cache block EVERY step, the dominant
+            # non-DMA cost of this bandwidth-bound kernel — with a
+            # convert over the (bb, G, block_kv) score tile (D-fold
+            # smaller).  Q's per-row scale folds into the exp2-domain
+            # softmax scale below.
+            qf = q.astype(jnp.float32)
+            qs = (
+                jnp.maximum(
+                    jnp.max(jnp.abs(qf), axis=-1, keepdims=True), 1e-9
+                )
+                / 127.0
+            )  # (bb, G, 1)
+            q8 = jnp.round(qf * (1.0 / qs)).astype(jnp.int8)
+            s_i = jax.lax.dot_general(
+                q8, k, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            )
+            s = s_i.astype(jnp.float32) * (qs * (sm_scale * LOG2E))
+        else:
+            kc = (
+                k.astype(jnp.bfloat16)
+                if checks.is_8bit_dtype(k.dtype)
+                else k
+            )
+            s = jax.lax.dot_general(
+                q, kc, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (bb, group_pad, block_kv)
+            s = s * (sm_scale * LOG2E)
         if quantized:
             # This head's row of the resident all-heads scale block.
             s = s * ks_ref[:, h, :][:, None, :]
@@ -277,6 +304,11 @@ def decode_attention(
         block_kv=block_kv,
         group_pad=group_pad,
         block_batch=bb,
+        int8_qk=(
+            k_cache.dtype == jnp.int8
+            and quantized
+            and config.attention.decode_int8_qk
+        ),
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -37,6 +37,7 @@ from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -145,9 +146,21 @@ def _flash_kernel(
     k_cached: bool,
     v_cached: bool,
     has_block_mask: bool = False,
+    compact: bool = False,
     block_qdtype: Any = jnp.int8,
 ):
-    idx = 0
+    # With a block mask the call runs under PrefetchScalarGridSpec and the
+    # kernel receives a scalar-prefetched KV block table as refs[0]:
+    #   * compact grid (concrete mask): jmap[i, s] = s-th active KV block of
+    #     row i — the grid's last dim only spans active blocks, skipped
+    #     steps do not exist at all;
+    #   * full grid (traced mask): ft[i, j] = last active block <= j, so
+    #     consecutive skipped steps re-reference the resident block and
+    #     Mosaic elides their DMAs.
+    # The same ref also supplies the kernel-body block position (j_pos).
+    if has_block_mask:
+        fetch_ref = refs[0]
+    idx = 1 if has_block_mask else 0
     if has_offsets:
         q_off_ref, kv_off_ref = refs[idx], refs[idx + 1]
         idx += 2
@@ -190,6 +203,11 @@ def _flash_kernel(
     i = pl.program_id(2)
     j = pl.program_id(3)
     num_kv_blocks = pl.num_programs(3)
+    # Block POSITION for masking/position math.  With a block mask the grid
+    # index j enumerates table slots, and the actual KV block comes from the
+    # prefetched table (on the full grid the table is the identity on active
+    # steps, and skipped steps never read positions).
+    j_pos = fetch_ref[i, j] if has_block_mask else j
 
     if has_offsets:
         q_off = q_off_ref[0]
@@ -233,7 +251,7 @@ def _flash_kernel(
     should_run = True
     q_blk_min = q_off + i * block_q
     q_blk_max = q_blk_min + block_q - 1
-    kv_blk_min = kv_off + j * block_kv
+    kv_blk_min = kv_off + j_pos * block_kv
     kv_blk_max = kv_blk_min + block_kv - 1
     if causal:
         should_run = jnp.logical_and(should_run, kv_blk_min <= q_blk_max)
@@ -248,13 +266,20 @@ def _flash_kernel(
                 should_run, kv_blk_min <= q_blk_max + right
             )
     if kv_valid < kv_len_padded:
-        should_run = jnp.logical_and(should_run, j * block_kv < kv_valid)
+        should_run = jnp.logical_and(should_run, j_pos * block_kv < kv_valid)
     if has_block_mask:
-        # Splash-style block-sparse skip: a kernel block whose every mask
-        # granule is zero never launches its matmuls or DMAs-consuming
-        # compute (the bitmap's OR-reduction per kernel block lives in
-        # SMEM, precomputed on the host).
-        should_run = jnp.logical_and(should_run, block_any_ref[i, j] > 0)
+        if compact:
+            # Compact grid: slots past this row's active count repeat the
+            # last active block (DMA elided) and skip the body.
+            should_run = jnp.logical_and(should_run, j < block_any_ref[i])
+        else:
+            # Splash-style block-sparse skip: a kernel block whose every
+            # mask granule is zero never launches its matmuls or
+            # DMA-consuming compute (the bitmap's OR-reduction per kernel
+            # block lives in SMEM, precomputed on the host).
+            should_run = jnp.logical_and(
+                should_run, block_any_ref[i, j] > 0
+            )
 
     @pl.when(should_run)
     def _run():
@@ -381,7 +406,7 @@ def _flash_kernel(
                         # backward kernels, and the oracle VJP.
                         mask = _and(mask, col <= row + right)
                 if kv_valid < kv_len_padded:
-                    local_col = col - kv_blk_min + j * block_kv
+                    local_col = col - kv_blk_min + j_pos * block_kv
                     mask = _and(mask, local_col < kv_valid)
                 if has_segments:
                     # q ids lane-replicated (bq, 128), kv ids sublane-
@@ -391,49 +416,33 @@ def _flash_kernel(
                     kv_seg = kv_seg_ref[0][:1, :]  # (1, bkv)
                     mask = _and(mask, q_seg == kv_seg)
                 if has_block_mask:
-                    # Expand this block's slice of the granule bitmap to
-                    # element level with two tiny MXU matmuls built from
-                    # iota-compare selection matrices.  Gathers and
-                    # sublane-expanding reshapes are layout-hostile in
-                    # Mosaic, and dynamic lane slicing is illegal, so the
-                    # mask block arrives as FULL granule rows (bq/G, nkv_g)
-                    # and the column select rides the first matmul:
-                    #   sub_cols[a, c] = sub_rows[a, j*nkb + c//G]
-                    #   elem[r, c]     = sub_cols[r//G, c]
-                    # Cost ~6% of the QK matmul.
-                    g = MASK_GRANULE
-                    nqb, nkb = block_q // g, block_kv // g
-                    sub_rows = mask_ref[:, :].astype(jnp.bfloat16)
-                    nkv_g = sub_rows.shape[1]
-                    gk = jax.lax.broadcasted_iota(
-                        jnp.int32, (nkv_g, block_kv), 0
-                    )
-                    cc = (
-                        jax.lax.broadcasted_iota(
-                            jnp.int32, (nkv_g, block_kv), 1
+                    # The granule bitmap arrives lane-pre-expanded by the
+                    # host to (bq/G, bkv) int8 and block-indexed by (i, j),
+                    # so the only in-kernel work is a static sublane
+                    # broadcast of each granule row to its G query rows
+                    # plus one compare folded into the shared where().
+                    # (The earlier iota/selection-matmul expansion was
+                    # measured at +40% kernel time: its K=8 element-select
+                    # matmul costs as many MXU tile-passes as the QK
+                    # product itself.  Gathers and sublane-expanding
+                    # reshapes stay off the table — layout-hostile in
+                    # Mosaic — but broadcast+concat of static row slices
+                    # lowers cleanly.)
+                    # Upcast the tiny granule block before comparing:
+                    # compiled Mosaic has no int8 vector compare ("Target
+                    # does not support this comparison"; interpret mode is
+                    # laxer and lets it through).
+                    sub = mask_ref[0, 0].astype(jnp.float32)  # (bq//G, bkv)
+                    rows = [
+                        jnp.broadcast_to(
+                            sub[a : a + 1, :], (MASK_GRANULE, block_kv)
                         )
-                        // g
-                        + j * nkb
-                    )
-                    rk = (gk == cc).astype(jnp.bfloat16)
-                    sub_cols = jax.lax.dot_general(
-                        sub_rows, rk, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                    rr = (
-                        jax.lax.broadcasted_iota(
-                            jnp.int32, (block_q, nqb), 0
-                        )
-                        // g
-                    )
-                    aa = jax.lax.broadcasted_iota(
-                        jnp.int32, (block_q, nqb), 1
-                    )
-                    rq = (rr == aa).astype(jnp.bfloat16)
-                    elem = jax.lax.dot_general(
-                        rq, sub_cols.astype(jnp.bfloat16),
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
+                        for a in range(block_q // MASK_GRANULE)
+                    ]
+                    elem = (
+                        jnp.concatenate(rows, axis=0)
+                        if len(rows) > 1
+                        else rows[0]
                     )
                     mask = _and(mask, elem > 0.5)
                 return jnp.where(mask, s, MASK_VALUE)
@@ -727,15 +736,19 @@ def flash_attention(
         bq = bq or hq
         bkv = bkv or hkv
     if block_mask is not None:
-        # The mask block arrives as full granule rows (bq/G, nkv_g), so
-        # Mosaic's sublane rule needs bq/G to be a multiple of 8 — or the
-        # whole mask to be a single block.  Pin block_q accordingly.
-        g8 = 8 * MASK_GRANULE
-        if q_len >= g8:
-            if (bq // MASK_GRANULE) % 8 != 0:
-                bq = g8
-        else:
-            bq = round_up(q_len, MASK_GRANULE)
+        # Kernel blocks must be granule multiples, but ANY multiple works:
+        # the mask block's sublane dim (bq/G) equals its array dim, which
+        # satisfies Mosaic's sublane rule outright.  Smaller blocks give
+        # the whole-block skip finer resolution on structured masks —
+        # a (1024, 2048) block only skips when all 128 of its granules are
+        # masked, which a fine-grained mask essentially never is.
+        if not (block_kv or config.kernel.block_kv):
+            # Measured v5e (documents mask, S=8192): bkv=1024 beats 2048
+            # (2.24x vs 1.80x vs dense) — finer skip resolution outweighs
+            # the per-step cost; 512 loses it again.
+            bkv = min(bkv, 1024)
+        bq = round_up(min(bq, max(q_len, MASK_GRANULE)), MASK_GRANULE)
+        bkv = round_up(min(bkv, max(kv_len, MASK_GRANULE)), MASK_GRANULE)
 
     # Fold sm_scale (and the exp2-domain log2(e)) into q ahead of the kernel:
     # one elementwise pass over Q in HBM (XLA fuses it with the producer)
@@ -779,7 +792,7 @@ def flash_attention(
             kv_offset, jnp.int32
         ).reshape(1)
         off_spec = pl.BlockSpec(
-            (1,), lambda b, h, i, j: (0,), memory_space=pltpu.SMEM
+            (1,), lambda b, h, i, j, *_: (0,), memory_space=pltpu.SMEM
         )
         in_specs += [off_spec, off_spec]
         args += [q_off, kv_off]
@@ -804,14 +817,80 @@ def flash_attention(
         # Per-kernel-block OR-reduction drives the whole-block skip (SMEM,
         # scalar-indexed); the granule bitmap itself feeds the in-kernel
         # element expansion.
-        block_any = bm.reshape(
-            q_len_p // bq, bq // g, kv_len_p // bkv, bkv // g
-        ).max(axis=(1, 3))
+        nqB, nkvB = q_len_p // bq, kv_len_p // bkv
+        nqb = bq // g
+        block_any = bm.reshape(nqB, nqb, nkvB, bkv // g).max(axis=(1, 3))
+        # Lane-pre-expanded granule mask, block-indexed by (i, j_pos): int8
+        # (nqB, nkvB, bq/G, bkv).  ~bkv bytes per Q row of extra DMA
+        # (<2% of a K block) buys the kernel a matmul-free element mask.
+        mask_lane = jnp.repeat(bm.astype(jnp.int8), g, axis=1)
+        mask4 = mask_lane.reshape(nqB, nqb, nkvB, bkv).transpose(0, 2, 1, 3)
+        try:
+            ba_np = np.asarray(block_any) > 0
+        except jax.errors.TracerArrayConversionError:
+            ba_np = None
+        if ba_np is not None:
+            # COMPACT grid (mask concrete at trace time — the usual case):
+            # the last grid dim enumerates only active blocks per Q row via
+            # jmap[i, s]; skipped steps do not exist, so wall-clock scales
+            # with density instead of paying ~1.4us per predicated-off step
+            # (measured v5e; full-grid skip left documents at 2.3x where
+            # compute alone predicts ~6x).  Causal/ragged-inactive blocks
+            # are compacted away too.
+            act = ba_np.copy()
+            ii = np.arange(nqB)[:, None]
+            jj = np.arange(nkvB)[None, :]
+            if is_causal:
+                act &= (jj * bkv) <= (ii * bq + bq - 1)
+            act &= (jj * bkv) < kv_len
+            cnt = act.sum(axis=1).astype(np.int32)
+            max_cnt = max(1, int(cnt.max()))
+            jmap = np.zeros((nqB, max_cnt), np.int32)
+            for r in range(nqB):
+                idxs = np.flatnonzero(act[r])
+                if idxs.size:
+                    jmap[r, : idxs.size] = idxs
+                    # Trailing slots repeat the last active block: their
+                    # K/V DMAs are elided and the body is skipped.
+                    jmap[r, idxs.size:] = idxs[-1]
+            compact_mask = True
+            fetch_table = jnp.asarray(jmap)
+            smem_arg = jnp.asarray(cnt)
+            grid = grid[:3] + (max_cnt,)
+        else:
+            # FULL grid fallback (mask is a traced value): predicated skip
+            # via block_any; ft[i, j] = last active block <= j so skipped
+            # steps re-reference the resident block and Mosaic elides
+            # their DMAs (splash-attention data-next pattern).
+            compact_mask = False
+            jidx = jnp.broadcast_to(
+                jnp.arange(nkvB, dtype=jnp.int32)[None, :], (nqB, nkvB)
+            )
+            fetch_table = jnp.maximum(
+                jax.lax.cummax(jnp.where(block_any > 0, jidx, -1), axis=1),
+                0,
+            ).astype(jnp.int32)
+            smem_arg = block_any.astype(jnp.int32)
         in_specs += [
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((bq // g, nkv_g), lambda b, h, i, j: (i, 0)),
+            pl.BlockSpec(
+                (1, 1, nqb, bkv), lambda b, h, i, j, ft: (i, ft[i, j], 0, 0)
+            ),
         ]
-        args += [block_any.astype(jnp.int32), bm.astype(jnp.float32)]
+        args += [smem_arg, mask4]
+    else:
+        fetch_table = None
+        compact_mask = False
+    # KV-indexed blocks must follow the prefetched block table when a mask
+    # is present (under the compact grid the last grid dim enumerates table
+    # slots, not block positions).
+    if block_mask is not None:
+        def kv_pos_idx(mk):
+            return lambda b, h, i, j, ft: mk(b, ft[i, j])
+    else:
+        def kv_pos_idx(mk):
+            return lambda b, h, i, j, *_: mk(b, j)
+
     if scaling == "head":
         smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
         in_specs += [smem_spec, smem_spec]
@@ -820,14 +899,16 @@ def flash_attention(
         # Mosaic requires block dim -2 to be 8-divisible or equal to the
         # array dim, so the scale block covers all heads (tiny: H*block*4B).
         in_specs += [
-            pl.BlockSpec((1, num_q_heads, bq), lambda b, h, i, j: (b, 0, i)),
-            pl.BlockSpec((1, num_kv_heads, bkv), lambda b, h, i, j: (b, 0, j)),
+            pl.BlockSpec((1, num_q_heads, bq), lambda b, h, i, j, *_: (b, 0, i)),
+            pl.BlockSpec(
+                (1, num_kv_heads, bkv), kv_pos_idx(lambda b, j: (b, 0, j))
+            ),
         ]
         args += [sqp.astype(jnp.float32), skp.astype(jnp.float32)]
     if use_int8_pv:
         in_specs += [
             pl.BlockSpec(
-                (1, num_kv_heads, head_dim), lambda b, h, i, j: (b, 0, 0)
+                (1, num_kv_heads, head_dim), lambda b, h, i, j, *_: (b, 0, 0)
             )
         ]
         args += [scale_v.astype(jnp.float32)]
@@ -857,8 +938,8 @@ def flash_attention(
         qseg = jnp.broadcast_to(qseg[:, :, None], (batch, q_len_p, NUM_LANES))
         kvseg = jnp.broadcast_to(kvseg[:, None, :], (batch, 8, kv_len_p))
         in_specs += [
-            pl.BlockSpec((1, bq, NUM_LANES), lambda b, h, i, j: (b, i, 0)),
-            pl.BlockSpec((1, 8, bkv), lambda b, h, i, j: (b, 0, j)),
+            pl.BlockSpec((1, bq, NUM_LANES), lambda b, h, i, j, *_: (b, i, 0)),
+            pl.BlockSpec((1, 8, bkv), kv_pos_idx(lambda b, j: (b, 0, j))),
         ]
         args += [qseg, kvseg]
     # Per-block path only: cache quantized K (8-bit) and V in VMEM scratch
@@ -889,16 +970,27 @@ def flash_attention(
     v_cached = _cacheable and _kv_bytes <= KV_CACHE_BUDGET_BYTES
     k_cached = v_cached or (_cacheable and _k_bytes <= K_CACHE_BUDGET_BYTES)
 
-    if is_causal and not has_offsets:
+    if block_mask is not None:
+        # Mask-skipped steps re-reference the last fetched (mask-active)
+        # block via the scalar-prefetched table, so Mosaic elides their
+        # DMAs; under causal masking the diagonal clamp composes on top.
+        if is_causal:
+            def kv_index(b, h, i, j, ft):
+                jmax = jax.lax.div(i * bq + (bq - 1), bkv)
+                return (b, h // group, jnp.minimum(ft[i, j], jmax), 0)
+        else:
+            def kv_index(b, h, i, j, ft):
+                return (b, h // group, ft[i, j], 0)
+    elif is_causal and not has_offsets:
         # Clamp the KV block index at the diagonal: skipped above-diagonal
         # steps re-reference the block already in VMEM, so Mosaic elides
         # their DMA — halving causal KV traffic (the fetch-side analogue of
         # the reference's two-stage causal decomposition).
-        def kv_index(b, h, i, j):
+        def kv_index(b, h, i, j, *_):
             jmax = jax.lax.div(i * bq + (bq - 1), bkv)
             return (b, h // group, jnp.minimum(j, jmax), 0)
     else:
-        def kv_index(b, h, i, j):
+        def kv_index(b, h, i, j, *_):
             return (b, h // group, j, 0)
 
     if k_cached:
@@ -906,11 +998,11 @@ def flash_attention(
         # that touches block j); every other step maps to a constant block
         # index, which Mosaic recognizes as unchanged and skips the DMA.
         if is_causal:
-            def k_index(b, h, i, j):
+            def k_index(b, h, i, j, *_):
                 first_i = jax.lax.div(j * bkv, bq)
                 return (b, h // group, jnp.where(i == first_i, j, 0), 0)
         else:
-            def k_index(b, h, i, j):
+            def k_index(b, h, i, j, *_):
                 return (b, h // group, jnp.where(i == 0, j, 0), 0)
         v_index = k_index if v_cached else kv_index
     else:
@@ -918,7 +1010,7 @@ def flash_attention(
         v_index = kv_index
 
     in_specs += [
-        pl.BlockSpec((1, 1, bq, head_dim), lambda b, h, i, j: (b, h, i, 0)),
+        pl.BlockSpec((1, 1, bq, head_dim), lambda b, h, i, j, *_: (b, h, i, 0)),
         pl.BlockSpec((1, 1, bkv, head_dim), k_index),
         pl.BlockSpec((1, 1, bkv, head_dim), v_index),
     ]
@@ -931,14 +1023,14 @@ def flash_attention(
         jax.ShapeDtypeStruct((batch, num_q_heads, q_len_p, head_dim), out_dtype)
     ]
     out_specs = [
-        pl.BlockSpec((1, 1, bq, head_dim), lambda b, h, i, j: (b, h, i, 0))
+        pl.BlockSpec((1, 1, bq, head_dim), lambda b, h, i, j, *_: (b, h, i, 0))
     ]
     if return_residuals:
         res_shape = jax.ShapeDtypeStruct(
             (batch, num_q_heads, q_len_p, NUM_LANES), jnp.float32
         )
         res_spec = pl.BlockSpec(
-            (1, 1, bq, NUM_LANES), lambda b, h, i, j: (b, h, i, 0)
+            (1, 1, bq, NUM_LANES), lambda b, h, i, j, *_: (b, h, i, 0)
         )
         out_shapes += [res_shape, res_shape]
         out_specs += [res_spec, res_spec]
@@ -967,6 +1059,7 @@ def flash_attention(
         k_cached=k_cached,
         v_cached=v_cached,
         has_block_mask=block_mask is not None,
+        compact=compact_mask,
         block_qdtype=block_qdtype,
     )
 
@@ -975,13 +1068,8 @@ def flash_attention(
     if is_causal:
         flops //= 2
 
-    outs = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shapes,
-        scratch_shapes=[
+    scratch_shapes = (
+        [
             pltpu.VMEM((bq, NUM_LANES), jnp.float32),
             pltpu.VMEM((bq, NUM_LANES), jnp.float32),
             pltpu.VMEM((bq, head_dim), jnp.float32),
@@ -1008,7 +1096,9 @@ def flash_attention(
             )
             if k_cached
             else []
-        ),
+        )
+    )
+    common = dict(
         compiler_params=pltpu.CompilerParams(
             # The K-cache fill depends on Q-row order within a (b, h), so
             # the i dim must stay sequential in that mode.
@@ -1025,7 +1115,31 @@ def flash_attention(
             transcendentals=batch * num_q_heads * q_len_p * kv_len_p,
         ),
         interpret=interpret,
-    )(*args)
+    )
+    if block_mask is not None:
+        # Scalar-prefetched grid: the KV fetch table rides in SMEM ahead of
+        # the pipeline so the K/V index maps can consult it (DMA elision
+        # for mask-skipped blocks).
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch_shapes,
+        )
+        outs = pl.pallas_call(
+            kernel, grid_spec=grid_spec, out_shape=out_shapes, **common
+        )(fetch_table, *args)
+    else:
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            scratch_shapes=scratch_shapes,
+            **common,
+        )(*args)
 
     out = outs[0]
     if q_len_p != q_len:

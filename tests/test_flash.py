@@ -201,6 +201,32 @@ def test_block_sparse_fully_masked_rows_zero():
     assert np.any(out_np[:, :, :256, :] != 0.0)
 
 
+def test_block_sparse_traced_mask_matches_concrete():
+    """A mask passed as a traced jit argument takes the full-grid fallback;
+    a concrete (closed-over) mask takes the compact grid.  Both must agree
+    with each other and the oracle."""
+    import quantumattention_tpu as qa
+
+    b, h, s, d = 1, 2, 1024, 64
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(5), 3)
+    q = jax.random.normal(k1, (b, h, s, d), jnp.bfloat16)
+    k = jax.random.normal(k2, (b, h, s, d), jnp.bfloat16)
+    v = jax.random.normal(k3, (b, h, s, d), jnp.bfloat16)
+    rng = np.random.RandomState(3)
+    bm = rng.rand(s // 128, s // 128) < 0.4
+    bm[np.arange(s // 128), np.arange(s // 128)] = True
+
+    compact = qa.attn_func(q, k, v, is_causal=True, block_mask=jnp.asarray(bm))
+    traced = jax.jit(
+        lambda q, k, v, m: qa.attn_func(q, k, v, is_causal=True, block_mask=m)
+    )(q, k, v, jnp.asarray(bm))
+    elem = _expand_block_mask(bm, s, s) & np.tril(np.ones((s, s), bool))
+    ref = sdpa_reference(q, k, v, attn_mask=jnp.asarray(elem[None, None]))
+    assert rmse(compact, ref) < RMSE_TOL
+    assert rmse(traced, ref) < RMSE_TOL
+    assert rmse(compact, traced) < 1e-6  # same math, different grids
+
+
 def test_block_sparse_shape_validation():
     import quantumattention_tpu as qa
 
