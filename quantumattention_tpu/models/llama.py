@@ -54,6 +54,12 @@ class LlamaConfig:
     tie_embeddings: bool = False
     #: Bias on the Q/K/V projections (Qwen2 style).
     qkv_bias: bool = False
+    #: Mixture-of-Experts FFN (Mixtral style): 0 = dense SwiGLU; > 0
+    #: replaces every MLP with ``models/moe.moe_ffn`` over this many
+    #: experts (top-``num_experts_per_tok`` routing, capacity dropping).
+    num_experts: int = 0
+    num_experts_per_tok: int = 2
+    capacity_factor: float = 1.25
 
     @property
     def q_dim(self) -> int:
@@ -134,6 +140,25 @@ def qwen2_7b(**overrides) -> LlamaConfig:
     )
 
 
+def mixtral_8x7b(**overrides) -> LlamaConfig:
+    """Mixtral-8x7B shapes: Mistral architecture + 8-expert sparse MoE."""
+    return dataclasses.replace(
+        LlamaConfig(
+            vocab_size=32000,
+            hidden_size=4096,
+            intermediate_size=14336,
+            num_layers=32,
+            num_q_heads=32,
+            num_kv_heads=8,
+            head_dim=128,
+            rope_theta=1000000.0,
+            num_experts=8,
+            num_experts_per_tok=2,
+        ),
+        **overrides,
+    )
+
+
 def tiny(**overrides) -> LlamaConfig:
     """Small config for tests and multi-chip dry runs."""
     return dataclasses.replace(
@@ -184,20 +209,32 @@ def init_params(key: jax.Array, cfg: LlamaConfig) -> Params:
                 bk=jnp.zeros((cfg.kv_dim,), cfg.dtype),
                 bv=jnp.zeros((cfg.kv_dim,), cfg.dtype),
             )
-        params["layers"].append(
-            layer_params
-            | {
-                "attn_norm": jnp.ones((cfg.hidden_size,), jnp.float32),
-                "wq": dense(next(keys), (cfg.hidden_size, cfg.q_dim)),
-                "wk": dense(next(keys), (cfg.hidden_size, cfg.kv_dim)),
-                "wv": dense(next(keys), (cfg.hidden_size, cfg.kv_dim)),
-                "wo": dense(next(keys), (cfg.q_dim, cfg.hidden_size)),
-                "mlp_norm": jnp.ones((cfg.hidden_size,), jnp.float32),
+        layer_params |= {
+            "attn_norm": jnp.ones((cfg.hidden_size,), jnp.float32),
+            "wq": dense(next(keys), (cfg.hidden_size, cfg.q_dim)),
+            "wk": dense(next(keys), (cfg.hidden_size, cfg.kv_dim)),
+            "wv": dense(next(keys), (cfg.hidden_size, cfg.kv_dim)),
+            "wo": dense(next(keys), (cfg.q_dim, cfg.hidden_size)),
+            "mlp_norm": jnp.ones((cfg.hidden_size,), jnp.float32),
+        }
+        if cfg.num_experts > 0:
+            from . import moe as moe_lib
+
+            layer_params["moe"] = moe_lib.init_moe_params(
+                next(keys),
+                cfg.hidden_size,
+                cfg.intermediate_size,
+                cfg.num_experts,
+                dtype=cfg.dtype,
+            )
+            next(keys), next(keys)  # keep the per-layer key budget fixed
+        else:
+            layer_params |= {
                 "w_gate": dense(next(keys), (cfg.hidden_size, cfg.intermediate_size)),
                 "w_up": dense(next(keys), (cfg.hidden_size, cfg.intermediate_size)),
                 "w_down": dense(next(keys), (cfg.intermediate_size, cfg.hidden_size)),
             }
-        )
+        params["layers"].append(layer_params)
     return params
 
 
@@ -318,6 +355,15 @@ def attention_block(
 
 def mlp_block(cfg: LlamaConfig, layer: Params, x: jax.Array) -> jax.Array:
     h = rms_norm(x, layer["mlp_norm"], cfg.rms_norm_eps)
+    if cfg.num_experts > 0:
+        from . import moe as moe_lib
+
+        return x + moe_lib.moe_ffn(
+            layer["moe"],
+            h,
+            num_experts_per_tok=cfg.num_experts_per_tok,
+            capacity_factor=cfg.capacity_factor,
+        )
     gate = jnp.einsum("bse,ei->bsi", h, layer["w_gate"])
     up = jnp.einsum("bse,ei->bsi", h, layer["w_up"])
     act = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up

@@ -60,10 +60,23 @@ def llama_param_specs(cfg: LlamaConfig) -> Any:
         "wv": P(None, "tp"),
         "wo": P("tp", None),
         "mlp_norm": P(),
-        "w_gate": P(None, "tp"),
-        "w_up": P(None, "tp"),
-        "w_down": P("tp", None),
     }
+    if cfg.num_experts > 0:
+        # MoE under tp: every expert's SwiGLU gets the same Megatron
+        # col/row split on its trailing dims (the E axis is the ep axis's
+        # business — see parallel/ep.moe_param_specs).
+        layer["moe"] = {
+            "w_router": P(),
+            "w_gate": P(None, None, "tp"),
+            "w_up": P(None, None, "tp"),
+            "w_down": P(None, "tp", None),
+        }
+    else:
+        layer.update(
+            w_gate=P(None, "tp"),
+            w_up=P(None, "tp"),
+            w_down=P("tp", None),
+        )
     if cfg.qkv_bias:
         layer.update(bq=P("tp"), bk=P("tp"), bv=P("tp"))
     specs = {
