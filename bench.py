@@ -16,6 +16,14 @@ Measured paths:
 Timing: iterations are chained through a data dependency inside one jit so
 device dispatch/tunnel overhead is amortized; the result is fetched to force
 execution.
+
+Iteration counts matter: one host dispatch+fetch roundtrip costs a FIXED
+~30-37 ms (measured by sweeping the chain length: t(I) = fixed/I + t_true
+fits with fixed = 30.8 ms for the decode kernel and 36.7 ms for prefill),
+so a chain of I iterations inflates the per-iteration time by ~33/I ms.
+At the old defaults (8 prefill / 20 dispatched decode) that hid ~7% of
+prefill and ~60% of decode throughput.  Defaults below (32 prefill, 256
+decode) keep the inflation under 2%.
 """
 
 from __future__ import annotations
@@ -72,7 +80,7 @@ def main() -> None:
     parser.add_argument("--seq", type=int, default=8192)
     parser.add_argument("--head-dim", type=int, default=128)
     parser.add_argument("--causal", action="store_true")
-    parser.add_argument("--iters", type=int, default=8)
+    parser.add_argument("--iters", type=int, default=32)
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args()
 
@@ -145,10 +153,13 @@ def main() -> None:
     causal_flops = flops // 2
 
     # Decode throughput: int8 KV cache at Llama-3-8B attention shapes
-    # (BASELINE.md decode config).
+    # (BASELINE.md decode config).  Timed the way the serving engine runs
+    # decode — many steps chained inside ONE jitted scan (burst decode).
+    # 256 chained steps keep the fixed ~31 ms dispatch+fetch roundtrip
+    # (see module docstring) under 15% of the total; per-dispatch timing
+    # would bury the 0.75 ms kernel under that roundtrip entirely.
     from quantumattention_tpu.ops.decode import decode_attention
     from quantumattention_tpu.ops.quant import dynamically_quantize_int8
-    from quantumattention_tpu.utils.profiling import do_bench
 
     dB, dHq, dHkv, dD, dS = 64, 32, 8, 128, 4096
     dk1, dk2, dk3 = jax.random.split(jax.random.PRNGKey(1), 3)
@@ -160,14 +171,30 @@ def main() -> None:
         jax.random.normal(dk3, (dB, dHkv, dS, dD), jnp.float32)
     )
     dlen = jnp.full((dB,), dS, jnp.int32)
-    dec = jax.jit(
-        lambda q, k, v, ks, vs, l: decode_attention(
-            q, k, v, l, k_scale=ks, v_scale=vs
+
+    dec_iters = 256
+
+    @jax.jit
+    def dec_n(q, k, v, ks, vs, l):
+        def body(carry, _):
+            o = decode_attention(
+                q + carry.astype(q.dtype), k, v, l, k_scale=ks, v_scale=vs
+            )
+            return jnp.float32(o[0, 0, 0]) * 0.0, None
+
+        carry, _ = jax.lax.scan(
+            body, jnp.float32(0.0), None, length=dec_iters
         )
-    )
-    t_dec = do_bench(
-        lambda: dec(dq, kc8, vc8, kcs, vcs, dlen), iters=20, warmup=2, reps=3
-    )
+        return carry
+
+    dargs = (dq, kc8, vc8, kcs, vcs, dlen)
+    float(dec_n(*dargs))
+    dec_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(dec_n(*dargs))
+        dec_times.append((time.perf_counter() - t0) / dec_iters)
+    t_dec = sorted(dec_times)[1]
     decode_tok_s = dB / t_dec
 
     tflops_stock = flops / t_stock / 1e12

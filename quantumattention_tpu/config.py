@@ -120,6 +120,17 @@ attention = _Namespace(
     # upcast it removes was already free, and the extra q-quantization /
     # int32 path only adds serial work.
     decode_int8_qk=_env_bool("QUANTUM_ATTN_DECODE_INT8_QK", False),
+    # Decode kernel: also run P@V on the int8 MXU — P (with the token-wise
+    # V scale folded in) is quantized per row to int8, so the V cache block
+    # is consumed WITHOUT the int8->bf16 upcast over (bb, block_kv, D)
+    # elements every step.  The convert work moves to the (bb, G, block_kv)
+    # score tile, D-fold smaller.  Accuracy: attention weights carry ~1/254
+    # rounding (P in [0,1] scaled to int8) — within the decode differential
+    # tolerance.  Measured on v5e (round-robin, window-controlled): within
+    # noise of the default (~1.8-1.9 ms vs 1.8 ms at Llama-3-8B shapes) —
+    # eliminating the upcasts does NOT move the kernel, so its fixed cost
+    # is not VPU converts.  Kept for fp8/int4-native MXU generations.
+    decode_int8_pv=_env_bool("QUANTUM_ATTN_DECODE_INT8_PV", False),
 )
 
 

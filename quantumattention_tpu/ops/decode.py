@@ -61,6 +61,7 @@ def _decode_kernel(
     group_pad: int,
     block_batch: int,
     int8_qk: bool = False,
+    int8_pv: bool = False,
 ):
     if quantized:
         q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref = refs[:6]
@@ -155,19 +156,44 @@ def _decode_kernel(
         m_scr[h] = m_next
 
         v = v_ref[:, 0]  # (bb, block_kv, D)
-        if quantized:
-            # The token-wise V scale commutes through the KV sum — apply it
-            # to P's columns (already (bb, G, bkv)) instead of V's rows,
-            # avoiding a lane->sublane relayout.
-            p_eff = (p * vs_ref[:, h, :][:, None, :]).astype(jnp.bfloat16)
-            vc = v.astype(jnp.bfloat16)
+        if quantized and int8_pv and v.dtype == jnp.int8:
+            # Consume the int8 V block DIRECTLY on the int8 MXU: fold the
+            # token-wise V scale into P (it commutes through the KV sum),
+            # quantize the (bb, G, bkv) P tile per row, and dequantize the
+            # (bb, G, D) product — the int8->bf16 upcast over the whole
+            # (bb, bkv, D) cache block (the dominant per-step VPU cost of
+            # this bandwidth-bound kernel) disappears entirely.
+            p_eff = p * vs_ref[:, h, :][:, None, :]
+            ps = (
+                jnp.maximum(
+                    jnp.max(jnp.abs(p_eff), axis=-1, keepdims=True), 1e-9
+                )
+                / 127.0
+            )  # (bb, G, 1)
+            p8 = jnp.round(p_eff * (1.0 / ps)).astype(jnp.int8)
+            pv_i = jax.lax.dot_general(
+                p8, v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            )
+            pv = pv_i.astype(jnp.float32) * ps
         else:
-            vc = v.astype(jnp.bfloat16) if checks.is_8bit_dtype(v.dtype) else v
-            p_eff = p.astype(vc.dtype)
-        pv = jax.lax.dot_general(
-            p_eff, vc, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # (bb, group_pad, D)
+            if quantized:
+                # The token-wise V scale commutes through the KV sum —
+                # apply it to P's columns (already (bb, G, bkv)) instead of
+                # V's rows, avoiding a lane->sublane relayout.
+                p_eff = (p * vs_ref[:, h, :][:, None, :]).astype(jnp.bfloat16)
+                vc = v.astype(jnp.bfloat16)
+            else:
+                vc = (
+                    v.astype(jnp.bfloat16)
+                    if checks.is_8bit_dtype(v.dtype)
+                    else v
+                )
+                p_eff = p.astype(vc.dtype)
+            pv = jax.lax.dot_general(
+                p_eff, vc, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (bb, group_pad, D)
         acc_scr[h] = acc_scr[h] * alpha[:, :, :1] + pv
 
     @pl.when(j == num_kv_blocks - 1)
@@ -308,6 +334,11 @@ def decode_attention(
             k_cache.dtype == jnp.int8
             and quantized
             and config.attention.decode_int8_qk
+        ),
+        int8_pv=(
+            v_cache.dtype == jnp.int8
+            and quantized
+            and config.attention.decode_int8_pv
         ),
     )
 

@@ -31,7 +31,6 @@ from typing import Any, Dict
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
 
 from ..models import moe as moe_lib
 
@@ -102,10 +101,9 @@ def expert_parallel_ffn(
             expert_fn=ep_expert_fn,
         )
 
-    return shard_map(
+    return jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(moe_param_specs(axis_name), P(axis_name)),
         out_specs=P(axis_name),
-        check_rep=False,
     )(moe, x)
