@@ -180,7 +180,13 @@ def prune_candidates(
 
 
 def _time_fetch(fn: Callable[[], jax.Array], iters: int = 3) -> float:
-    """Median wall time of fn with a forced device fetch."""
+    """Median wall time of fn with a forced device fetch.
+
+    Every call pays the fixed ~33 ms dispatch+fetch roundtrip (bench.py
+    documents the t(I) = fixed/I + t_true fit).  A constant offset keeps
+    the argmin over same-shape candidates, but drowns sub-ms differences
+    in rep noise — prefer :func:`_time_chained` (eps-taking runners).
+    """
     float(jnp.sum(fn()).astype(jnp.float32))  # compile + warm
     times = []
     for _ in range(iters):
@@ -188,6 +194,66 @@ def _time_fetch(fn: Callable[[], jax.Array], iters: int = 3) -> float:
         float(jnp.sum(fn()).astype(jnp.float32))
         times.append(time.perf_counter() - t0)
     return sorted(times)[len(times) // 2]
+
+
+def _time_chained(run: Callable[[jax.Array], jax.Array], reps: int = 3) -> float:
+    """Median per-iteration wall time of ``run(eps)``, iterations chained
+    through the f32 scalar ``eps`` inside one jitted scan so the fixed
+    ~33 ms roundtrip amortizes.  Chain length adapts to the kernel: long
+    enough that the roundtrip is <~12% of the chain, capped at 256."""
+    z = jnp.float32(0.0)
+    float(jnp.sum(run(z)).astype(jnp.float32))  # compile + warm
+    t0 = time.perf_counter()
+    float(jnp.sum(run(z)).astype(jnp.float32))
+    t_rough = time.perf_counter() - t0  # ~ t_true + roundtrip
+    t_est = max(t_rough - 0.030, 5e-5)
+    n = int(min(256, max(8, math.ceil(0.25 / t_est))))
+
+    @jax.jit
+    def run_n(e0):
+        def body(c, _):
+            o = run(c)
+            return jnp.float32(o.reshape(-1)[0]) * 0.0, None
+
+        c, _ = jax.lax.scan(body, e0, None, length=n)
+        return c
+
+    float(run_n(z))  # compile the chained program
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(run_n(z))
+        times.append((time.perf_counter() - t0) / n)
+    return sorted(times)[len(times) // 2]
+
+
+def run_outside_trace(fn: Callable[[], object]):
+    """Run ``fn()`` on a fresh thread, escaping any ambient JAX trace (JAX
+    trace state is thread-local).
+
+    This is how in-jit pre-tuning executes real compiled kernels at trace
+    time.  ``jax.ensure_compile_time_eval()`` is NOT usable for this: under
+    it ``pallas_call`` kernels are traced against eval rules that don't
+    exist (``program_id``), so every timed candidate raises and the tuner
+    silently degrades.  A clean thread sees no ambient trace, so jit and
+    pallas compile and execute normally on the same devices.
+    """
+    import concurrent.futures
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=1) as ex:
+        return ex.submit(fn).result()
+
+
+def _time_candidate(run: Callable[..., jax.Array]) -> float:
+    """Chained timing when the runner takes an eps argument (the fused
+    kernels' runners do); legacy per-dispatch timing for zero-arg runners."""
+    import inspect
+
+    try:
+        takes_eps = len(inspect.signature(run).parameters) > 0
+    except (TypeError, ValueError):  # pragma: no cover - builtins etc.
+        takes_eps = False
+    return _time_chained(run) if takes_eps else _time_fetch(run)
 
 
 def lookup(key: str) -> Optional[Tuple[int, int]]:
@@ -241,8 +307,10 @@ def tune(
 ) -> Tuple[int, int]:
     """Time each candidate once, cache and return the winner.
 
-    ``run_with_blocks(bq, bkv)`` returns a zero-arg callable executing the
-    kernel at those block sizes.
+    ``run_with_blocks(bq, bkv)`` returns a callable executing the kernel at
+    those block sizes — either ``run(eps)`` taking an f32 scalar folded
+    into an input (timed with a chained scan, required for sub-ms kernels)
+    or a zero-arg legacy ``run()`` (timed per dispatch).
     """
     hit = lookup(key)
     if hit is not None:
@@ -251,7 +319,7 @@ def tune(
     best_t = float("inf")
     for bq, bkv in candidates:
         try:
-            t = _time_fetch(run_with_blocks(bq, bkv))
+            t = _time_candidate(run_with_blocks(bq, bkv))
         except Exception:  # compile failure (e.g. VMEM) — skip candidate
             continue
         if t < best_t:

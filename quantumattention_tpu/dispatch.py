@@ -381,11 +381,28 @@ def _tuned_path(query, key, value, is_causal, scale, window) -> str:
         if not config.kernel.autotune_in_jit or jax.process_count() > 1:
             return default
         try:
-            query, key, value = (
-                autotune.synth_like(t) for t in (query, key, value)
-            )
+            # Synthesis AND the timing sweep below must escape the ambient
+            # trace — run on a fresh thread (trace state is thread-local;
+            # autotune.run_outside_trace explains why ensure_compile_time_
+            # eval cannot compile pallas kernels).
+            def _synth_and_sweep():
+                q2, k2, v2 = (
+                    autotune.synth_like(t) for t in (query, key, value)
+                )
+                return _sweep_paths(
+                    q2, k2, v2, is_causal, scale, window, pkey, default
+                )
+
+            return autotune.run_outside_trace(_synth_and_sweep)
         except Exception:
             return default
+    return _sweep_paths(
+        query, key, value, is_causal, scale, window, pkey, default
+    )
+
+
+def _sweep_paths(query, key, value, is_causal, scale, window, pkey, default):
+    from . import autotune
 
     def _mk(method):
         if method == "none":
@@ -402,7 +419,11 @@ def _tuned_path(query, key, value, is_causal, scale, window) -> str:
     for name in ("none", "head-wise", "per-block"):
         fn = _mk(name)
         try:
-            t = autotune._time_fetch(lambda: fn(query, key, value))
+            t = autotune._time_chained(
+                lambda eps, fn=fn: fn(
+                    query + eps.astype(query.dtype), key, value
+                )
+            )
         except Exception:  # compile failure: skip this choice
             continue
         if t < best_t:

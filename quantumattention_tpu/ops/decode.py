@@ -62,6 +62,7 @@ def _decode_kernel(
     block_batch: int,
     int8_qk: bool = False,
     int8_pv: bool = False,
+    int4: bool = False,
 ):
     if quantized:
         q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref = refs[:6]
@@ -88,10 +89,28 @@ def _decode_kernel(
         l_scr[h] = jnp.zeros_like(l_scr[h])
         acc_scr[h] = jnp.zeros_like(acc_scr[h])
 
+    def _unpack4(p):
+        # Split-halves int4 layout (ops/quant.dynamically_quantize_int4):
+        # low nibbles are elements [0, D/2), high nibbles [D/2, D) — the
+        # concat lands them in natural D order with no interleave.
+        # Measured variants (v5e, window-controlled): this concat unpack
+        # 1.17 ms vs int8's 0.87 ms at B=64/S=4096 8B shapes; splitting
+        # the dots per half (no concat) was WORSE (1.4-1.7 ms — the
+        # int8->int32 astype is the real relayout, and half-dots double
+        # the MXU issue count); native jnp.int4 arrays crash the runtime.
+        # int4 is therefore a CAPACITY feature on v5e (half the cache
+        # residency), not a latency win.
+        p = p.astype(jnp.int32)
+        lo = (p << 28) >> 28
+        hi = (p << 24) >> 28
+        return jnp.concatenate([lo, hi], axis=-1)
+
     @pl.when(j * block_kv < max_len)
     def _run():
         q = q_ref[:, 0]  # (bb, group_pad, D) float
-        k = k_ref[:, 0]  # (bb, block_kv, D)
+        k = k_ref[:, 0]  # (bb, block_kv, D) — or (bb, block_kv, D/2) packed
+        if int4:
+            k = _unpack4(k).astype(jnp.int8 if int8_qk else jnp.bfloat16)
         if int8_qk:
             # Quantize Q per row (tiny: bb x G x D) and multiply on the
             # int8 MXU directly against the int8 cache block.  This
@@ -155,7 +174,17 @@ def _decode_kernel(
         l_scr[h] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
         m_scr[h] = m_next
 
-        v = v_ref[:, 0]  # (bb, block_kv, D)
+        v = v_ref[:, 0]  # (bb, block_kv, D) — or (bb, block_kv, D/2) packed
+        if int4:
+            v = _unpack4(v).astype(jnp.int8 if int8_pv else jnp.bfloat16)
+
+        def _pv_dot(p_mat, half_dtype, acc_dtype):
+            vc = v if v.dtype == half_dtype else v.astype(half_dtype)
+            return jax.lax.dot_general(
+                p_mat, vc, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=acc_dtype,
+            )
+
         if quantized and int8_pv and v.dtype == jnp.int8:
             # Consume the int8 V block DIRECTLY on the int8 MXU: fold the
             # token-wise V scale into P (it commutes through the KV sum),
@@ -171,10 +200,7 @@ def _decode_kernel(
                 / 127.0
             )  # (bb, G, 1)
             p8 = jnp.round(p_eff * (1.0 / ps)).astype(jnp.int8)
-            pv_i = jax.lax.dot_general(
-                p8, v, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.int32,
-            )
+            pv_i = _pv_dot(p8, jnp.int8, jnp.int32)
             pv = pv_i.astype(jnp.float32) * ps
         else:
             if quantized:
@@ -182,17 +208,12 @@ def _decode_kernel(
                 # apply it to P's columns (already (bb, G, bkv)) instead of
                 # V's rows, avoiding a lane->sublane relayout.
                 p_eff = (p * vs_ref[:, h, :][:, None, :]).astype(jnp.bfloat16)
-                vc = v.astype(jnp.bfloat16)
             else:
-                vc = (
-                    v.astype(jnp.bfloat16)
-                    if checks.is_8bit_dtype(v.dtype)
-                    else v
+                p_eff = p.astype(
+                    jnp.bfloat16 if checks.is_8bit_dtype(v.dtype) else v.dtype
                 )
-                p_eff = p.astype(vc.dtype)
-            pv = jax.lax.dot_general(
-                p_eff, vc, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
+            pv = _pv_dot(
+                p_eff, p_eff.dtype, jnp.float32
             )  # (bb, group_pad, D)
         acc_scr[h] = acc_scr[h] * alpha[:, :, :1] + pv
 
@@ -242,7 +263,10 @@ def decode_attention(
     """Single-step GQA decode attention; returns (B, Hq, D) in bf16.
 
     ``k_scale``/``v_scale`` must both be given iff the cache is 8-bit
-    token-wise quantized (shape (B, Hkv, Smax) fp32).
+    token-wise quantized (shape (B, Hkv, Smax) fp32).  A cache with minor
+    dim ``head_dim // 2`` is the packed-int4 container
+    (``ops/quant.dynamically_quantize_int4``) — same scale shapes, halved
+    HBM stream, unpacked in-kernel (two shifts + a minor concat).
 
     ``block_kv`` defaults to the largest measured-good block (4096; v5e
     sweep at Llama-3-8B shapes — fewer, larger blocks amortize per-step
@@ -253,9 +277,24 @@ def decode_attention(
     if block_kv is None:
         block_kv = 4096
     batch, num_q_heads, head_dim = q.shape
-    _, num_kv_heads, s_max, _ = k_cache.shape
+    _, num_kv_heads, s_max, cache_dim = k_cache.shape
     if num_q_heads % num_kv_heads != 0:
         raise ValueError("num_q_heads must be divisible by num_kv_heads")
+    # A cache whose minor dim is half the head dim is the packed-int4
+    # container (ops/quant.dynamically_quantize_int4): two 4-bit values
+    # per int8 byte, unpacked in-kernel.  Decode is DMA-bound at the HBM
+    # roof, so halving the stream is the remaining throughput lever.
+    int4 = cache_dim * 2 == head_dim
+    if int4 and k_cache.dtype != jnp.int8:
+        raise ValueError(
+            "packed-int4 cache (minor dim = head_dim/2) must use an int8 "
+            f"container, got {k_cache.dtype}"
+        )
+    if not int4 and cache_dim != head_dim:
+        raise ValueError(
+            f"cache head dim {cache_dim} matches neither head_dim "
+            f"({head_dim}) nor the packed-int4 layout ({head_dim // 2})"
+        )
     if checks.is_8bit_dtype(q.dtype):
         raise ValueError(
             "decode_attention expects float queries (the cache may be "
@@ -285,7 +324,7 @@ def decode_attention(
 
     if block_batch is None:
         block_batch = _pick_block_batch(
-            batch, block_kv, head_dim, k_cache.dtype.itemsize
+            batch, block_kv, cache_dim, k_cache.dtype.itemsize
         )
     if batch % block_batch != 0:
         raise ValueError(
@@ -306,10 +345,10 @@ def decode_attention(
             (bb, 1, group_pad, head_dim), lambda b, j, h, *_: (b, h, 0, 0)
         ),
         pl.BlockSpec(
-            (bb, 1, block_kv, head_dim), lambda b, j, h, *_: (b, h, j, 0)
+            (bb, 1, block_kv, cache_dim), lambda b, j, h, *_: (b, h, j, 0)
         ),
         pl.BlockSpec(
-            (bb, 1, block_kv, head_dim), lambda b, j, h, *_: (b, h, j, 0)
+            (bb, 1, block_kv, cache_dim), lambda b, j, h, *_: (b, h, j, 0)
         ),
     ]
     args = [qg, k_cache, v_cache]
@@ -340,6 +379,7 @@ def decode_attention(
             and quantized
             and config.attention.decode_int8_pv
         ),
+        int4=int4,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

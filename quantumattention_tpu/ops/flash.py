@@ -572,6 +572,34 @@ def _autotuned_blocks(
     hit = autotune.lookup(key)
     if hit is not None:
         return hit
+
+    def _sweep(q, k, v, scale_q, scale_k, scale_v):
+        candidates = autotune.prune_candidates(q_len, kv_len, head_dim)
+
+        def run_with_blocks(bq, bkv):
+            fn = jax.jit(
+                functools.partial(
+                    flash_attention,
+                    is_causal=is_causal,
+                    sm_scale=sm_scale,
+                    window=window,
+                    block_q=bq,
+                    block_kv=bkv,
+                    fused_block_quant=fused_block_quant,
+                )
+            )
+            kwargs = {}
+            if scale_q is not None:
+                kwargs.update(scale_q=scale_q, scale_k=scale_k)
+            if scale_v is not None:
+                kwargs["scale_v"] = scale_v
+            # eps-taking runner -> autotune chains iterations through it
+            # (the fixed ~33 ms dispatch+fetch roundtrip would otherwise
+            # drown sub-ms candidate differences; autotune._time_chained).
+            return lambda eps: fn(q + eps.astype(q.dtype), k, v, **kwargs)
+
+        return autotune.tune(key, run_with_blocks, candidates)
+
     if isinstance(q, jax.core.Tracer):
         if not config.kernel.autotune_in_jit:
             return None, None  # heuristic fallback
@@ -582,39 +610,27 @@ def _autotuned_blocks(
             return None, None
         try:
             # Pre-tune from inside the trace on synthesized inputs (see
-            # autotune.synth_like).  The timed runs pass explicit blocks,
-            # so they bypass this function — no recursion.
-            q, k, v = (autotune.synth_like(t) for t in (q, k, v))
-            if scale_q is not None:
-                scale_q = autotune.synth_like(scale_q)
-                scale_k = autotune.synth_like(scale_k)
-            if scale_v is not None:
-                scale_v = autotune.synth_like(scale_v)
+            # autotune.synth_like).  EVERYTHING — synthesis, the candidate
+            # kernels, and the timing fetches — must escape the ambient
+            # trace; a fresh thread does that (trace state is thread-local;
+            # autotune.run_outside_trace explains why ensure_compile_time_
+            # eval cannot).  The timed runs pass explicit blocks, so they
+            # bypass this function — no recursion.
+            def _synth_and_sweep():
+                sq, sk, sv = scale_q, scale_k, scale_v
+                qq, kk, vv = (autotune.synth_like(t) for t in (q, k, v))
+                if sq is not None:
+                    sq = autotune.synth_like(sq)
+                    sk = autotune.synth_like(sk)
+                if sv is not None:
+                    sv = autotune.synth_like(sv)
+                return _sweep(qq, kk, vv, sq, sk, sv)
+
+            return autotune.run_outside_trace(_synth_and_sweep)
         except Exception:
-            return None, None  # synthesis failed: heuristic fallback
+            return None, None  # synthesis/timing failed: heuristic fallback
 
-    candidates = autotune.prune_candidates(q_len, kv_len, head_dim)
-
-    def run_with_blocks(bq, bkv):
-        fn = jax.jit(
-            functools.partial(
-                flash_attention,
-                is_causal=is_causal,
-                sm_scale=sm_scale,
-                window=window,
-                block_q=bq,
-                block_kv=bkv,
-                fused_block_quant=fused_block_quant,
-            )
-        )
-        kwargs = {}
-        if scale_q is not None:
-            kwargs.update(scale_q=scale_q, scale_k=scale_k)
-        if scale_v is not None:
-            kwargs["scale_v"] = scale_v
-        return lambda: fn(q, k, v, **kwargs)
-
-    return autotune.tune(key, run_with_blocks, candidates)
+    return _sweep(q, k, v, scale_q, scale_k, scale_v)
 
 
 def flash_attention(

@@ -73,6 +73,47 @@ def dynamically_quantize_int8(
     return _dynamic_quantize(t, reduction_dim, INT8_MAX, jnp.int8)
 
 
+def dynamically_quantize_int4(
+    t: jax.Array, *, reduction_dim: _Dims = -1
+) -> Tuple[jax.Array, jax.Array]:
+    """Quantize to int4 (packed two-per-int8 byte) with dynamic scales.
+
+    Beyond the reference (which stops at 8-bit — nn.py:22-42): decode is
+    DMA-bound at the HBM roof (CLAUDE.md measured truths), so the only
+    remaining throughput lever is fewer bytes; int4 halves the KV stream
+    again at ~2x the int8 rounding error.
+
+    Packing puts element d in the LOW nibble and element d + D/2 in the
+    HIGH nibble of packed byte d (a split-halves layout, not pairwise):
+    the kernel unpacks with two arithmetic shifts and a minor-dim concat
+    that lands elements in [0..D/2) ++ [D/2..D) order — no interleave
+    relayout.  ``reduction_dim`` must be the last axis, and that axis must
+    be even.
+
+    Returns (packed int8 array with last dim D/2, fp32 scales like int8).
+    """
+    dims = _normalize_dims(reduction_dim)
+    if dims != (-1,) and dims != (t.ndim - 1,):
+        raise ValueError("int4 packing requires reduction_dim == -1")
+    d = t.shape[-1]
+    if d % 2 != 0:
+        raise ValueError(f"last axis must be even to pack int4, got {d}")
+    q, scale = _dynamic_quantize(t, dims, 7.0, jnp.int8)
+    lo = q[..., : d // 2].astype(jnp.int32)
+    hi = q[..., d // 2 :].astype(jnp.int32)
+    packed = ((hi << 4) | (lo & 0xF)).astype(jnp.int8)
+    return packed, scale
+
+
+def unpack_int4(packed: jax.Array, out_dtype=jnp.int8) -> jax.Array:
+    """Inverse of the int4 packing: (…, D/2) int8 -> (…, D) values in
+    [-8, 7], low nibbles first then high nibbles (split-halves layout)."""
+    p = packed.astype(jnp.int32)
+    lo = (p << 28) >> 28  # sign-extend the low nibble
+    hi = (p << 24) >> 28  # arithmetic shift sign-extends the high nibble
+    return jnp.concatenate([lo, hi], axis=-1).astype(out_dtype)
+
+
 def quantize_head_wise(t: jax.Array, qdtype=jnp.float8_e4m3fn):
     """(B, H, S, D) -> values + (B, H) scales (reference nn.py:410-414)."""
     qmax = INT8_MAX if jnp.issubdtype(qdtype, jnp.integer) else FP8_E4M3_MAX

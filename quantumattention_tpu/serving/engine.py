@@ -70,6 +70,7 @@ class Engine:
         num_slots: int = 8,
         max_len: int = 2048,
         cache_dtype=jnp.int8,
+        kv_int4: bool = False,
         prefill_bucket: int = 128,
         decode_block_kv: int = 2048,
         seed: int = 0,
@@ -118,10 +119,17 @@ class Engine:
         self.decode_block_kv = decode_block_kv
         self.cache_backend = cache_backend
         self.page_size = page_size
+        if kv_int4 and cache_backend != "slots":
+            raise ValueError(
+                "kv_int4 is supported on the slots backend only (paged "
+                "pages keep 8-bit containers)"
+            )
+        self.kv_int4 = kv_int4
         if cache_backend == "slots":
             self.caches = [
                 kvc.init_cache(
-                    num_slots, cfg.num_kv_heads, max_len, cfg.head_dim, cache_dtype
+                    num_slots, cfg.num_kv_heads, max_len, cfg.head_dim,
+                    cache_dtype, int4=kv_int4,
                 )
                 for _ in range(cfg.num_layers)
             ]
@@ -353,9 +361,16 @@ class Engine:
                 hkv, d = cfg.num_kv_heads, cfg.head_dim
 
                 def prefix(values, scales):
+                    dc = values.shape[-1]  # head_dim, or head_dim/2 packed
                     p = jax.lax.dynamic_slice(
-                        values, (slot, 0, 0, 0), (1, hkv, off, d)
-                    ).astype(jnp.float32)
+                        values, (slot, 0, 0, 0), (1, hkv, off, dc)
+                    )
+                    if dc * 2 == d:  # packed int4 (kv_int4=True)
+                        from ..ops.quant import unpack_int4
+
+                        p = unpack_int4(p, jnp.float32)
+                    else:
+                        p = p.astype(jnp.float32)
                     if scales is not None:
                         s = jax.lax.dynamic_slice(
                             scales, (slot, 0, 0), (1, hkv, off)

@@ -55,7 +55,18 @@ def init_cache(
     max_len: int,
     head_dim: int,
     dtype=jnp.int8,
+    int4: bool = False,
 ) -> KVCache:
+    """``int4=True`` stores packed 4-bit values (two per int8 byte, minor
+    dim head_dim/2 — ops/quant.dynamically_quantize_int4): half the int8
+    cache's HBM stream and residency, ~2x its rounding error.  The decode
+    kernel detects the packed layout from the cache's minor dim."""
+    if int4:
+        if dtype != jnp.int8:
+            raise ValueError("int4 cache uses an int8 container")
+        if head_dim % 2 != 0:
+            raise ValueError("int4 cache requires an even head_dim")
+        head_dim //= 2
     shape = (num_slots, num_kv_heads, max_len, head_dim)
     cache = KVCache(
         k=jnp.zeros(shape, dtype),
@@ -68,11 +79,15 @@ def init_cache(
     return cache
 
 
-def _quantize_tokens(t: jax.Array, dtype) -> Tuple[jax.Array, Optional[jax.Array]]:
+def _quantize_tokens(
+    t: jax.Array, dtype, int4: bool = False
+) -> Tuple[jax.Array, Optional[jax.Array]]:
     """(H, S, D) float -> (values, (H, S) scales) in the cache container."""
     if not checks.is_8bit_dtype(dtype):
         return t.astype(dtype), None
-    if dtype == jnp.int8:
+    if int4:
+        tq, scale = quant.dynamically_quantize_int4(t, reduction_dim=-1)
+    elif dtype == jnp.int8:
         tq, scale = quant.dynamically_quantize_int8(t, reduction_dim=-1)
     else:
         tq, scale = quant.dynamically_quantize_fp8(t, reduction_dim=-1)
@@ -103,12 +118,15 @@ def append(
     so the steady-state decode loop still updates in place.)
     """
     dtype = cache.k.dtype
+    # Packed-int4 layout is identified by the halved minor dim (static at
+    # trace time).
+    int4 = cache.k.shape[-1] * 2 == k_new.shape[-1]
 
     def write_one(cache_k, cache_v, cache_ks, cache_vs, lengths, i):
         slot = slot_ids[i]
         off = offsets[i]
-        kq, ks = _quantize_tokens(k_new[i], dtype)
-        vq, vs = _quantize_tokens(v_new[i], dtype)
+        kq, ks = _quantize_tokens(k_new[i], dtype, int4)
+        vq, vs = _quantize_tokens(v_new[i], dtype, int4)
         cache_k = jax.lax.dynamic_update_slice(
             cache_k, kq[None], (slot, 0, off, 0)
         )

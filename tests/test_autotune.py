@@ -82,3 +82,41 @@ def test_tune_skips_failing_candidates():
 
     best = autotune.tune("test|fail", runner, [(128, 128), (256, 256)])
     assert best == (256, 256)
+
+
+def test_tune_chained_runner_times_and_caches():
+    """Runners taking an eps argument go through the chained-scan timer
+    (the fixed ~33 ms dispatch+fetch roundtrip otherwise drowns sub-ms
+    candidate differences; CLAUDE.md 'measured truths')."""
+    import jax
+    import jax.numpy as jnp
+
+    def runner(bq, bkv):
+        def run(eps):
+            # Work scales with bq so the ordering is deterministic enough
+            # on CPU; eps threads the chain dependency.
+            x = jnp.ones((bq, 128), jnp.float32) + eps
+            return (x * 2.0).sum(axis=1, keepdims=True)
+
+        return run
+
+    best = autotune.tune("test|chained", runner, [(128, 128), (256, 256)])
+    assert best in [(128, 128), (256, 256)]
+    data = json.loads(autotune.cache_path().read_text())
+    assert data["test|chained"] == list(best)
+
+
+def test_time_chained_matches_contract():
+    import jax.numpy as jnp
+
+    calls = []
+
+    def run(eps):
+        calls.append(1)
+        return jnp.zeros((4, 4)) + eps
+
+    t = autotune._time_chained(run)
+    assert t >= 0.0
+    # Traced a handful of times (warm + rough + chained compile), not once
+    # per chained iteration.
+    assert len(calls) <= 8

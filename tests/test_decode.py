@@ -142,3 +142,72 @@ def test_kv_cache_append_and_decode_roundtrip():
 
     cache = kvc.free_slots(cache, jnp.array([0], jnp.int32))
     np.testing.assert_array_equal(np.asarray(cache.lengths), [0, 0, 60])
+
+
+def test_decode_int4_packed_cache():
+    """Packed-int4 cache (minor dim D/2) unpacks in-kernel and tracks the
+    float oracle within int4 tolerance; beyond the reference (8-bit max) —
+    decode is DMA-bound at the HBM roof, so halving bytes is the lever."""
+    from quantumattention_tpu.ops.quant import dynamically_quantize_int4
+
+    B, Hkv, Smax, D = 4, 2, 512, 128
+    Hq = 8
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(k1, (B, Hq, D), jnp.float32)
+    k = jax.random.normal(k2, (B, Hkv, Smax, D), jnp.float32)
+    v = jax.random.normal(k3, (B, Hkv, Smax, D), jnp.float32)
+    lengths = jnp.array([512, 300, 128, 0], jnp.int32)
+
+    kc4, ks = dynamically_quantize_int4(k)
+    vc4, vs = dynamically_quantize_int4(v)
+    assert kc4.shape == (B, Hkv, Smax, D // 2)
+
+    out = decode_attention(
+        q.astype(jnp.bfloat16), kc4, vc4, lengths,
+        k_scale=ks, v_scale=vs, block_kv=256, block_batch=2,
+    )
+    ref = oracle_decode(q, k, v, lengths)
+    assert out.shape == (B, Hq, D)
+    # int4 tolerance: ~4x the int8 budget (one fewer bit each for K and V).
+    assert rmse(out, ref) < 4e-2
+    # Zero-length row stays exactly zero.
+    assert np.all(np.asarray(out[3]) == 0.0)
+
+
+def test_decode_int4_rejects_non_int8_container():
+    B, Hkv, Smax, D = 2, 2, 256, 128
+    q = jnp.zeros((B, 4, D), jnp.bfloat16)
+    bad = jnp.zeros((B, Hkv, Smax, D // 2), jnp.bfloat16)
+    s = jnp.ones((B, Hkv, Smax), jnp.float32)
+    with pytest.raises(ValueError, match="int8 container"):
+        decode_attention(q, bad, bad, jnp.full((B,), 8, jnp.int32),
+                         k_scale=s, v_scale=s)
+
+
+def test_kv_cache_int4_append_and_decode():
+    """init_cache(int4=True) stores packed halves; append quantizes+packs;
+    decode_attention auto-detects the packed layout from the minor dim."""
+    B, Hkv, Smax, D, Hq = 2, 2, 256, 128, 4
+    cache = kvc.init_cache(B, Hkv, Smax, D, int4=True)
+    assert cache.k.shape == (B, Hkv, Smax, D // 2)
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(1), 3)
+    T = 64
+    k_new = jax.random.normal(k1, (B, Hkv, T, D), jnp.float32)
+    v_new = jax.random.normal(k2, (B, Hkv, T, D), jnp.float32)
+    cache = kvc.append(
+        cache,
+        jnp.arange(B, dtype=jnp.int32),
+        k_new, v_new,
+        jnp.zeros((B,), jnp.int32),
+        jnp.full((B,), T, jnp.int32),
+    )
+    assert int(cache.lengths[0]) == T
+
+    q = jax.random.normal(k3, (B, Hq, D), jnp.float32)
+    out = decode_attention(
+        q.astype(jnp.bfloat16), cache.k, cache.v, cache.lengths,
+        k_scale=cache.k_scale, v_scale=cache.v_scale, block_kv=128,
+    )
+    ref = oracle_decode(q, k_new, v_new, cache.lengths)
+    assert rmse(out, ref) < 4e-2

@@ -411,3 +411,30 @@ def test_engine_decode_burst_matches_per_step(params):
     eng2.run_to_completion(decode_burst=4)
     assert ra.output == r_ref.output
     assert rb.done and rb.output == r_ref.output[:5]
+
+
+def test_engine_int4_cache_close_to_reference(params):
+    """Packed-int4 KV cache (kv_int4=True): coarser than int8 but a short
+    greedy horizon should still mostly agree with the exact decode; also
+    exercises the engine's chunked-prefill unpack of the packed prefix."""
+    prompt = [5, 9, 23, 51, 7, 12]
+    n_new = 4
+    eng = Engine(
+        params, CFG, num_slots=2, max_len=256, cache_dtype=jnp.int8,
+        kv_int4=True, prefill_chunk=64,
+    )
+    req = eng.submit(prompt, max_new_tokens=n_new)
+    eng.run_to_completion()
+    ref = greedy_reference(params, prompt, n_new)
+    agree = sum(a == b for a, b in zip(req.output, ref))
+    assert agree >= len(ref) - 2, f"engine {req.output} vs {ref}"
+
+
+def test_engine_int4_rejected_on_paged(params):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="slots backend"):
+        Engine(
+            params, CFG, num_slots=2, max_len=256, cache_backend="paged",
+            kv_int4=True,
+        )
