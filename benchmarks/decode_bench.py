@@ -1,8 +1,11 @@
-"""Decode-attention throughput: int8 vs bf16 KV cache (BASELINE decode config).
+"""Decode-attention throughput: int8/int4 vs bf16 KV cache (BASELINE decode
+config).
 
 Usage: python benchmarks/decode_bench.py [--batch 64] [--seq 4096]
-Measured on TPU v5e (B=64, S=4096, Llama-3-8B attention shapes):
-int8 cache ~22.4k tok/s vs bf16 ~7.2k (2.26x; decode is bandwidth-bound).
+Measured on TPU v5e (B=64, S=4096, Llama-3-8B attention shapes), 256-step
+chained timing: int8 cache ~0.87 ms/step = ~73k tok/s (~700 GB/s, near the
+HBM roof) vs bf16 ~1.37 ms (int8 1.6-1.8x); packed int4 ~1.17 ms (slower —
+a capacity feature, half the residency).
 """
 
 import argparse
@@ -14,8 +17,11 @@ import jax
 import jax.numpy as jnp
 
 from quantumattention_tpu.ops.decode import decode_attention
-from quantumattention_tpu.ops.quant import dynamically_quantize_int8
-from quantumattention_tpu.utils.profiling import do_bench
+from quantumattention_tpu.ops.quant import (
+    dynamically_quantize_int4,
+    dynamically_quantize_int8,
+)
+from quantumattention_tpu.utils.profiling import chain_bench
 
 
 def main():
@@ -39,26 +45,44 @@ def main():
     lengths = jnp.full((B,), S, jnp.int32)
     hbm = B * Hkv * S * D * 2 + B * Hkv * S * 4 * 2  # int8 k+v + scales
 
-    dec8 = jax.jit(
+    # Chained timing: 256 steps per jitted scan amortizes the fixed ~33 ms
+    # dispatch+fetch roundtrip (see bench.py; do_bench would bury the
+    # ~0.8 ms kernel under it).
+    t8 = chain_bench(
         lambda q, k, v, ks, vs, l: decode_attention(
             q, k, v, l, k_scale=ks, v_scale=vs
-        )
+        ),
+        (q, k8, v8, ks, vs, lengths),
+        iters=256,
     )
-    t8 = do_bench(lambda: dec8(q, k8, v8, ks, vs, lengths), iters=20)
     print(
         f"int8 KV: {t8 * 1e3:.2f} ms/step  {B / t8:,.0f} tok/s  "
         f"{hbm / t8 / 1e9:.0f} GB/s"
     )
 
-    decb = jax.jit(
-        lambda q, k, v, l: decode_attention(
-            q, k.astype(jnp.bfloat16), v.astype(jnp.bfloat16), l
-        )
+    kb, vb = kc.astype(jnp.bfloat16), vc.astype(jnp.bfloat16)
+    tb = chain_bench(
+        lambda q, k, v, l: decode_attention(q, k, v, l),
+        (q, kb, vb, lengths),
+        iters=256,
     )
-    tb = do_bench(lambda: decb(q, kc, vc, lengths), iters=20)
     print(
         f"bf16 KV: {tb * 1e3:.2f} ms/step  {B / tb:,.0f} tok/s  "
         f"(int8 speedup {tb / t8:.2f}x)"
+    )
+
+    k4, ks4 = dynamically_quantize_int4(kc, reduction_dim=-1)
+    v4, vs4 = dynamically_quantize_int4(vc, reduction_dim=-1)
+    t4 = chain_bench(
+        lambda q, k, v, ks, vs, l: decode_attention(
+            q, k, v, l, k_scale=ks, v_scale=vs
+        ),
+        (q, k4, v4, ks4, vs4, lengths),
+        iters=256,
+    )
+    print(
+        f"int4 KV (packed): {t4 * 1e3:.2f} ms/step  {B / t4:,.0f} tok/s  "
+        f"(capacity feature: half the int8 residency; see README)"
     )
 
 

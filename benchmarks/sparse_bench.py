@@ -26,7 +26,10 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def bench(fn, q, k, v, iters=8):
+def bench(fn, q, k, v, iters=64):
+    # 64 chained iterations: the fixed ~33 ms dispatch+fetch roundtrip
+    # (bench.py) is ~0.5 ms/iter here — at the old iters=8 it added
+    # ~4 ms/iter to BOTH sides and badly damped the sparse speedup ratios.
     @jax.jit
     def run_n(q, k, v):
         def body(carry, _):

@@ -196,33 +196,42 @@ def _time_fetch(fn: Callable[[], jax.Array], iters: int = 3) -> float:
     return sorted(times)[len(times) // 2]
 
 
-def _time_chained(run: Callable[[jax.Array], jax.Array], reps: int = 3) -> float:
-    """Median per-iteration wall time of ``run(eps)``, iterations chained
-    through the f32 scalar ``eps`` inside one jitted scan so the fixed
-    ~33 ms roundtrip amortizes.  Chain length adapts to the kernel: long
-    enough that the roundtrip is <~12% of the chain, capped at 256."""
+def _time_chained(
+    run: Callable[..., jax.Array], args: tuple = (), reps: int = 3
+) -> float:
+    """Median per-iteration wall time of ``run(eps, *args)``, iterations
+    chained through the f32 scalar ``eps`` inside one jitted scan so the
+    fixed ~33 ms roundtrip amortizes.  Chain length adapts to the kernel:
+    long enough that the roundtrip is <~12% of the chain, capped at 256.
+
+    Kernel inputs MUST come through ``args`` (jit parameters), never a
+    closure: closed-over device arrays become program CONSTANTS, and a
+    multi-hundred-MB constant blob overflows the remote compiler's request
+    limit (HTTP 413) after minutes of tracing — the all-candidates-fail
+    mode that silently degraded tuning at benchmark shapes.
+    """
     z = jnp.float32(0.0)
-    float(jnp.sum(run(z)).astype(jnp.float32))  # compile + warm
+    float(jnp.sum(run(z, *args)).astype(jnp.float32))  # compile + warm
     t0 = time.perf_counter()
-    float(jnp.sum(run(z)).astype(jnp.float32))
+    float(jnp.sum(run(z, *args)).astype(jnp.float32))
     t_rough = time.perf_counter() - t0  # ~ t_true + roundtrip
     t_est = max(t_rough - 0.030, 5e-5)
     n = int(min(256, max(8, math.ceil(0.25 / t_est))))
 
     @jax.jit
-    def run_n(e0):
+    def run_n(e0, *a):
         def body(c, _):
-            o = run(c)
+            o = run(c, *a)
             return jnp.float32(o.reshape(-1)[0]) * 0.0, None
 
         c, _ = jax.lax.scan(body, e0, None, length=n)
         return c
 
-    float(run_n(z))  # compile the chained program
+    float(run_n(z, *args))  # compile the chained program
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        float(run_n(z))
+        float(run_n(z, *args))
         times.append((time.perf_counter() - t0) / n)
     return sorted(times)[len(times) // 2]
 
@@ -244,9 +253,16 @@ def run_outside_trace(fn: Callable[[], object]):
         return ex.submit(fn).result()
 
 
-def _time_candidate(run: Callable[..., jax.Array]) -> float:
-    """Chained timing when the runner takes an eps argument (the fused
-    kernels' runners do); legacy per-dispatch timing for zero-arg runners."""
+def _time_candidate(run) -> float:
+    """Chained timing for ``(fn, args)`` candidate pairs — the fused
+    kernels' runners: ``fn(eps, *args)`` with the buffers as jit
+    parameters so they don't become program constants (HTTP 413, see
+    :func:`_time_chained`).  Bare callables keep legacy behavior:
+    eps-taking ones chain with no extra args, zero-arg ones time per
+    dispatch (test/simulation runners with trace-time side effects)."""
+    if isinstance(run, tuple):
+        fn, args = run
+        return _time_chained(fn, tuple(args))
     import inspect
 
     try:

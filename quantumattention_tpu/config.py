@@ -114,11 +114,10 @@ attention = _Namespace(
     fp8_dot=_env_str("QUANTUM_ATTN_FP8_DOT", "auto"),
     # Decode kernel: quantize Q per row in-kernel and run QK^T on the int8
     # MXU against the int8 KV cache, instead of dequantizing K to bf16.
-    # Off by default: measured SLOWER on v5e (21.5k vs 26.9k tok/s at
-    # Llama-3-8B decode shapes) — a DMA-only probe shows the kernel is
-    # purely bandwidth-bound (218 GB/s with NO compute at all), so the K
-    # upcast it removes was already free, and the extra q-quantization /
-    # int32 path only adds serial work.
+    # Off by default: with honest (chained, window-controlled) timing the
+    # kernel is DMA-bound at the HBM roof and all compute restructurings —
+    # this one included — measure within noise of the default (CLAUDE.md
+    # measured truths), so the simpler upcast path stays default.
     decode_int8_qk=_env_bool("QUANTUM_ATTN_DECODE_INT8_QK", False),
     # Decode kernel: also run P@V on the int8 MXU — P (with the token-wise
     # V scale folded in) is quantized per row to int8, so the V cache block

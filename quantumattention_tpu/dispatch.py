@@ -419,10 +419,11 @@ def _sweep_paths(query, key, value, is_causal, scale, window, pkey, default):
     for name in ("none", "head-wise", "per-block"):
         fn = _mk(name)
         try:
+            # Buffers as jit parameters, not closures (HTTP 413 — see
+            # autotune._time_chained).
             t = autotune._time_chained(
-                lambda eps, fn=fn: fn(
-                    query + eps.astype(query.dtype), key, value
-                )
+                lambda eps, q, k, v, fn=fn: fn(q + eps.astype(q.dtype), k, v),
+                (query, key, value),
             )
         except Exception:  # compile failure: skip this choice
             continue

@@ -14,12 +14,14 @@ Shape model (one new token per sequence):
   DMA halving is the real win — decode is bandwidth-bound).
   lengths:  (B,) int32 valid lengths (entries may be 0 for empty slots)
 
-TPU mapping (this kernel is PER-STEP-OVERHEAD bound, so the grid is shaped
-to minimize steps and maximize DMA size):
+TPU mapping (this kernel is DMA-bound at the HBM roof — ~0.87 ms/step at
+B=64/S=4096 8B shapes, ~700 GB/s ≈ 88% of v5e peak, the same speed as a
+no-compute DMA floor over the same blocks; all timing via 256-step chained
+scans, see bench.py's ~33 ms-roundtrip note):
   * grid (B/bb, Smax/block_kv, Hkv) — a BLOCK of ``bb`` batch rows per
     step (batched MXU dots), heads INNERMOST so the all-heads scale block
     (forced by Mosaic's block-shape rules) is fetched once per (b, j) and
-    elided across the head sweep (measured +21%: 190 -> 230 GB/s);
+    elided across the head sweep;
   * the GQA group (G = Hq/Hkv queries sharing one KV head) forms the
     matmul M dim — the "commute sum and matmul" trick: one (G, D) x
     (D, bkv) MXU op serves all queries of the group;

@@ -588,15 +588,27 @@ def _autotuned_blocks(
                     fused_block_quant=fused_block_quant,
                 )
             )
-            kwargs = {}
-            if scale_q is not None:
-                kwargs.update(scale_q=scale_q, scale_k=scale_k)
-            if scale_v is not None:
-                kwargs["scale_v"] = scale_v
-            # eps-taking runner -> autotune chains iterations through it
-            # (the fixed ~33 ms dispatch+fetch roundtrip would otherwise
-            # drown sub-ms candidate differences; autotune._time_chained).
-            return lambda eps: fn(q + eps.astype(q.dtype), k, v, **kwargs)
+            # (fn, args) runner pair -> autotune chains iterations through
+            # eps (the fixed ~33 ms dispatch+fetch roundtrip would drown
+            # sub-ms candidate deltas) with the buffers passed as jit
+            # PARAMETERS — closing over them would embed them as program
+            # constants and overflow the remote compiler (HTTP 413).
+            has_q = scale_q is not None
+            has_v = scale_v is not None
+            extra = (
+                ((scale_q, scale_k) if has_q else ())
+                + ((scale_v,) if has_v else ())
+            )
+
+            def runner(eps, q, k, v, *s):
+                kwargs = {}
+                if has_q:
+                    kwargs.update(scale_q=s[0], scale_k=s[1])
+                if has_v:
+                    kwargs["scale_v"] = s[2 if has_q else 0]
+                return fn(q + eps.astype(q.dtype), k, v, **kwargs)
+
+            return runner, (q, k, v) + extra
 
         return autotune.tune(key, run_with_blocks, candidates)
 

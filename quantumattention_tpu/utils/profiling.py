@@ -43,6 +43,11 @@ def do_bench(
     tests/test_interface.py:127,136) re-expressed for TPU: every rep chains
     ``iters`` executions and ends with a scalar fetch so the async runtime
     must drain.
+
+    CAVEAT (measured, see bench.py): each async dispatch still costs
+    ~1.5 ms through the device tunnel, and the final fetch ~30 ms — fine
+    for multi-ms kernels, but sub-ms kernels need :func:`chain_bench`
+    (iterations chained inside ONE jitted program).
     """
     for _ in range(warmup):
         float(jnp.sum(fn()).astype(jnp.float32))
@@ -52,6 +57,44 @@ def do_bench(
         for _ in range(iters):
             out = fn()
         float(jnp.sum(out).astype(jnp.float32))
+        times.append((time.perf_counter() - t0) / iters)
+    return sorted(times)[len(times) // 2]
+
+
+def chain_bench(
+    fn: Callable[..., jax.Array],
+    args,
+    iters: int = 64,
+    reps: int = 3,
+    perturb: int = 0,
+) -> float:
+    """Median seconds/iteration of ``fn(*args)`` with iterations chained
+    through a data dependency inside ONE jitted scan.
+
+    One host dispatch+fetch roundtrip costs a fixed ~33 ms (t(I) =
+    fixed/I + t_true, measured in bench.py); chaining amortizes it to
+    fixed/iters.  ``perturb`` names the positional arg that gets the
+    running carry folded in so XLA cannot hoist or dedupe iterations —
+    pick a small input (e.g. q), its extra read+write is part of every
+    iteration.
+    """
+
+    @jax.jit
+    def run_n(*a):
+        def body(c, _):
+            pa = list(a)
+            pa[perturb] = pa[perturb] + c.astype(pa[perturb].dtype)
+            o = fn(*pa)
+            return jnp.float32(o.reshape(-1)[0]) * 0.0, None
+
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return c
+
+    float(run_n(*args))  # compile + warm
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(run_n(*args))
         times.append((time.perf_counter() - t0) / iters)
     return sorted(times)[len(times) // 2]
 

@@ -120,3 +120,24 @@ def test_time_chained_matches_contract():
     # Traced a handful of times (warm + rough + chained compile), not once
     # per chained iteration.
     assert len(calls) <= 8
+
+
+def test_run_outside_trace_escapes_ambient_trace():
+    """run_outside_trace must execute jitted work eagerly even while an
+    outer trace is active (the in-jit pre-tune path; a fresh thread sees
+    no ambient trace — ensure_compile_time_eval cannot compile pallas)."""
+    import jax
+    import jax.numpy as jnp
+
+    results = {}
+
+    def f(x):
+        def sweep():
+            y = jax.jit(lambda a: a * 2.0)(jnp.ones((4,), jnp.float32))
+            return float(y.sum())
+
+        results["val"] = autotune.run_outside_trace(sweep)
+        return x + 1
+
+    jax.jit(f)(jnp.zeros((2,), jnp.float32))
+    assert results["val"] == 8.0
