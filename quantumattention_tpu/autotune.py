@@ -57,13 +57,30 @@ def cache_path() -> Path:
     return Path(root) / "autotune.json"
 
 
+def _pretuned_path() -> Path:
+    return Path(__file__).parent / "pretuned.json"
+
+
 def _load_cache() -> Dict[str, List[int]]:
+    """User cache merged over the packaged pretuned defaults.
+
+    ``pretuned.json`` ships winners measured on real hardware (keys carry
+    the device kind, so foreign entries are inert); the user's on-disk
+    cache always wins.  This is how a fresh machine skips the minutes-per-
+    candidate trace-time sweep for the common shape classes — the same
+    role as Inductor's shipped best-config cache.
+    """
     global _CACHE
     if _CACHE is None:
         try:
-            _CACHE = json.loads(cache_path().read_text())
+            base = json.loads(_pretuned_path().read_text())
         except (OSError, ValueError):
-            _CACHE = {}
+            base = {}
+        try:
+            base.update(json.loads(cache_path().read_text()))
+        except (OSError, ValueError):
+            pass
+        _CACHE = base
     return _CACHE
 
 

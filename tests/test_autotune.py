@@ -141,3 +141,41 @@ def test_run_outside_trace_escapes_ambient_trace():
 
     jax.jit(f)(jnp.zeros((2,), jnp.float32))
     assert results["val"] == 8.0
+
+
+def test_pretuned_defaults_merge(tmp_path, monkeypatch):
+    """Packaged pretuned.json supplies defaults; the user cache wins."""
+    import json as _json
+
+    fake = tmp_path / "pretuned.json"
+    fake.write_text(_json.dumps({"dev|flash|shipped": [512, 1024],
+                                 "dev|flash|both": [256, 256]}))
+    monkeypatch.setattr(autotune, "_pretuned_path", lambda: fake)
+    autotune._CACHE = None
+    assert autotune.lookup("dev|flash|shipped") == (512, 1024)
+    # user record overrides the shipped value and persists
+    autotune.record("dev|flash|both", 1024, 2048)
+    autotune._CACHE = None
+    assert autotune.lookup("dev|flash|both") == (1024, 2048)
+    assert autotune.lookup("dev|flash|shipped") == (512, 1024)
+
+
+def test_tune_accepts_runner_pairs():
+    """(fn, args) runner pairs: buffers ride as jit parameters (the
+    HTTP-413-safe contract used by the fused kernels)."""
+    import jax.numpy as jnp
+
+    big = jnp.ones((64, 128), jnp.float32)
+
+    def runner(bq, bkv):
+        def run(eps, x):
+            return (x[:bq // 64 + 1] * 2.0 + eps).sum(
+                axis=1, keepdims=True
+            )
+
+        return run, (big,)
+
+    best = autotune.tune("test|pair", runner, [(128, 128), (256, 256)])
+    assert best in [(128, 128), (256, 256)]
+    data = json.loads(autotune.cache_path().read_text())
+    assert data["test|pair"] == list(best)
