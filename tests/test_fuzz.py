@@ -96,3 +96,71 @@ def test_fuzz_backward_vs_oracle(seed):
         b = np.asarray(b, np.float64)
         err = np.abs(a - b).max() / (np.abs(b).max() + 1e-9)
         assert err < 3e-2, f"seed={seed} d{name}: {err}"
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_decode_quantized_vs_oracle(seed):
+    """Random decode configs across containers (int8 / packed int4 / bf16),
+    ragged lengths, GQA groups, block sizes — vs a full-precision oracle."""
+    from quantumattention_tpu.ops.decode import decode_attention
+    from quantumattention_tpu.ops.quant import (
+        dynamically_quantize_int4,
+        dynamically_quantize_int8,
+    )
+
+    rng = random.Random(1000 + seed)
+    B = rng.choice([2, 4])
+    hkv = rng.choice([1, 2])
+    group = rng.choice([1, 2, 4])
+    hq = hkv * group
+    smax = rng.choice([256, 384, 512])
+    d = 128
+    container = rng.choice(["int8", "int4", "bf16"])
+    block_kv = rng.choice([128, 256])
+    block_batch = rng.choice([1, 2])
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(2000 + seed), 3)
+    q = jax.random.normal(k1, (B, hq, d), jnp.float32)
+    kraw = jax.random.normal(k2, (B, hkv, smax, d), jnp.float32)
+    vraw = jax.random.normal(k3, (B, hkv, smax, d), jnp.float32)
+    lens = jnp.array(
+        [rng.randrange(0, smax + 1) for _ in range(B)], jnp.int32
+    )
+
+    kwargs = dict(block_kv=block_kv, block_batch=block_batch)
+    if container == "int8":
+        kc, ks = dynamically_quantize_int8(kraw)
+        vc, vs = dynamically_quantize_int8(vraw)
+        kwargs.update(k_scale=ks, v_scale=vs)
+        tol = RMSE_TOL
+    elif container == "int4":
+        kc, ks = dynamically_quantize_int4(kraw)
+        vc, vs = dynamically_quantize_int4(vraw)
+        kwargs.update(k_scale=ks, v_scale=vs)
+        tol = 4e-2
+    else:
+        kc, vc = kraw.astype(jnp.bfloat16), vraw.astype(jnp.bfloat16)
+        tol = RMSE_TOL
+
+    out = decode_attention(q.astype(jnp.bfloat16), kc, vc, lens, **kwargs)
+
+    # Full-precision oracle over the valid prefix of each row.
+    outs = []
+    for b in range(B):
+        nvalid = int(lens[b])
+        if nvalid == 0:
+            outs.append(np.zeros((hq, d), np.float32))
+            continue
+        o = sdpa_reference(
+            q[b][None, :, None, :],
+            jnp.repeat(kraw[b][None, :, :nvalid], group, axis=1),
+            jnp.repeat(vraw[b][None, :, :nvalid], group, axis=1),
+        )
+        outs.append(np.asarray(o[0, :, 0, :], np.float32))
+    ref = np.stack(outs)
+    err = rmse(out, ref)
+    assert err < tol, (
+        f"seed={seed} B={B} hq={hq} hkv={hkv} smax={smax} "
+        f"container={container} lens={list(map(int, lens))} "
+        f"blocks=({block_kv},{block_batch}): rmse={err}"
+    )
