@@ -1,0 +1,148 @@
+"""HuggingFace checkpoint import for the Llama-family decoder.
+
+The reference ships no model layer at all (SURVEY.md §0) — but a serving/
+training framework is only usable if real weights load into it, so this
+module maps `transformers` Llama / Qwen2 / Mistral / Mixtral checkpoints
+onto `models/llama.py`'s parameter tree.  Pure renaming + transposes: the
+decoder follows the HF conventions exactly (rotate-half RoPE, blockwise
+GQA head grouping, `sliding_window` = w keys including self), which the
+cross-framework logit-parity test in tests/test_hf.py asserts end to end.
+
+Weights come in as a ``state_dict`` (torch tensors or numpy arrays) plus
+the HF config; nothing here imports torch or transformers — conversion to
+numpy happens via duck typing, so the module works with safetensors dicts
+too.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Mapping
+
+import jax.numpy as jnp
+import numpy as np
+
+from .llama import LlamaConfig, Params
+
+
+def _to_np(t: Any) -> np.ndarray:
+    """torch.Tensor / np.ndarray / array-like -> float32 numpy."""
+    if hasattr(t, "detach"):  # torch tensor, no torch import needed
+        t = t.detach()
+        if hasattr(t, "float"):
+            t = t.float()
+        t = t.cpu().numpy()
+    return np.asarray(t, np.float32)
+
+
+def config_from_hf(hf_config: Any, **overrides) -> LlamaConfig:
+    """Map a transformers config (Llama/Qwen2/Mistral/Mixtral) onto
+    :class:`LlamaConfig`.  Accepts the config object or a plain dict."""
+    get = (
+        hf_config.get
+        if isinstance(hf_config, Mapping)
+        else lambda k, d=None: getattr(hf_config, k, d)
+    )
+    hidden = get("hidden_size")
+    heads = get("num_attention_heads")
+    cfg = LlamaConfig(
+        vocab_size=get("vocab_size"),
+        hidden_size=hidden,
+        intermediate_size=get("intermediate_size"),
+        num_layers=get("num_hidden_layers"),
+        num_q_heads=heads,
+        num_kv_heads=get("num_key_value_heads", heads),
+        head_dim=get("head_dim") or hidden // heads,
+        rope_theta=float(get("rope_theta", 10000.0)),
+        rms_norm_eps=float(get("rms_norm_eps", 1e-6)),
+        tie_embeddings=bool(get("tie_word_embeddings", False)),
+        qkv_bias=bool(
+            get("attention_bias", False) or get("qkv_bias", False)
+        ),
+        window=get("sliding_window", None)
+        if get("use_sliding_window", True)
+        else None,
+        num_experts=get("num_local_experts", 0) or 0,
+        num_experts_per_tok=get("num_experts_per_tok", 2) or 2,
+    )
+    return dataclasses.replace(cfg, **overrides) if overrides else cfg
+
+
+def params_from_hf(
+    state_dict: Mapping[str, Any], cfg: LlamaConfig, dtype=None
+) -> Params:
+    """Convert an HF Llama-family ``state_dict`` to the native tree.
+
+    HF linear weights are (out, in); the native tree stores (in, out), so
+    every projection transposes.  Norm weights stay fp32 (the native
+    rms_norm computes in fp32).
+    """
+    dtype = dtype or cfg.dtype
+    sd = state_dict
+
+    def w(name):  # transposed projection in compute dtype
+        return jnp.asarray(_to_np(sd[name]).T, dtype)
+
+    def direct(name, dt):
+        return jnp.asarray(_to_np(sd[name]), dt)
+
+    def key(name):
+        # lm_head lives at top level; everything else under "model."
+        return name if name in sd else "model." + name
+
+    params: Params = {
+        "embed": direct(key("embed_tokens.weight"), dtype),
+        "final_norm": direct(key("norm.weight"), jnp.float32),
+        "layers": [],
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = w(key("lm_head.weight"))
+
+    for i in range(cfg.num_layers):
+        p = key(f"layers.{i}")
+        layer: Dict[str, Any] = {
+            "attn_norm": direct(f"{p}.input_layernorm.weight", jnp.float32),
+            "mlp_norm": direct(
+                f"{p}.post_attention_layernorm.weight", jnp.float32
+            ),
+            "wq": w(f"{p}.self_attn.q_proj.weight"),
+            "wk": w(f"{p}.self_attn.k_proj.weight"),
+            "wv": w(f"{p}.self_attn.v_proj.weight"),
+            "wo": w(f"{p}.self_attn.o_proj.weight"),
+        }
+        if cfg.qkv_bias:
+            layer["bq"] = direct(f"{p}.self_attn.q_proj.bias", dtype)
+            layer["bk"] = direct(f"{p}.self_attn.k_proj.bias", dtype)
+            layer["bv"] = direct(f"{p}.self_attn.v_proj.bias", dtype)
+        if cfg.num_experts > 0:
+            # Mixtral: w1 = gate, w3 = up, w2 = down; router stays fp32.
+            moe = f"{p}.block_sparse_moe"
+            layer["moe"] = {
+                "w_router": jnp.asarray(
+                    _to_np(sd[f"{moe}.gate.weight"]).T, jnp.float32
+                ),
+                "w_gate": jnp.stack(
+                    [w(f"{moe}.experts.{j}.w1.weight")
+                     for j in range(cfg.num_experts)]
+                ),
+                "w_up": jnp.stack(
+                    [w(f"{moe}.experts.{j}.w3.weight")
+                     for j in range(cfg.num_experts)]
+                ),
+                "w_down": jnp.stack(
+                    [w(f"{moe}.experts.{j}.w2.weight")
+                     for j in range(cfg.num_experts)]
+                ),
+            }
+        else:
+            layer["w_gate"] = w(f"{p}.mlp.gate_proj.weight")
+            layer["w_up"] = w(f"{p}.mlp.up_proj.weight")
+            layer["w_down"] = w(f"{p}.mlp.down_proj.weight")
+        params["layers"].append(layer)
+    return params
+
+
+def load_hf_model(model: Any, dtype=None) -> tuple:
+    """(params, cfg) from an in-memory transformers model instance."""
+    cfg = config_from_hf(model.config)
+    return params_from_hf(model.state_dict(), cfg, dtype=dtype), cfg
