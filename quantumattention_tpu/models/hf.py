@@ -146,3 +146,29 @@ def load_hf_model(model: Any, dtype=None) -> tuple:
     """(params, cfg) from an in-memory transformers model instance."""
     cfg = config_from_hf(model.config)
     return params_from_hf(model.state_dict(), cfg, dtype=dtype), cfg
+
+
+def load_hf_checkpoint(path: str, dtype=None, **config_overrides) -> tuple:
+    """(params, cfg) from an on-disk HF checkpoint directory
+    (``config.json`` + ``*.safetensors``, sharded or single-file).
+
+    No torch/transformers needed — safetensors' numpy backend reads the
+    tensors directly, so 8B-class checkpoints load without a second
+    framework resident in memory.
+    """
+    import json
+    import pathlib
+
+    from safetensors import numpy as st_np
+
+    root = pathlib.Path(path)
+    hf_config = json.loads((root / "config.json").read_text())
+    cfg = config_from_hf(hf_config, **config_overrides)
+
+    sd: Dict[str, np.ndarray] = {}
+    files = sorted(root.glob("*.safetensors"))
+    if not files:
+        raise FileNotFoundError(f"no *.safetensors under {path}")
+    for f in files:
+        sd.update(st_np.load_file(str(f)))
+    return params_from_hf(sd, cfg, dtype=dtype), cfg

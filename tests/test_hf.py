@@ -152,3 +152,29 @@ def test_hf_mixtral_moe_parity():
     _assert_close(
         _logits_ours(params, cfg, tokens), _logits_hf(model, tokens), 5e-3
     )
+
+
+def test_hf_checkpoint_dir_roundtrip(tmp_path):
+    """load_hf_checkpoint reads config.json + safetensors with no torch in
+    the loop and reproduces the same logits."""
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=96,
+        hidden_size=64,
+        intermediate_size=96,
+        num_hidden_layers=1,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        rms_norm_eps=1e-5,
+        rope_theta=10000.0,
+    )
+    torch.manual_seed(4)
+    model = transformers.LlamaForCausalLM(hf_cfg).eval()
+    model.save_pretrained(tmp_path, safe_serialization=True)
+
+    params, cfg = hf_lib.load_hf_checkpoint(
+        str(tmp_path), dtype=jnp.float32, attention_impl="sdpa"
+    )
+    tokens = np.array([[1, 2, 3, 44, 55]], np.int64)
+    _assert_close(
+        _logits_ours(params, cfg, tokens), _logits_hf(model, tokens), 4e-3
+    )
