@@ -183,6 +183,16 @@ class Engine:
     # Public API
     # ------------------------------------------------------------------
 
+    @classmethod
+    def from_hf(cls, checkpoint_path: str, *, dtype=None, **engine_kwargs):
+        """Engine over an on-disk HuggingFace checkpoint directory
+        (``config.json`` + safetensors — ``models/hf.load_hf_checkpoint``;
+        cross-framework logit parity tested in tests/test_hf.py)."""
+        from ..models import hf as hf_lib
+
+        params, cfg = hf_lib.load_hf_checkpoint(checkpoint_path, dtype=dtype)
+        return cls(params, cfg, **engine_kwargs)
+
     def submit(
         self,
         prompt: Sequence[int],

@@ -178,3 +178,26 @@ def test_hf_checkpoint_dir_roundtrip(tmp_path):
     _assert_close(
         _logits_ours(params, cfg, tokens), _logits_hf(model, tokens), 4e-3
     )
+
+
+def test_engine_from_hf_checkpoint(tmp_path):
+    from quantumattention_tpu.serving.engine import Engine
+
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=96,
+        hidden_size=64,
+        intermediate_size=96,
+        num_hidden_layers=1,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        rms_norm_eps=1e-5,
+        rope_theta=10000.0,
+    )
+    torch.manual_seed(5)
+    transformers.LlamaForCausalLM(hf_cfg).eval().save_pretrained(
+        tmp_path, safe_serialization=True
+    )
+    eng = Engine.from_hf(str(tmp_path), num_slots=2, max_len=128)
+    req = eng.submit([3, 7, 11], max_new_tokens=4)
+    eng.run_to_completion()
+    assert len(req.output) == 4
