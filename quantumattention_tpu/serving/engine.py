@@ -27,7 +27,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import itertools
-from typing import Callable, Dict, List, Optional, Sequence
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -78,6 +78,8 @@ class Engine:
         page_size: int = 128,
         num_pages: Optional[int] = None,
         prefill_chunk: Optional[int] = None,
+        draft: Optional[Tuple[llama.Params, llama.LlamaConfig]] = None,
+        spec_tokens: int = 4,
     ) -> None:
         if cache_backend not in ("slots", "paged"):
             raise ValueError(f"unknown cache_backend: {cache_backend!r}")
@@ -125,6 +127,29 @@ class Engine:
                 "pages keep 8-bit containers)"
             )
         self.kv_int4 = kv_int4
+        if draft is not None:
+            if cache_backend != "slots":
+                raise ValueError(
+                    "speculative decoding requires the slots backend"
+                )
+            if kv_int4:
+                raise ValueError(
+                    "speculative decoding does not support kv_int4 (the "
+                    "verification pass dequantizes the cache directly)"
+                )
+            draft_params, draft_cfg = draft
+            if draft_cfg.vocab_size != cfg.vocab_size:
+                raise ValueError(
+                    "draft and target models must share a vocabulary "
+                    f"({draft_cfg.vocab_size} vs {cfg.vocab_size})"
+                )
+            if spec_tokens < 1:
+                raise ValueError("spec_tokens must be >= 1")
+            self.draft_params, self.draft_cfg = draft_params, draft_cfg
+            self.spec_tokens = int(spec_tokens)
+            self._draft_prefilled: set = set()
+        else:
+            self.draft_params = None
         if cache_backend == "slots":
             self.caches = [
                 kvc.init_cache(
@@ -177,6 +202,26 @@ class Engine:
         if cache_backend == "paged":
             self._decode_paged_jit = jax.jit(
                 self._decode_paged_impl, donate_argnums=donate
+            )
+        if self.draft_params is not None:
+            self.draft_caches = [
+                kvc.init_cache(
+                    num_slots, self.draft_cfg.num_kv_heads, max_len,
+                    self.draft_cfg.head_dim, cache_dtype,
+                )
+                for _ in range(self.draft_cfg.num_layers)
+            ]
+            self._draft_prefill_jit = jax.jit(
+                functools.partial(llama.forward_prefill, cfg=self.draft_cfg)
+            )
+            self._draft_decode_jit = jax.jit(
+                functools.partial(
+                    self._decode_step_impl, cfg=self.draft_cfg
+                ),
+                donate_argnums=donate,
+            )
+            self._verify_jit = jax.jit(
+                self._verify_impl, donate_argnums=donate
             )
 
     # ------------------------------------------------------------------
@@ -247,7 +292,10 @@ class Engine:
             self._prefill_advance(self.prefilling[0])
         newly_finished: List[Request] = []
         if self.active:
-            newly_finished = self._decode()
+            if self._spec_applicable():
+                newly_finished = self._speculative_round()
+            else:
+                newly_finished = self._decode()
         return newly_finished
 
     def run_to_completion(self, decode_burst: Optional[int] = None) -> List[Request]:
@@ -272,6 +320,8 @@ class Engine:
         """Largest safe decode burst right now (1 = use the per-step path)."""
         if not decode_burst or decode_burst <= 1:
             return 1
+        if self.draft_params is not None:
+            return 1  # speculative rounds already batch tokens per dispatch
         if self.waiting or self.prefilling or not self.active:
             return 1  # mixed prefill/decode must interleave per step
         if self.cache_backend != "slots":
@@ -563,12 +613,13 @@ class Engine:
     # Decode
     # ------------------------------------------------------------------
 
-    def _decode_step_impl(self, params, caches, tokens, active_mask):
+    def _decode_step_impl(self, params, caches, tokens, active_mask, cfg=None):
         """Jitted: one decode step over all slots.
 
         Appends the current tokens' K/V, runs fused decode attention per
-        layer, returns (new_caches, logits)."""
-        cfg = self.cfg
+        layer, returns (new_caches, logits).  ``cfg`` overrides self.cfg
+        (the speculative DRAFT model decodes through the same impl)."""
+        cfg = cfg or self.cfg
         positions = caches[0].lengths  # pre-append lengths == positions
 
         def attend(idx, q, k_new, v_new):
@@ -598,6 +649,171 @@ class Engine:
 
         logits = llama.forward_decode(params, tokens, positions, cfg, attend)
         return caches, logits
+
+    def _verify_impl(self, params, caches, tokens, positions, active_mask):
+        """Jitted: multi-token target verification (speculative decoding).
+
+        Appends the T candidate tokens to every active slot's cache, then
+        computes logits for ALL T positions in ONE forward — this parallel
+        pass is where speculative decoding's speedup comes from (the
+        target touches its KV stream once per round instead of once per
+        token).  Attention here is an explicitly-masked reference pass
+        over the dequantized cache (per-row position offsets); a fused
+        multi-query decode kernel is the next TPU-validated step.
+
+        Rollback of rejected tokens is just a lengths reset afterwards:
+        the ragged-cache contract says rows beyond ``lengths`` are garbage
+        and every append overwrites from its offset.
+        """
+        from ..ops.sdpa import sdpa_reference
+
+        cfg = self.cfg
+        t_width = tokens.shape[1]
+        pos2d = positions[:, None] + jnp.arange(t_width, dtype=jnp.int32)
+
+        def attend(idx, q, k_new, v_new):
+            cache = caches[idx]
+            slot_ids = jnp.arange(self.num_slots, dtype=jnp.int32)
+            nval = active_mask.astype(jnp.int32) * t_width
+            caches[idx] = kvc.append(
+                cache, slot_ids,
+                k_new.astype(jnp.float32), v_new.astype(jnp.float32),
+                positions, nval,
+            )
+            c = caches[idx]
+            kf, vf = c.k, c.v
+            if c.k_scale is not None:
+                kf = quant.dequantize(kf, c.k_scale, jnp.float32)
+                vf = quant.dequantize(vf, c.v_scale, jnp.float32)
+            kf = kf.astype(jnp.bfloat16)
+            vf = vf.astype(jnp.bfloat16)
+            s_max = kf.shape[2]
+            col = jnp.arange(s_max, dtype=jnp.int32)[None, None, :]
+            keep = col <= pos2d[:, :, None]  # (B, T, S) causal-at-offset
+            return sdpa_reference(
+                q, kf, vf, attn_mask=keep[:, None], out_dtype=q.dtype
+            )
+
+        logits = llama.forward_chunk(params, tokens, pos2d, cfg, attend)
+        return caches, logits
+
+    def _draft_prefill(self, req: Request) -> None:
+        """Mirror-prefill a request's context into the draft caches.
+
+        Runs lazily at the first speculative round a slot participates in;
+        the context is prompt + output[:-1] (the last emitted token is the
+        pending next input, not yet in either cache)."""
+        ctx = list(req.prompt) + req.output[:-1]
+        n = len(ctx)
+        padded = min(round_up(n, self.prefill_bucket), self.max_len)
+        tokens = np.zeros((1, padded), np.int32)
+        tokens[0, :n] = ctx
+        _, kv = self._draft_prefill_jit(self.draft_params, jnp.asarray(tokens))
+        slot_arr = jnp.array([req.slot], jnp.int32)
+        zero = jnp.zeros((1,), jnp.int32)
+        nval = jnp.array([n], jnp.int32)
+        for li in range(self.draft_cfg.num_layers):
+            k_l, v_l = kv[li]
+            self.draft_caches[li] = kvc.append(
+                self.draft_caches[li], slot_arr, k_l.astype(jnp.float32),
+                v_l.astype(jnp.float32), zero, nval,
+            )
+
+    def _spec_applicable(self) -> bool:
+        """Speculative rounds need a draft, active greedy requests, and
+        enough budget that multi-token rounds make sense."""
+        if self.draft_params is None or not self.active:
+            return False
+        return all(
+            r.sampling.temperature == 0.0 for r in self.active.values()
+        )
+
+    def _speculative_round(self) -> List[Request]:
+        """One greedy speculative-decoding round over all active slots.
+
+        The draft proposes ``spec_tokens`` tokens autoregressively (cheap);
+        the target verifies all of them in ONE parallel pass and emits the
+        longest agreeing prefix plus one target token (the correction on
+        the first mismatch, or the bonus token when everything matched) —
+        so every round emits 1..spec_tokens+1 tokens for exactly one
+        target sweep over the KV stream.  Outputs are bit-identical to
+        plain greedy decoding (the target's argmax decides every token).
+        """
+        for slot, req in self.active.items():
+            if slot not in self._draft_prefilled:
+                self._draft_prefill(req)
+                self._draft_prefilled.add(slot)
+        gamma = self.spec_tokens
+        active_np = np.zeros((self.num_slots,), bool)
+        for slot in self.active:
+            active_np[slot] = True
+        amask = jnp.asarray(active_np)
+
+        # Draft proposes gamma tokens; one EXTRA step appends the last
+        # proposal into the draft cache so an all-accepted round leaves the
+        # draft with the full accepted prefix (rollback only ever shrinks).
+        cur = jnp.asarray(self.last_token)
+        proposals = []
+        for g in range(gamma + 1):
+            self.draft_caches, dlogits = self._draft_decode_jit(
+                self.draft_params, self.draft_caches, cur, amask
+            )
+            if g < gamma:
+                cur = jnp.argmax(dlogits, axis=-1).astype(jnp.int32)
+                proposals.append(np.asarray(cur))
+
+        # Target verifies [last_token, d_1..d_gamma] in one parallel pass.
+        cand = np.stack(
+            [self.last_token] + proposals, axis=1
+        ).astype(np.int32)  # (num_slots, gamma+1)
+        positions = np.asarray(self.caches[0].lengths)
+        self.caches, vlogits = self._verify_jit(
+            self.params, self.caches, jnp.asarray(cand),
+            jnp.asarray(positions), amask,
+        )
+        tgt = np.asarray(jnp.argmax(vlogits, axis=-1).astype(jnp.int32))
+
+        finished: List[Request] = []
+        new_len = positions.copy()
+        rollback = np.zeros((self.num_slots,), bool)
+        for slot, req in list(self.active.items()):
+            n_acc = 0
+            done = False
+            for i in range(gamma):
+                accepted = tgt[slot, i] == cand[slot, i + 1]
+                if accepted:
+                    n_acc += 1
+                # Emit the target's token either way: on acceptance it
+                # equals the draft proposal; on mismatch it is the
+                # correction (and the round ends for this slot).
+                done = self._emit(req, int(tgt[slot, i]))
+                if done:
+                    finished.append(req)
+                    break
+                if not accepted:
+                    break
+            else:
+                if not done and self._emit(req, int(tgt[slot, gamma])):
+                    finished.append(req)
+                    done = True
+            new_len[slot] = positions[slot] + 1 + n_acc
+            # Finished slots were freed by _maybe_finish (lengths zeroed);
+            # don't resurrect them.
+            rollback[slot] = not done
+
+        rb = jnp.asarray(rollback)
+        nl = jnp.asarray(new_len)
+        for li in range(self.cfg.num_layers):
+            self.caches[li] = dataclasses.replace(
+                self.caches[li],
+                lengths=jnp.where(rb, nl, self.caches[li].lengths),
+            )
+        for li in range(self.draft_cfg.num_layers):
+            self.draft_caches[li] = dataclasses.replace(
+                self.draft_caches[li],
+                lengths=jnp.where(rb, nl, self.draft_caches[li].lengths),
+            )
+        return finished
 
     def _decode_paged_impl(
         self, params, pages, tokens, tables, positions, active_mask
@@ -818,6 +1034,13 @@ class Engine:
                         self.caches[li] = kvc.free_slots(
                             self.caches[li], jnp.array([req.slot], jnp.int32)
                         )
+                    if self.draft_params is not None:
+                        for li in range(self.draft_cfg.num_layers):
+                            self.draft_caches[li] = kvc.free_slots(
+                                self.draft_caches[li],
+                                jnp.array([req.slot], jnp.int32),
+                            )
+                        self._draft_prefilled.discard(req.slot)
                 else:
                     self.alloc.release(req.slot)
                 self.free_slots.append(req.slot)
