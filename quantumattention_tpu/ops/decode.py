@@ -65,6 +65,7 @@ def _decode_kernel(
     int8_qk: bool = False,
     int8_pv: bool = False,
     int4: bool = False,
+    q_tokens: int = 1,
 ):
     if quantized:
         q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref = refs[:6]
@@ -152,13 +153,25 @@ def _decode_kernel(
 
         # Ragged tail mask, one scalar compare per batch row (building a
         # (bb,) vector from SMEM scalars is layout-hostile; bb static
-        # slices are cheap).
+        # slices are cheap).  With q_tokens = T > 1 (speculative-decoding
+        # verification) the M dim packs (group, token) pairs t-fastest and
+        # each token t only sees cache rows < lens - (T - 1 - t): lens
+        # includes all T appended candidates, and candidate t must not
+        # attend to candidates t+1..T-1 (intra-chunk causality).
         col = (
             jax.lax.broadcasted_iota(
                 jnp.int32, (group_pad, block_kv), 1
             )
             + j * block_kv
         )
+        if q_tokens > 1:
+            t_of_row = (
+                jax.lax.broadcasted_iota(
+                    jnp.int32, (group_pad, block_kv), 0
+                )
+                % q_tokens
+            )
+            col = col + (q_tokens - 1 - t_of_row)
         s = jnp.stack(
             [
                 jnp.where(col < lens[i], s[i], MASK_VALUE)
@@ -278,7 +291,15 @@ def decode_attention(
     """
     if block_kv is None:
         block_kv = 4096
-    batch, num_q_heads, head_dim = q.shape
+    # 4-D q = (B, Hq, T, D): T candidate tokens per slot (speculative-
+    # decoding verification).  lengths must already INCLUDE the T appended
+    # candidates; token t attends to everything before the candidates plus
+    # candidates 0..t (intra-chunk causal).
+    if q.ndim == 4:
+        batch, num_q_heads, q_tokens, head_dim = q.shape
+    else:
+        batch, num_q_heads, head_dim = q.shape
+        q_tokens = 1
     _, num_kv_heads, s_max, cache_dim = k_cache.shape
     if num_q_heads % num_kv_heads != 0:
         raise ValueError("num_q_heads must be divisible by num_kv_heads")
@@ -334,11 +355,18 @@ def decode_attention(
         )
     bb = block_batch
 
-    # The GQA group is the matmul M dim; pad to the fp32 sublane width.
-    group_pad = max(8, round_up(group, 8))
-    qg = q.reshape(batch, num_kv_heads, group, head_dim)
-    if group_pad != group:
-        qg = jnp.pad(qg, [(0, 0), (0, 0), (0, group_pad - group), (0, 0)])
+    # The GQA group (x candidate tokens) is the matmul M dim; pad to the
+    # fp32 sublane width.  (group, T) rows pack t-fastest, matching the
+    # kernel's `row % T` intra-chunk causal mask.
+    m_rows = group * q_tokens
+    group_pad = max(8, round_up(m_rows, 8))
+    if q_tokens > 1:
+        qg = q.reshape(batch, num_kv_heads, group, q_tokens, head_dim)
+        qg = qg.reshape(batch, num_kv_heads, m_rows, head_dim)
+    else:
+        qg = q.reshape(batch, num_kv_heads, m_rows, head_dim)
+    if group_pad != m_rows:
+        qg = jnp.pad(qg, [(0, 0), (0, 0), (0, group_pad - m_rows), (0, 0)])
 
     grid = (batch // bb, s_pad // block_kv, num_kv_heads)
 
@@ -382,6 +410,7 @@ def decode_attention(
             and config.attention.decode_int8_pv
         ),
         int4=int4,
+        q_tokens=q_tokens,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -415,5 +444,11 @@ def decode_attention(
         interpret=interpret,
     )(lengths.astype(jnp.int32), *args)
 
-    out = out[:, :, :group, :].reshape(batch, num_q_heads, head_dim)
+    out = out[:, :, :m_rows, :]
+    if q_tokens > 1:
+        out = out.reshape(
+            batch, num_kv_heads, group, q_tokens, head_dim
+        ).reshape(batch, num_q_heads, q_tokens, head_dim)
+    else:
+        out = out.reshape(batch, num_q_heads, head_dim)
     return out

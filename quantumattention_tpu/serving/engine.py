@@ -657,16 +657,15 @@ class Engine:
         computes logits for ALL T positions in ONE forward — this parallel
         pass is where speculative decoding's speedup comes from (the
         target touches its KV stream once per round instead of once per
-        token).  Attention here is an explicitly-masked reference pass
-        over the dequantized cache (per-row position offsets); a fused
-        multi-query decode kernel is the next TPU-validated step.
+        token).  Attention is the fused decode kernel's multi-query mode
+        (4-D q: the kernel's M dim packs (group, token) pairs and masks
+        each token's intra-chunk causality per row — no cache
+        dequantization pass).
 
         Rollback of rejected tokens is just a lengths reset afterwards:
         the ragged-cache contract says rows beyond ``lengths`` are garbage
         and every append overwrites from its offset.
         """
-        from ..ops.sdpa import sdpa_reference
-
         cfg = self.cfg
         t_width = tokens.shape[1]
         pos2d = positions[:, None] + jnp.arange(t_width, dtype=jnp.int32)
@@ -681,17 +680,10 @@ class Engine:
                 positions, nval,
             )
             c = caches[idx]
-            kf, vf = c.k, c.v
-            if c.k_scale is not None:
-                kf = quant.dequantize(kf, c.k_scale, jnp.float32)
-                vf = quant.dequantize(vf, c.v_scale, jnp.float32)
-            kf = kf.astype(jnp.bfloat16)
-            vf = vf.astype(jnp.bfloat16)
-            s_max = kf.shape[2]
-            col = jnp.arange(s_max, dtype=jnp.int32)[None, None, :]
-            keep = col <= pos2d[:, :, None]  # (B, T, S) causal-at-offset
-            return sdpa_reference(
-                q, kf, vf, attn_mask=keep[:, None], out_dtype=q.dtype
+            return decode_attention(
+                q.astype(jnp.bfloat16), c.k, c.v, c.lengths,
+                k_scale=c.k_scale, v_scale=c.v_scale,
+                block_kv=self.decode_block_kv,
             )
 
         logits = llama.forward_chunk(params, tokens, pos2d, cfg, attend)

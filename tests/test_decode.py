@@ -211,3 +211,38 @@ def test_kv_cache_int4_append_and_decode():
     )
     ref = oracle_decode(q, k_new, v_new, cache.lengths)
     assert rmse(out, ref) < 4e-2
+
+
+def test_decode_multi_token_verification():
+    """4-D q = (B, Hq, T, D): the kernel's multi-query mode (speculative
+    verification).  lengths include the T appended candidates; token t
+    attends to everything before the candidates plus candidates 0..t."""
+    from quantumattention_tpu.ops.quant import dynamically_quantize_int8
+
+    B, Hq, Hkv, D, S, T = 3, 8, 2, 128, 512, 4
+    G = Hq // Hkv
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(k1, (B, Hq, T, D), jnp.float32)
+    kraw = jax.random.normal(k2, (B, Hkv, S, D), jnp.float32)
+    vraw = jax.random.normal(k3, (B, Hkv, S, D), jnp.float32)
+    lengths = jnp.array([100 + T, 37 + T, T], jnp.int32)
+    kc, ks = dynamically_quantize_int8(kraw)
+    vc, vs = dynamically_quantize_int8(vraw)
+
+    out = decode_attention(
+        q.astype(jnp.bfloat16), kc, vc, lengths,
+        k_scale=ks, v_scale=vs, block_kv=128, block_batch=1,
+    )
+    assert out.shape == (B, Hq, T, D)
+
+    ref = np.zeros((B, Hq, T, D), np.float32)
+    for b in range(B):
+        for t in range(T):
+            n = int(lengths[b]) - (T - 1 - t)
+            o = sdpa_reference(
+                q[b][None, :, t : t + 1, :],
+                jnp.repeat(kraw[b][None, :, :n], G, 1),
+                jnp.repeat(vraw[b][None, :, :n], G, 1),
+            )
+            ref[b, :, t] = np.asarray(o[0, :, 0], np.float32)
+    assert rmse(out, ref) < RMSE_TOL
