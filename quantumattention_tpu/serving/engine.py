@@ -289,7 +289,7 @@ class Engine:
         """
         self._admit()
         if self.prefilling:
-            self._prefill_advance(self.prefilling[0])
+            self._prefill_advance_group()
         newly_finished: List[Request] = []
         if self.active:
             if self._spec_applicable():
@@ -384,6 +384,80 @@ class Engine:
             if self.cache_backend == "paged":
                 self.alloc.allocate(slot, reserve, self.page_size)
             self.prefilling.append(req)
+
+    def _prefill_advance_group(self) -> None:
+        """Advance prefill this step: the head request's next chunk, or —
+        when several pending prompts bucket to the same padded width — ONE
+        batched whole-prefill forward over all of them (multi-request
+        batched prefill: k prompts cost one forward instead of k)."""
+        head = self.prefilling[0]
+
+        def whole(r: Request) -> bool:
+            return self.prefill_chunk is None or (
+                len(r.prompt) <= self.prefill_chunk
+            )
+
+        def padded(r: Request) -> int:
+            return min(
+                round_up(len(r.prompt), self.prefill_bucket), self.max_len
+            )
+
+        if not whole(head):
+            self._prefill_advance(head)
+            return
+        group = [
+            r for r in self.prefilling
+            if whole(r) and padded(r) == padded(head)
+        ]
+        if len(group) == 1:
+            self._prefill_advance(head)
+            return
+        self._prefill_whole_batch(group, padded(head))
+
+    def _prefill_whole_batch(self, reqs: List[Request], padded: int) -> None:
+        """One batched prefill forward for same-bucket prompts; K/V scatter
+        into every request's slot is a single batched ragged append."""
+        k = len(reqs)
+        tokens = np.zeros((k, padded), np.int32)
+        for i, r in enumerate(reqs):
+            tokens[i, : len(r.prompt)] = r.prompt
+        logits, kv = self._prefill_jit(self.params, jnp.asarray(tokens))
+        if self.cache_backend == "slots":
+            slot_arr = jnp.asarray([r.slot for r in reqs], jnp.int32)
+            zeros = jnp.zeros((k,), jnp.int32)
+            nvals = jnp.asarray(
+                [len(r.prompt) for r in reqs], jnp.int32
+            )
+            for li in range(self.cfg.num_layers):
+                k_l, v_l = kv[li]
+                self.caches[li] = kvc.append(
+                    self.caches[li], slot_arr, k_l.astype(jnp.float32),
+                    v_l.astype(jnp.float32), zeros, nvals,
+                )
+        else:
+            from . import paged_cache as pgc
+
+            n_pages = -(-padded // self.page_size)
+            for i, r in enumerate(reqs):
+                page_ids = jnp.asarray(
+                    self.alloc.tables[r.slot, :n_pages], jnp.int32
+                )
+                for li in range(self.cfg.num_layers):
+                    k_l, v_l = kv[li]
+                    self.pages[li] = pgc.write_tokens(
+                        self.pages[li], page_ids, 0,
+                        k_l[i].astype(jnp.float32),
+                        v_l[i].astype(jnp.float32),
+                    )
+                self.alloc.lengths[r.slot] = len(r.prompt)
+        for i, r in enumerate(reqs):
+            self.prefilling.remove(r)
+            r.prefill_pos = len(r.prompt)
+            first = self._sample(
+                logits[i : i + 1, len(r.prompt) - 1, :], r.sampling
+            )
+            if not self._emit(r, int(first[0])):
+                self.active[r.slot] = r
 
     def _prefill_advance(self, req: Request) -> None:
         """Advance one request's prefill by at most one chunk; when the

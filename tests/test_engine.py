@@ -438,3 +438,60 @@ def test_engine_int4_rejected_on_paged(params):
             params, CFG, num_slots=2, max_len=256, cache_backend="paged",
             kv_int4=True,
         )
+
+
+@pytest.mark.parametrize("backend", ["slots", "paged"])
+def test_engine_batched_prefill_matches_solo(params, backend):
+    """Same-bucket prompts prefill in ONE batched forward; every request's
+    output must equal its solo run, and the whole group leaves the
+    prefill queue in a single step.
+
+    Uses the fp32/sdpa config: B=3 and B=1 prefill are differently-traced
+    programs, and in bf16 the numeric daylight between them flips near-tie
+    argmaxes on an untrained model (CLAUDE.md testing notes); fp32 keeps
+    the comparison exact."""
+    cfg32 = llama.tiny(attention_impl="sdpa", dtype=jnp.float32)
+    params32 = llama.init_params(jax.random.PRNGKey(0), cfg32)
+    prompts = [[1, 2, 3], [9, 8, 7, 6], [4, 5]]
+    eng = Engine(
+        params32, cfg32, num_slots=4, max_len=256,
+        cache_dtype=jnp.bfloat16, cache_backend=backend,
+    )
+    reqs = [eng.submit(p, max_new_tokens=4) for p in prompts]
+    eng.step()  # admission + ONE batched prefill (+ first decode step)
+    assert not eng.prefilling  # all three prefilled together
+    assert len(eng.active) + sum(r.done for r in reqs) == 3
+    eng.run_to_completion()
+    for p, r in zip(prompts, reqs):
+        solo = Engine(
+            params32, cfg32, num_slots=1, max_len=256,
+            cache_dtype=jnp.bfloat16, cache_backend=backend,
+        )
+        sr = solo.submit(p, max_new_tokens=4)
+        solo.run_to_completion()
+        assert len(r.output) == len(sr.output)
+        if backend == "slots":
+            assert r.output == sr.output, (p, r.output, sr.output)
+        else:
+            # The paged decode kernel's interpret-mode async-DMA state is
+            # process-global (CLAUDE.md), which perturbs repeat runs in
+            # one process — assert the prefill-determined first token
+            # (flash path) and completion; slots covers exact equality.
+            assert r.output[0] == sr.output[0], (p, r.output, sr.output)
+
+
+def test_engine_batched_prefill_respects_buckets(params):
+    """Prompts in different buckets do NOT batch; nothing breaks and
+    outputs still match solo runs."""
+    long = list(range(1, 200))  # > prefill_bucket of 128 -> second bucket
+    eng = Engine(params, CFG, num_slots=3, max_len=512,
+                 cache_dtype=jnp.bfloat16)
+    r1 = eng.submit([1, 2, 3], max_new_tokens=3)
+    r2 = eng.submit(long, max_new_tokens=3)
+    eng.run_to_completion()
+    for p, r in ((list([1, 2, 3]), r1), (long, r2)):
+        solo = Engine(params, CFG, num_slots=1, max_len=512,
+                      cache_dtype=jnp.bfloat16)
+        sr = solo.submit(p, max_new_tokens=3)
+        solo.run_to_completion()
+        assert r.output == sr.output
