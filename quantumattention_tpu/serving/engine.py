@@ -787,11 +787,21 @@ class Engine:
 
     def _spec_applicable(self) -> bool:
         """Speculative rounds need a draft, active greedy requests, and
-        enough budget that multi-token rounds make sense."""
+        cache room for the whole candidate block: the verification append
+        writes spec_tokens+1 rows BEFORE acceptance, and a write that
+        would cross max_len gets silently clamped by dynamic_update_slice
+        (corrupting the cache tail) — near the end we fall back to
+        per-token decoding."""
         if self.draft_params is None or not self.active:
             return False
+        if any(
+            r.sampling.temperature != 0.0 for r in self.active.values()
+        ):
+            return False
+        room = self.spec_tokens + 1
         return all(
-            r.sampling.temperature == 0.0 for r in self.active.values()
+            len(r.prompt) + len(r.output) - 1 + room <= self.max_len
+            for r in self.active.values()
         )
 
     def _speculative_round(self) -> List[Request]:

@@ -129,3 +129,24 @@ def test_speculative_sampling_falls_back_to_plain(params, draft_params):
     )
     eng.run_to_completion()
     assert len(req.output) == 6
+
+
+def test_speculative_near_max_len_falls_back(params, draft_params):
+    """Verification appends spec_tokens+1 rows before acceptance; near
+    max_len a clamped write would corrupt the cache tail, so the engine
+    must fall back to per-token decoding and still finish correctly."""
+    max_len = 32
+    prompt = list(range(1, 25))  # 24 tokens; room for 8 more
+    plain_eng = Engine(params, CFG, num_slots=1, max_len=max_len,
+                       cache_dtype=jnp.bfloat16)
+    pr = plain_eng.submit(prompt, max_new_tokens=8)
+    plain_eng.run_to_completion()
+
+    eng = Engine(
+        params, CFG, num_slots=1, max_len=max_len,
+        cache_dtype=jnp.bfloat16,
+        draft=(draft_params, DRAFT_CFG), spec_tokens=4,
+    )
+    req = eng.submit(prompt, max_new_tokens=8)
+    eng.run_to_completion()
+    assert req.output == pr.output
