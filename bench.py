@@ -38,27 +38,11 @@ import jax.numpy as jnp
 
 
 def bench_one(fn, q, k, v, iters: int) -> float:
-    """Median-of-3 seconds-per-iteration of fn(q, k, v)."""
+    """Median seconds-per-iteration of fn(q, k, v), chained
+    (utils/profiling.chain_bench is the one shared implementation)."""
+    from quantumattention_tpu.utils.profiling import chain_bench
 
-    @jax.jit
-    def run_n(q, k, v):
-        def body(carry, _):
-            # Data dependency: perturb q by the running scalar so XLA cannot
-            # hoist or dedupe iterations.
-            o = fn(q + carry.astype(q.dtype), k, v)
-            return jnp.float32(o[0, 0, 0, 0]) * 0.0, None
-
-        carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
-        return carry
-
-    # Warmup / compile.
-    float(run_n(q, k, v))
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(run_n(q, k, v))
-        times.append((time.perf_counter() - t0) / iters)
-    return sorted(times)[1]
+    return chain_bench(fn, (q, k, v), iters=iters)
 
 
 def main() -> None:
@@ -172,29 +156,15 @@ def main() -> None:
     )
     dlen = jnp.full((dB,), dS, jnp.int32)
 
-    dec_iters = 256
+    from quantumattention_tpu.utils.profiling import chain_bench
 
-    @jax.jit
-    def dec_n(q, k, v, ks, vs, l):
-        def body(carry, _):
-            o = decode_attention(
-                q + carry.astype(q.dtype), k, v, l, k_scale=ks, v_scale=vs
-            )
-            return jnp.float32(o[0, 0, 0]) * 0.0, None
-
-        carry, _ = jax.lax.scan(
-            body, jnp.float32(0.0), None, length=dec_iters
-        )
-        return carry
-
-    dargs = (dq, kc8, vc8, kcs, vcs, dlen)
-    float(dec_n(*dargs))
-    dec_times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(dec_n(*dargs))
-        dec_times.append((time.perf_counter() - t0) / dec_iters)
-    t_dec = sorted(dec_times)[1]
+    t_dec = chain_bench(
+        lambda q, k, v, ks, vs, l: decode_attention(
+            q, k, v, l, k_scale=ks, v_scale=vs
+        ),
+        (dq, kc8, vc8, kcs, vcs, dlen),
+        iters=256,
+    )
     decode_tok_s = dB / t_dec
 
     tflops_stock = flops / t_stock / 1e12

@@ -79,6 +79,20 @@ def params_from_hf(
     """
     dtype = dtype or cfg.dtype
     sd = state_dict
+    if not cfg.qkv_bias and any(
+        k.endswith("self_attn.q_proj.bias") for k in sd
+    ):
+        # Qwen2 puts biases on q/k/v unconditionally while its config
+        # carries no flag for it (transformers' Qwen2Config has neither
+        # attention_bias nor qkv_bias) — loading with cfg.qkv_bias=False
+        # would silently DROP the bias tensors and serve garbage logits.
+        # The loaders detect this from the state dict (_cfg_with_detected_
+        # bias); direct params_from_hf callers must pass a matching cfg.
+        raise ValueError(
+            "checkpoint has q/k/v projection biases but cfg.qkv_bias is "
+            "False — build the config with config_from_hf(..., "
+            "qkv_bias=True) or use load_hf_model/load_hf_checkpoint"
+        )
 
     def w(name):  # transposed projection in compute dtype
         return jnp.asarray(_to_np(sd[name]).T, dtype)
@@ -142,10 +156,21 @@ def params_from_hf(
     return params
 
 
+def _cfg_with_detected_bias(cfg: LlamaConfig, sd: Mapping[str, Any]):
+    """The state dict is the ground truth for q/k/v biases (Qwen2 carries
+    them with no config flag)."""
+    if not cfg.qkv_bias and any(
+        k.endswith("self_attn.q_proj.bias") for k in sd
+    ):
+        return dataclasses.replace(cfg, qkv_bias=True)
+    return cfg
+
+
 def load_hf_model(model: Any, dtype=None) -> tuple:
     """(params, cfg) from an in-memory transformers model instance."""
-    cfg = config_from_hf(model.config)
-    return params_from_hf(model.state_dict(), cfg, dtype=dtype), cfg
+    sd = model.state_dict()
+    cfg = _cfg_with_detected_bias(config_from_hf(model.config), sd)
+    return params_from_hf(sd, cfg, dtype=dtype), cfg
 
 
 def load_hf_checkpoint(path: str, dtype=None, **config_overrides) -> tuple:
@@ -171,4 +196,5 @@ def load_hf_checkpoint(path: str, dtype=None, **config_overrides) -> tuple:
         raise FileNotFoundError(f"no *.safetensors under {path}")
     for f in files:
         sd.update(st_np.load_file(str(f)))
+    cfg = _cfg_with_detected_bias(cfg, sd)
     return params_from_hf(sd, cfg, dtype=dtype), cfg

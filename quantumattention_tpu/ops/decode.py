@@ -45,6 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import config
 from ..utils import checks
+from . import quant as quant_ops
 from ..utils.shapes import round_up
 
 LOG2E = math.log2(math.e)
@@ -66,6 +67,7 @@ def _decode_kernel(
     int8_pv: bool = False,
     int4: bool = False,
     q_tokens: int = 1,
+    window_left: Optional[int] = None,
 ):
     if quantized:
         q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref = refs[:6]
@@ -92,28 +94,23 @@ def _decode_kernel(
         l_scr[h] = jnp.zeros_like(l_scr[h])
         acc_scr[h] = jnp.zeros_like(acc_scr[h])
 
-    def _unpack4(p):
-        # Split-halves int4 layout (ops/quant.dynamically_quantize_int4):
-        # low nibbles are elements [0, D/2), high nibbles [D/2, D) — the
-        # concat lands them in natural D order with no interleave.
-        # Measured variants (v5e, window-controlled): this concat unpack
-        # 1.17 ms vs int8's 0.87 ms at B=64/S=4096 8B shapes; splitting
-        # the dots per half (no concat) was WORSE (1.4-1.7 ms — the
-        # int8->int32 astype is the real relayout, and half-dots double
-        # the MXU issue count); native jnp.int4 arrays crash the runtime.
-        # int4 is therefore a CAPACITY feature on v5e (half the cache
-        # residency), not a latency win.
-        p = p.astype(jnp.int32)
-        lo = (p << 28) >> 28
-        hi = (p << 24) >> 28
-        return jnp.concatenate([lo, hi], axis=-1)
+    # Split-halves int4 unpack = ops/quant.unpack_int4 (the canonical
+    # inverse of dynamically_quantize_int4; pure jnp, Pallas-safe).
+    # Measured variants (v5e, window-controlled): this concat unpack
+    # 1.17 ms vs int8's 0.87 ms at B=64/S=4096 8B shapes; splitting the
+    # dots per half (no concat) was WORSE (1.4-1.7 ms — the int8->int32
+    # astype is the real relayout, and half-dots double the MXU issue
+    # count); native jnp.int4 arrays crash the runtime.  int4 is
+    # therefore a CAPACITY feature on v5e (half the cache residency),
+    # not a latency win.
+    _unpack4 = quant_ops.unpack_int4
 
     @pl.when(j * block_kv < max_len)
     def _run():
         q = q_ref[:, 0]  # (bb, group_pad, D) float
         k = k_ref[:, 0]  # (bb, block_kv, D) — or (bb, block_kv, D/2) packed
         if int4:
-            k = _unpack4(k).astype(jnp.int8 if int8_qk else jnp.bfloat16)
+            k = _unpack4(k, jnp.int8 if int8_qk else jnp.bfloat16)
         if int8_qk:
             # Quantize Q per row (tiny: bb x G x D) and multiply on the
             # int8 MXU directly against the int8 cache block.  This
@@ -172,9 +169,19 @@ def _decode_kernel(
                 % q_tokens
             )
             col = col + (q_tokens - 1 - t_of_row)
+
+        def _keep(i):
+            ok = col < lens[i]
+            if window_left is not None:
+                # Sliding window: query at position p = lens-T+t may only
+                # see cols >= p - left; with the token-adjusted col this is
+                # col >= lens - 1 - left for every t uniformly.
+                ok = jnp.logical_and(ok, col >= lens[i] - 1 - window_left)
+            return ok
+
         s = jnp.stack(
             [
-                jnp.where(col < lens[i], s[i], MASK_VALUE)
+                jnp.where(_keep(i), s[i], MASK_VALUE)
                 for i in range(bb)
             ],
             axis=0,
@@ -191,7 +198,7 @@ def _decode_kernel(
 
         v = v_ref[:, 0]  # (bb, block_kv, D) — or (bb, block_kv, D/2) packed
         if int4:
-            v = _unpack4(v).astype(jnp.int8 if int8_pv else jnp.bfloat16)
+            v = _unpack4(v, jnp.int8 if int8_pv else jnp.bfloat16)
 
         def _pv_dot(p_mat, half_dtype, acc_dtype):
             vc = v if v.dtype == half_dtype else v.astype(half_dtype)
@@ -273,6 +280,7 @@ def decode_attention(
     sm_scale: Optional[float] = None,
     block_kv: Optional[int] = None,
     block_batch: Optional[int] = None,
+    window: Optional[Tuple[Optional[int], Optional[int]]] = None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Single-step GQA decode attention; returns (B, Hq, D) in bf16.
@@ -331,6 +339,16 @@ def decode_attention(
         raise ValueError("8-bit KV cache requires k_scale/v_scale")
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(head_dim)
+    window_left = None
+    if window is not None:
+        window_left, right = window
+        if right not in (None, 0):
+            raise ValueError(
+                "decode_attention window must be (left, 0) or (left, "
+                f"None): queries are the newest tokens, got right={right}"
+            )
+        if window_left is not None:
+            window_left = int(window_left)
     if interpret is None:
         interpret = checks.resolve_interpret(config.interpret)
 
@@ -411,6 +429,7 @@ def decode_attention(
         ),
         int4=int4,
         q_tokens=q_tokens,
+        window_left=window_left,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

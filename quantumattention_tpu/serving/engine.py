@@ -91,6 +91,14 @@ class Engine:
                 f"max_len ({max_len}) must be a multiple of prefill_chunk "
                 f"({prefill_chunk})"
             )
+        if cache_backend == "paged" and cfg.window is not None:
+            # The paged decode kernel has no sliding-window masking yet;
+            # serving a window model through it would silently attend to
+            # keys the model was trained to mask.
+            raise ValueError(
+                "sliding-window models (cfg.window) are supported on the "
+                "slots backend only"
+            )
         if cache_backend == "paged":
             # Page-alignment invariants: prefill writes are padded to
             # prefill_bucket / prefill_chunk widths and mapped onto whole
@@ -522,7 +530,8 @@ class Engine:
                 k_all = k_new
                 v_all = v_new
             return flash_attention(
-                q, k_all, v_all, is_causal=True, q_offset=jnp.int32(off)
+                q, k_all, v_all, is_causal=True, q_offset=jnp.int32(off),
+                window=self._window(cfg),
             )
 
         logits = llama.forward_chunk(params, chunk_tokens, positions, cfg, attend)
@@ -590,7 +599,8 @@ class Engine:
             else:
                 k_all, v_all = k_new, v_new
             return flash_attention(
-                q, k_all, v_all, is_causal=True, q_offset=jnp.int32(off)
+                q, k_all, v_all, is_causal=True, q_offset=jnp.int32(off),
+                window=self._window(cfg),
             )
 
         logits = llama.forward_chunk(params, chunk_tokens, positions, cfg, attend)
@@ -719,10 +729,17 @@ class Engine:
                 k_scale=c.k_scale,
                 v_scale=c.v_scale,
                 block_kv=self.decode_block_kv,
+                window=self._window(cfg),
             )
 
         logits = llama.forward_decode(params, tokens, positions, cfg, attend)
         return caches, logits
+
+    @staticmethod
+    def _window(cfg):
+        """HF convention: sliding_window=w attends to exactly w keys
+        including self, i.e. left extent w-1 (models/llama._attend)."""
+        return (cfg.window - 1, 0) if cfg.window is not None else None
 
     def _verify_impl(self, params, caches, tokens, positions, active_mask):
         """Jitted: multi-token target verification (speculative decoding).
@@ -758,6 +775,7 @@ class Engine:
                 q.astype(jnp.bfloat16), c.k, c.v, c.lengths,
                 k_scale=c.k_scale, v_scale=c.v_scale,
                 block_kv=self.decode_block_kv,
+                window=self._window(cfg),
             )
 
         logits = llama.forward_chunk(params, tokens, pos2d, cfg, attend)
@@ -828,25 +846,28 @@ class Engine:
         # Draft proposes gamma tokens; one EXTRA step appends the last
         # proposal into the draft cache so an all-accepted round leaves the
         # draft with the full accepted prefix (rollback only ever shrinks).
+        # Proposals stay ON DEVICE through the loop — a host fetch per
+        # draft step would pay the fixed ~33 ms dispatch+fetch roundtrip
+        # spec_tokens times per round (bench.py), swamping the speedup.
         cur = jnp.asarray(self.last_token)
-        proposals = []
+        proposals = [cur]
         for g in range(gamma + 1):
             self.draft_caches, dlogits = self._draft_decode_jit(
                 self.draft_params, self.draft_caches, cur, amask
             )
             if g < gamma:
                 cur = jnp.argmax(dlogits, axis=-1).astype(jnp.int32)
-                proposals.append(np.asarray(cur))
+                proposals.append(cur)
 
         # Target verifies [last_token, d_1..d_gamma] in one parallel pass.
-        cand = np.stack(
-            [self.last_token] + proposals, axis=1
-        ).astype(np.int32)  # (num_slots, gamma+1)
+        cand_dev = jnp.stack(proposals, axis=1)  # (num_slots, gamma+1)
         positions = np.asarray(self.caches[0].lengths)
         self.caches, vlogits = self._verify_jit(
-            self.params, self.caches, jnp.asarray(cand),
+            self.params, self.caches, cand_dev,
             jnp.asarray(positions), amask,
         )
+        # ONE synchronizing fetch for the whole round.
+        cand = np.asarray(cand_dev)
         tgt = np.asarray(jnp.argmax(vlogits, axis=-1).astype(jnp.int32))
 
         finished: List[Request] = []
@@ -1043,6 +1064,13 @@ class Engine:
         return finished
 
     def _decode(self) -> List[Request]:
+        if self.draft_params is not None:
+            # A per-token step advances the TARGET cache only — any slot
+            # it touches has a stale draft cache afterwards, and a later
+            # speculative round must mirror-prefill it again (otherwise
+            # rollback would mark never-written draft rows as valid).
+            for slot in self.active:
+                self._draft_prefilled.discard(slot)
         active_mask = np.zeros((self.num_slots,), bool)
         for slot in self.active:
             active_mask[slot] = True

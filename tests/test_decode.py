@@ -246,3 +246,41 @@ def test_decode_multi_token_verification():
             )
             ref[b, :, t] = np.asarray(o[0, :, 0], np.float32)
     assert rmse(out, ref) < RMSE_TOL
+
+
+def test_decode_sliding_window():
+    """window=(left, 0): decode tokens only attend to the trailing
+    left+1 keys — must match the oracle restricted to that window."""
+    B, Hkv, Smax, D = 3, 2, 512, 64
+    Hq, left = 4, 31
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(2), 3)
+    q = jax.random.normal(k1, (B, Hq, D), jnp.float32)
+    k = jax.random.normal(k2, (B, Hkv, Smax, D), jnp.float32)
+    v = jax.random.normal(k3, (B, Hkv, Smax, D), jnp.float32)
+    lengths = jnp.array([512, 200, 16], jnp.int32)
+
+    out = decode_attention(
+        q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+        v.astype(jnp.bfloat16), lengths,
+        block_kv=128, window=(left, 0),
+    )
+    G = Hq // Hkv
+    ref = np.zeros((B, Hq, D), np.float32)
+    for b in range(B):
+        n = int(lengths[b])
+        lo = max(0, n - 1 - left)
+        o = sdpa_reference(
+            q[b][None, :, None, :],
+            jnp.repeat(k[b][None, :, lo:n], G, 1),
+            jnp.repeat(v[b][None, :, lo:n], G, 1),
+        )
+        ref[b] = np.asarray(o[0, :, 0], np.float32)
+    assert rmse(out, ref) < RMSE_TOL
+
+
+def test_decode_window_rejects_right_extent():
+    q = jnp.zeros((2, 4, 64), jnp.bfloat16)
+    kv = jnp.zeros((2, 2, 128, 64), jnp.bfloat16)
+    with pytest.raises(ValueError, match="right"):
+        decode_attention(q, kv, kv, jnp.full((2,), 8, jnp.int32),
+                         window=(16, 4))

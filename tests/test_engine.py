@@ -495,3 +495,41 @@ def test_engine_batched_prefill_respects_buckets(params):
         sr = solo.submit(p, max_new_tokens=3)
         solo.run_to_completion()
         assert r.output == sr.output
+
+
+def test_engine_sliding_window_matches_teacher_forcing(params):
+    """A cfg.window model served by the engine must equal teacher-forced
+    decode through the full (windowed) forward — the decode kernel and
+    chunked prefill both have to honor the window (a silent full-causal
+    decode would diverge once the context exceeds the window)."""
+    cfg_w = llama.tiny(
+        attention_impl="sdpa", dtype=jnp.float32, window=8
+    )
+    params_w = llama.init_params(jax.random.PRNGKey(3), cfg_w)
+    prompt = list(range(1, 21))  # 20 tokens: decode spans beyond window=8
+    n_new = 6
+
+    toks = list(prompt)
+    for _ in range(n_new):
+        logits = llama.forward(
+            params_w, jnp.asarray([toks], jnp.int32), cfg_w
+        )
+        toks.append(int(jnp.argmax(logits[0, -1])))
+    ref = toks[len(prompt):]
+
+    for kw in ({}, {"prefill_chunk": 16}):
+        eng = Engine(
+            params_w, cfg_w, num_slots=2, max_len=64,
+            cache_dtype=jnp.bfloat16, **kw,
+        )
+        req = eng.submit(prompt, max_new_tokens=n_new)
+        eng.run_to_completion()
+        assert req.output == ref, (kw, req.output, ref)
+
+
+def test_engine_window_rejected_on_paged(params):
+    cfg_w = llama.tiny(window=8)
+    params_w = llama.init_params(jax.random.PRNGKey(3), cfg_w)
+    with pytest.raises(ValueError, match="slots backend"):
+        Engine(params_w, cfg_w, num_slots=2, max_len=256,
+               cache_backend="paged")

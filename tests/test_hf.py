@@ -109,13 +109,15 @@ def test_hf_qwen2_bias_parity():
     )
     torch.manual_seed(2)
     model = transformers.Qwen2ForCausalLM(hf_cfg).eval()
-    # Qwen2 puts bias on q/k/v regardless of a config flag in most
-    # transformers versions — detect from the state dict.
-    has_bias = any("q_proj.bias" in k for k in model.state_dict())
+    # Qwen2 puts bias on q/k/v with NO config flag — the loader must
+    # detect it from the state dict (a silent qkv_bias=False would drop
+    # the bias tensors and produce garbage logits).
+    params, cfg = hf_lib.load_hf_model(model, dtype=jnp.float32)
+    assert cfg.qkv_bias, "loader failed to detect q/k/v biases"
     cfg = hf_lib.config_from_hf(
-        hf_cfg, dtype=jnp.float32, attention_impl="sdpa", qkv_bias=has_bias
+        hf_cfg, dtype=jnp.float32, attention_impl="sdpa",
+        qkv_bias=cfg.qkv_bias,
     )
-    params = hf_lib.params_from_hf(model.state_dict(), cfg)
     tokens = np.array([[12, 4, 77, 31, 9, 64]], np.int64)
     _assert_close(
         _logits_ours(params, cfg, tokens), _logits_hf(model, tokens), 2e-3
@@ -201,3 +203,18 @@ def test_engine_from_hf_checkpoint(tmp_path):
     req = eng.submit([3, 7, 11], max_new_tokens=4)
     eng.run_to_completion()
     assert len(req.output) == 4
+
+
+def test_params_from_hf_rejects_dropped_biases():
+    """A cfg that would silently drop q/k/v bias tensors must be refused."""
+    hf_cfg = transformers.Qwen2Config(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=1, num_attention_heads=2, num_key_value_heads=1,
+        use_sliding_window=False,
+    )
+    model = transformers.Qwen2ForCausalLM(hf_cfg).eval()
+    cfg = hf_lib.config_from_hf(hf_cfg)  # no bias flag in the config
+    if cfg.qkv_bias:
+        pytest.skip("this transformers version exposes a bias flag")
+    with pytest.raises(ValueError, match="qkv_bias"):
+        hf_lib.params_from_hf(model.state_dict(), cfg)
