@@ -1,0 +1,72 @@
+"""Populate the autotune cache for the benchmark shape classes.
+
+Runs the in-jit tuning sweep (autotune.py) for every path bench.py
+exercises, persisting winners to the user cache (~/.cache/
+quantumattention_tpu/autotune.json).  Copy entries worth shipping into
+quantumattention_tpu/pretuned.json.
+
+COST: each candidate is ~2-7 min through the remote Mosaic compiler (two
+program compiles per candidate — the persistent JAX cache stores whole
+executables, so every new block config recompiles the kernel inside);
+plan ~30 min per shape class cold.  Re-runs are cache hits.
+
+Usage: python benchmarks/tune_shapes.py  (on the TPU; ONE process only)
+"""
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/quantumattention_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import quantumattention_tpu as qa
+import quantumattention_tpu.autotune as at
+from quantumattention_tpu.utils.profiling import chain_bench
+
+
+def main():
+    b, h, s, d = 16, 16, 8192, 128
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(k1, (b, h, s, d), jnp.bfloat16)
+    k = jax.random.normal(k2, (b, h, s, d), jnp.bfloat16)
+    v = jax.random.normal(k3, (b, h, s, d), jnp.bfloat16)
+    flops = 4 * b * h * s * s * d
+
+    paths = {
+        "bf16": lambda q, k, v: qa.attn_func(q, k, v),
+        "bf16_causal": lambda q, k, v: qa.attn_func(q, k, v, is_causal=True),
+        "fp8_headwise": lambda q, k, v: qa.fp8_attn_func(q, k, v),
+        "per_block": lambda q, k, v: qa.fp8_attn_func(
+            q, k, v, scaling_method="per-block"
+        ),
+        "per_block_causal": lambda q, k, v: qa.fp8_attn_func(
+            q, k, v, is_causal=True, scaling_method="per-block"
+        ),
+        "headwise_causal": lambda q, k, v: qa.fp8_attn_func(
+            q, k, v, is_causal=True
+        ),
+    }
+
+    for name, fn in paths.items():
+        t0 = time.perf_counter()
+        o = jax.jit(fn)(q, k, v)  # cache miss -> trace-time sweep
+        o.block_until_ready()
+        print(f"{name}: tuned+compiled in {time.perf_counter()-t0:.0f}s",
+              flush=True)
+
+    print("cache:", at.cache_path().read_text(), flush=True)
+
+    for name, fn in paths.items():
+        t = chain_bench(fn, (q, k, v), iters=32)
+        fl = flops // 2 if "causal" in name else flops
+        print(f"{name}: {t*1e3:.2f} ms  {fl/t/1e12:.1f} TFLOP/s", flush=True)
+    print("DONE", flush=True)
+
+
+if __name__ == "__main__":
+    main()
