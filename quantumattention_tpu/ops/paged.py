@@ -106,6 +106,7 @@ def _paged_kernel(
     num_kv_heads: int,
     max_blocks: int,
     pipelined: bool,
+    window_left: Optional[int] = None,
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -222,7 +223,12 @@ def _paged_kernel(
             jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             + i * block_tokens
         )
-        s = jnp.where(col < length, s, MASK_VALUE)
+        keep = col < length
+        if window_left is not None:
+            # Sliding window: the decode query sits at position length-1
+            # and may only see cols >= length - 1 - left.
+            keep = jnp.logical_and(keep, col >= length - 1 - window_left)
+        s = jnp.where(keep, s, MASK_VALUE)
 
         m_prev = m_scr[:]
         l_prev = l_scr[:]
@@ -261,7 +267,7 @@ def _paged_kernel(
 
 def _gathered_reference(
     q, k_pages, v_pages, lengths, page_indices, *,
-    k_scale_pages, v_scale_pages, sm_scale, interpret,
+    k_scale_pages, v_scale_pages, sm_scale, interpret, window=None,
 ):
     """Materialize each sequence's pages contiguously, then run the ragged
     decode kernel — the semantic definition of the DMA kernel."""
@@ -279,7 +285,8 @@ def _gathered_reference(
         vs = jax.vmap(lambda t: gather(v_scale_pages, t))(page_indices)
     return decode_attention(
         q, k_seq, v_seq, lengths,
-        k_scale=ks, v_scale=vs, sm_scale=sm_scale, interpret=interpret,
+        k_scale=ks, v_scale=vs, sm_scale=sm_scale, window=window,
+        interpret=interpret,
     )
 
 
@@ -294,6 +301,7 @@ def paged_decode_attention(
     v_scale_pages: Optional[jax.Array] = None,
     sm_scale: Optional[float] = None,
     pages_per_block: int = 4,
+    window: Optional[Tuple[Optional[int], Optional[int]]] = None,
     interpret: Optional[bool] = None,
     use_dma: Optional[bool] = None,
 ) -> jax.Array:
@@ -326,6 +334,17 @@ def paged_decode_attention(
         )
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(head_dim)
+    window_left = None
+    if window is not None:
+        window_left, right = window
+        if right not in (None, 0):
+            raise ValueError(
+                "paged_decode_attention window must be (left, 0) or "
+                f"(left, None): queries are the newest tokens, got "
+                f"right={right}"
+            )
+        if window_left is not None:
+            window_left = int(window_left)
     if interpret is None:
         interpret = checks.resolve_interpret(config.interpret)
     if use_dma is None:
@@ -349,7 +368,7 @@ def paged_decode_attention(
         return _gathered_reference(
             q, k_pages, v_pages, lengths, page_indices,
             k_scale_pages=k_scale_pages, v_scale_pages=v_scale_pages,
-            sm_scale=sm_scale, interpret=interpret,
+            sm_scale=sm_scale, window=window, interpret=interpret,
         )
 
     group_pad = max(8, cdiv(group, 8) * 8)
@@ -371,6 +390,7 @@ def paged_decode_attention(
         num_kv_heads=num_kv_heads,
         max_blocks=max_blocks,
         pipelined=not interpret,
+        window_left=window_left,
     )
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)

@@ -91,14 +91,6 @@ class Engine:
                 f"max_len ({max_len}) must be a multiple of prefill_chunk "
                 f"({prefill_chunk})"
             )
-        if cache_backend == "paged" and cfg.window is not None:
-            # The paged decode kernel has no sliding-window masking yet;
-            # serving a window model through it would silently attend to
-            # keys the model was trained to mask.
-            raise ValueError(
-                "sliding-window models (cfg.window) are supported on the "
-                "slots backend only"
-            )
         if cache_backend == "paged":
             # Page-alignment invariants: prefill writes are padded to
             # prefill_bucket / prefill_chunk widths and mapped onto whole
@@ -453,9 +445,7 @@ class Engine:
                 for li in range(self.cfg.num_layers):
                     k_l, v_l = kv[li]
                     self.pages[li] = pgc.write_tokens(
-                        self.pages[li], page_ids, 0,
-                        k_l[i].astype(jnp.float32),
-                        v_l[i].astype(jnp.float32),
+                        self.pages[li], page_ids, 0, k_l[i], v_l[i]
                     )
                 self.alloc.lengths[r.slot] = len(r.prompt)
         for i, r in enumerate(reqs):
@@ -686,8 +676,7 @@ class Engine:
             for li in range(self.cfg.num_layers):
                 k_l, v_l = kv[li]
                 self.pages[li] = pgc.write_tokens(
-                    self.pages[li], page_ids, 0,
-                    k_l[0].astype(jnp.float32), v_l[0].astype(jnp.float32),
+                    self.pages[li], page_ids, 0, k_l[0], v_l[0]
                 )
             self.alloc.lengths[req.slot] = n
         req.prefill_pos = n
@@ -989,6 +978,7 @@ class Engine:
                 k_scale_pages=kspg if quantized else None,
                 v_scale_pages=vspg if quantized else None,
                 pages_per_block=self._pages_per_block,
+                window=self._window(cfg),
             )
 
         logits = llama.forward_decode(params, tokens, positions, cfg, attend)

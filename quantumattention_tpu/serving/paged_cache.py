@@ -17,6 +17,7 @@ Host-side state (plain numpy — allocation is Python-scheduler work):
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, Optional, Tuple
 
 import jax
@@ -48,6 +49,7 @@ def init_layer_pages(
     return pages
 
 
+@functools.partial(jax.jit, static_argnums=(2,))
 def write_tokens(
     pages: LayerPages,
     page_ids: jax.Array,
@@ -61,10 +63,21 @@ def write_tokens(
     [offset_in_first_page, offset_in_first_page + T).  T and the offset are
     static (the engine pads chunks to page multiples), so this jits per
     (T, offset) bucket.
+
+    MUST stay jitted: run eagerly, the chain of dynamic_update_slices
+    triggers this environment's CPU-runtime buffer-aliasing corruption
+    (the same class as the donation hazard documented in
+    kv_cache.append) — page writes intermittently vanish and the paged
+    engine becomes nondeterministic.  One compiled call keeps every
+    intermediate buffer internal.
     """
     dtype = pages.k.dtype
     hkv, _, page_size, head_dim = pages.k.shape
     t = k_new.shape[1]
+    # Cast INSIDE the jit: an eager astype at the call site is another
+    # aliasing-hazard op on this CPU runtime (see the docstring).
+    k_new = k_new.astype(jnp.float32)
+    v_new = v_new.astype(jnp.float32)
 
     def quantize(x):
         if not checks.is_8bit_dtype(dtype):

@@ -119,3 +119,38 @@ def test_paged_validation():
             table,
             pages_per_block=3,
         )
+
+
+def test_paged_sliding_window_matches_decode():
+    """window=(left, 0) on the paged kernel must equal the contiguous
+    decode kernel with the same window (gathered layout)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from quantumattention_tpu.ops.decode import decode_attention
+    from quantumattention_tpu.ops.paged import paged_decode_attention
+
+    Hkv, P, ps, D, B, Hq = 2, 8, 64, 64, 2, 4
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    kp = jax.random.normal(k1, (Hkv, P, ps, D), jnp.bfloat16)
+    vp = jax.random.normal(k2, (Hkv, P, ps, D), jnp.bfloat16)
+    q = jax.random.normal(k3, (B, Hq, D), jnp.bfloat16)
+    tables = jnp.asarray([[0, 1, 2, 3], [4, 5, 6, 7]], jnp.int32)
+    lengths = jnp.asarray([200, 30], jnp.int32)
+
+    o_p = paged_decode_attention(q, kp, vp, lengths, tables, window=(7, 0))
+
+    def gather(pages, t):
+        g = jnp.take(pages, t, axis=1)
+        return g.reshape((g.shape[0], -1) + g.shape[3:])
+
+    ks = jax.vmap(lambda t: gather(kp, t))(tables)
+    vs = jax.vmap(lambda t: gather(vp, t))(tables)
+    o_d = decode_attention(q, ks, vs, lengths, window=(7, 0))
+    err = float(
+        jnp.sqrt(jnp.mean(
+            (o_p.astype(jnp.float32) - o_d.astype(jnp.float32)) ** 2
+        ))
+    )
+    assert err < 1e-6, err
