@@ -793,17 +793,17 @@ class Engine:
             )
 
     def _spec_applicable(self) -> bool:
-        """Speculative rounds need a draft, active greedy requests, and
-        cache room for the whole candidate block: the verification append
-        writes spec_tokens+1 rows BEFORE acceptance, and a write that
-        would cross max_len gets silently clamped by dynamic_update_slice
-        (corrupting the cache tail) — near the end we fall back to
-        per-token decoding."""
+        """Speculative rounds need a draft, a SINGLE shared SamplingParams
+        across active requests (greedy -> argmax acceptance; stochastic ->
+        the rejection scheme in serving/speculative.py, which needs one
+        filtered distribution per round), and cache room for the whole
+        candidate block: the verification append writes spec_tokens+1 rows
+        BEFORE acceptance, and a write that would cross max_len gets
+        silently clamped by dynamic_update_slice (corrupting the cache
+        tail) — near the end we fall back to per-token decoding."""
         if self.draft_params is None or not self.active:
             return False
-        if any(
-            r.sampling.temperature != 0.0 for r in self.active.values()
-        ):
+        if len({r.sampling for r in self.active.values()}) != 1:
             return False
         room = self.spec_tokens + 1
         return all(
@@ -812,21 +812,26 @@ class Engine:
         )
 
     def _speculative_round(self) -> List[Request]:
-        """One greedy speculative-decoding round over all active slots.
+        """One speculative-decoding round over all active slots.
 
         The draft proposes ``spec_tokens`` tokens autoregressively (cheap);
-        the target verifies all of them in ONE parallel pass and emits the
-        longest agreeing prefix plus one target token (the correction on
-        the first mismatch, or the bonus token when everything matched) —
-        so every round emits 1..spec_tokens+1 tokens for exactly one
-        target sweep over the KV stream.  Outputs are bit-identical to
-        plain greedy decoding (the target's argmax decides every token).
+        the target scores all of them in ONE parallel pass; acceptance is
+        argmax equality for greedy requests, or the Leviathan rejection
+        scheme (serving/speculative.py) for stochastic ones — either way
+        the round emits 1..spec_tokens+1 tokens for exactly one target
+        sweep over the KV stream, and the emitted stream is distributed
+        exactly as plain decoding (bit-identical for greedy).
         """
+        from .sampling import filtered_probs
+        from .speculative import speculative_accept
+
         for slot, req in self.active.items():
             if slot not in self._draft_prefilled:
                 self._draft_prefill(req)
                 self._draft_prefilled.add(slot)
         gamma = self.spec_tokens
+        sp0 = next(iter(self.active.values())).sampling  # shared (checked)
+        greedy = sp0.temperature == 0.0
         active_np = np.zeros((self.num_slots,), bool)
         for slot in self.active:
             active_np[slot] = True
@@ -840,48 +845,78 @@ class Engine:
         # spec_tokens times per round (bench.py), swamping the speedup.
         cur = jnp.asarray(self.last_token)
         proposals = [cur]
+        q_probs_steps = []
         for g in range(gamma + 1):
             self.draft_caches, dlogits = self._draft_decode_jit(
                 self.draft_params, self.draft_caches, cur, amask
             )
             if g < gamma:
-                cur = jnp.argmax(dlogits, axis=-1).astype(jnp.int32)
+                if greedy:
+                    cur = jnp.argmax(dlogits, axis=-1).astype(jnp.int32)
+                else:
+                    # Propose BY SAMPLING from the filtered draft dist —
+                    # the rejection ratio p/q is only exact when proposals
+                    # really come from the q it divides by.
+                    q_probs_steps.append(filtered_probs(dlogits, sp0))
+                    self._key, kg = jax.random.split(self._key)
+                    cur = sample(dlogits, sp0, kg)
                 proposals.append(cur)
 
-        # Target verifies [last_token, d_1..d_gamma] in one parallel pass.
+        # Target scores [last_token, d_1..d_gamma] in one parallel pass.
         cand_dev = jnp.stack(proposals, axis=1)  # (num_slots, gamma+1)
         positions = np.asarray(self.caches[0].lengths)
         self.caches, vlogits = self._verify_jit(
             self.params, self.caches, cand_dev,
             jnp.asarray(positions), amask,
         )
+
+        if greedy:
+            tgt = np.asarray(jnp.argmax(vlogits, axis=-1).astype(jnp.int32))
+        else:
+            vocab = vlogits.shape[-1]
+            p_probs = filtered_probs(
+                vlogits.reshape(-1, vocab), sp0
+            ).reshape(vlogits.shape)
+            self._key, ka = jax.random.split(self._key)
+            n_acc_d, final_d = speculative_accept(
+                ka, jnp.stack(q_probs_steps, axis=1), p_probs,
+                cand_dev[:, 1:],
+            )
+            n_acc_np = np.asarray(n_acc_d)
+            final_np = np.asarray(final_d)
         # ONE synchronizing fetch for the whole round.
         cand = np.asarray(cand_dev)
-        tgt = np.asarray(jnp.argmax(vlogits, axis=-1).astype(jnp.int32))
 
         finished: List[Request] = []
         new_len = positions.copy()
         rollback = np.zeros((self.num_slots,), bool)
         for slot, req in list(self.active.items()):
-            n_acc = 0
             done = False
-            for i in range(gamma):
-                accepted = tgt[slot, i] == cand[slot, i + 1]
-                if accepted:
-                    n_acc += 1
-                # Emit the target's token either way: on acceptance it
-                # equals the draft proposal; on mismatch it is the
-                # correction (and the round ends for this slot).
-                done = self._emit(req, int(tgt[slot, i]))
-                if done:
-                    finished.append(req)
-                    break
-                if not accepted:
-                    break
+            if greedy:
+                n_acc = 0
+                for i in range(gamma):
+                    accepted = tgt[slot, i] == cand[slot, i + 1]
+                    if accepted:
+                        n_acc += 1
+                    # Emit the target's token either way: on acceptance it
+                    # equals the draft proposal; on mismatch it is the
+                    # correction (and the round ends for this slot).
+                    done = self._emit(req, int(tgt[slot, i]))
+                    if done or not accepted:
+                        break
+                else:
+                    if not done:
+                        done = self._emit(req, int(tgt[slot, gamma]))
             else:
-                if not done and self._emit(req, int(tgt[slot, gamma])):
-                    finished.append(req)
-                    done = True
+                n_acc = int(n_acc_np[slot])
+                for i in range(n_acc):
+                    done = self._emit(req, int(cand[slot, i + 1]))
+                    if done:
+                        break
+                if not done:
+                    done = self._emit(req, int(final_np[slot]))
+            if done:
+                finished.append(req)
             new_len[slot] = positions[slot] + 1 + n_acc
             # Finished slots were freed by _maybe_finish (lengths zeroed);
             # don't resurrect them.

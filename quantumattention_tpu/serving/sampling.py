@@ -24,14 +24,15 @@ class SamplingParams:
             raise ValueError("top_p must be in (0, 1]")
 
 
-def sample(
-    logits: jax.Array, params: SamplingParams, key: Optional[jax.Array] = None
-) -> jax.Array:
-    """(B, V) fp32 logits -> (B,) int32 token ids."""
+def filtered_logits(logits: jax.Array, params: SamplingParams) -> jax.Array:
+    """Apply temperature / top-k / top-p to (B, V) fp32 logits.
+
+    The resulting distribution is what both plain sampling and the
+    speculative rejection scheme draw from (the draft's q and the
+    target's p must use the SAME filtering for the accept ratio to be
+    exact — Leviathan et al. §2)."""
     if params.temperature == 0.0:
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    if key is None:
-        raise ValueError("stochastic sampling requires a PRNG key")
+        raise ValueError("filtered_logits requires temperature > 0")
     logits = logits / params.temperature
     if params.top_k is not None:
         top_k = min(params.top_k, logits.shape[-1])
@@ -47,4 +48,22 @@ def sample(
             sorted_logits, cutoff_idx[:, None], axis=-1
         )
         logits = jnp.where(logits < cutoff, -jnp.inf, logits)
-    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+    return logits
+
+
+def filtered_probs(logits: jax.Array, params: SamplingParams) -> jax.Array:
+    """(B, V) fp32 logits -> the post-filter probability distribution."""
+    return jax.nn.softmax(filtered_logits(logits, params), axis=-1)
+
+
+def sample(
+    logits: jax.Array, params: SamplingParams, key: Optional[jax.Array] = None
+) -> jax.Array:
+    """(B, V) fp32 logits -> (B,) int32 token ids."""
+    if params.temperature == 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if key is None:
+        raise ValueError("stochastic sampling requires a PRNG key")
+    return jax.random.categorical(
+        key, filtered_logits(logits, params), axis=-1
+    ).astype(jnp.int32)

@@ -114,21 +114,47 @@ def test_speculative_rejects_paged_and_int4(params, draft_params):
                draft=(draft_params, DRAFT_CFG))
 
 
-def test_speculative_sampling_falls_back_to_plain(params, draft_params):
-    """Non-greedy sampling bypasses speculative rounds (rejection-sampling
-    speculative is future work) — requests still complete."""
+def test_speculative_stochastic_requests_complete(params, draft_params):
+    """Stochastic requests run the rejection-sampling speculative rounds
+    (distributional exactness is the unit test below); here: scheduling
+    completes, budgets respected, tokens in-vocab."""
+    from quantumattention_tpu.serving.sampling import SamplingParams
+
+    eng = Engine(
+        params, CFG, num_slots=2, max_len=256, cache_dtype=jnp.bfloat16,
+        draft=(draft_params, DRAFT_CFG), spec_tokens=3,
+    )
+    reqs = [
+        eng.submit(
+            [4, 5, 6], max_new_tokens=6,
+            sampling=SamplingParams(temperature=0.8, top_k=10),
+        ),
+        eng.submit(
+            [9, 1, 2, 7], max_new_tokens=4,
+            sampling=SamplingParams(temperature=0.8, top_k=10),
+        ),
+    ]
+    eng.run_to_completion()
+    assert len(reqs[0].output) == 6 and len(reqs[1].output) == 4
+    assert all(0 <= t < CFG.vocab_size for r in reqs for t in r.output)
+
+
+def test_speculative_mixed_sampling_falls_back(params, draft_params):
+    """Requests with DIFFERENT SamplingParams can't share a speculative
+    round — the engine falls back to per-token decoding and completes."""
     from quantumattention_tpu.serving.sampling import SamplingParams
 
     eng = Engine(
         params, CFG, num_slots=2, max_len=256, cache_dtype=jnp.bfloat16,
         draft=(draft_params, DRAFT_CFG),
     )
-    req = eng.submit(
-        [4, 5, 6], max_new_tokens=6,
-        sampling=SamplingParams(temperature=0.8, top_k=10),
+    r1 = eng.submit([4, 5, 6], max_new_tokens=4)  # greedy
+    r2 = eng.submit(
+        [7, 8], max_new_tokens=3,
+        sampling=SamplingParams(temperature=0.7),
     )
     eng.run_to_completion()
-    assert len(req.output) == 6
+    assert len(r1.output) == 4 and len(r2.output) == 3
 
 
 def test_speculative_near_max_len_falls_back(params, draft_params):
@@ -150,3 +176,51 @@ def test_speculative_near_max_len_falls_back(params, draft_params):
     req = eng.submit(prompt, max_new_tokens=8)
     eng.run_to_completion()
     assert req.output == pr.output
+
+
+def test_rejection_scheme_preserves_target_distribution():
+    """Core speculative-sampling invariant (Leviathan et al. Thm 1): the
+    first emitted token is distributed EXACTLY as the target p, no matter
+    how bad the draft q is.  50k vectorized trials, tiny vocab."""
+    import numpy as np
+    from quantumattention_tpu.serving.speculative import speculative_accept
+
+    V, N = 8, 50_000
+    kp, kq, kt = jax.random.split(jax.random.PRNGKey(0), 3)
+    p = jax.nn.softmax(jax.random.normal(kp, (V,)) * 1.5)
+    q = jax.nn.softmax(jax.random.normal(kq, (V,)) * 1.5)  # mismatched draft
+
+    def one_trial(key):
+        kd, ka = jax.random.split(key)
+        x = jax.random.categorical(kd, jnp.log(q))  # proposal ~ q
+        n_acc, final = speculative_accept(
+            ka,
+            q[None, None, :],                       # (B=1, gamma=1, V)
+            jnp.stack([p, p])[None],                # (1, 2, V)
+            x[None, None].astype(jnp.int32),        # (1, 1)
+        )
+        return jnp.where(n_acc[0] >= 1, x, final[0])
+
+    toks = jax.vmap(one_trial)(jax.random.split(kt, N))
+    emp = np.bincount(np.asarray(toks), minlength=V) / N
+    # Multinomial std per bin ~ sqrt(p/N) <= 0.0025; allow 4 sigma + slack.
+    assert np.abs(emp - np.asarray(p)).max() < 0.012, (
+        emp, np.asarray(p),
+    )
+
+
+def test_rejection_scheme_self_draft_accepts_all():
+    """q == p: accept probability is exactly 1, so n_acc == gamma and the
+    final token comes from the bonus distribution."""
+    from quantumattention_tpu.serving.speculative import speculative_accept
+
+    V, gamma = 8, 3
+    p = jax.nn.softmax(jax.random.normal(jax.random.PRNGKey(1), (V,)))
+    q_probs = jnp.tile(p[None, None], (1, gamma, 1))
+    p_probs = jnp.tile(p[None, None], (1, gamma + 1, 1))
+    props = jnp.array([[2, 5, 1]], jnp.int32)
+    n_acc, final = speculative_accept(
+        jax.random.PRNGKey(2), q_probs, p_probs, props
+    )
+    assert int(n_acc[0]) == gamma
+    assert 0 <= int(final[0]) < V
