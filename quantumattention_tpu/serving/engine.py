@@ -185,6 +185,17 @@ class Engine:
         self.finished: List[Request] = []
         self.last_token = np.zeros((num_slots,), np.int32)
         self._req_ids = itertools.count()
+        #: Serving observability (SURVEY §5 notes the reference ships no
+        #: metrics; a production engine needs at least these counters).
+        self.stats: Dict[str, int] = {
+            "prefill_tokens": 0,
+            "prefill_forwards": 0,
+            "decode_steps": 0,
+            "generated_tokens": 0,
+            "spec_rounds": 0,
+            "spec_proposed": 0,
+            "spec_accepted": 0,
+        }
         self._key = jax.random.PRNGKey(seed)
 
         self._prefill_jit = jax.jit(
@@ -448,9 +459,11 @@ class Engine:
                         self.pages[li], page_ids, 0, k_l[i], v_l[i]
                     )
                 self.alloc.lengths[r.slot] = len(r.prompt)
+        self.stats["prefill_forwards"] += 1
         for i, r in enumerate(reqs):
             self.prefilling.remove(r)
             r.prefill_pos = len(r.prompt)
+            self.stats["prefill_tokens"] += len(r.prompt)
             first = self._sample(
                 logits[i : i + 1, len(r.prompt) - 1, :], r.sampling
             )
@@ -639,6 +652,8 @@ class Engine:
             )
             self.alloc.lengths[req.slot] = off + tc
         req.prefill_pos = off + tc
+        self.stats["prefill_tokens"] += tc
+        self.stats["prefill_forwards"] += 1
         return logits[:, tc - 1, :]
 
     def _prefill_whole(self, req: Request) -> jax.Array:
@@ -680,6 +695,8 @@ class Engine:
                 )
             self.alloc.lengths[req.slot] = n
         req.prefill_pos = n
+        self.stats["prefill_tokens"] += n
+        self.stats["prefill_forwards"] += 1
         return logits[:, n - 1, :]
 
     # ------------------------------------------------------------------
@@ -830,6 +847,7 @@ class Engine:
                 self._draft_prefill(req)
                 self._draft_prefilled.add(slot)
         gamma = self.spec_tokens
+        self.stats["spec_rounds"] += 1
         sp0 = next(iter(self.active.values())).sampling  # shared (checked)
         greedy = sp0.temperature == 0.0
         active_np = np.zeros((self.num_slots,), bool)
@@ -917,6 +935,8 @@ class Engine:
                     done = self._emit(req, int(final_np[slot]))
             if done:
                 finished.append(req)
+            self.stats["spec_proposed"] += gamma
+            self.stats["spec_accepted"] += n_acc
             new_len[slot] = positions[slot] + 1 + n_acc
             # Finished slots were freed by _maybe_finish (lengths zeroed);
             # don't resurrect them.
@@ -1089,6 +1109,7 @@ class Engine:
         return finished
 
     def _decode(self) -> List[Request]:
+        self.stats["decode_steps"] += 1
         if self.draft_params is not None:
             # A per-token step advances the TARGET cache only — any slot
             # it touches has a stale draft cache afterwards, and a later
@@ -1137,6 +1158,7 @@ class Engine:
         next decode input, stream it to the request's callback, and check
         termination.  Returns True when the request finished."""
         req.output.append(tok)
+        self.stats["generated_tokens"] += 1
         if req.slot is not None:
             self.last_token[req.slot] = tok
         if req.on_token is not None:

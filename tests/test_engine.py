@@ -541,3 +541,18 @@ def test_engine_sliding_window_matches_teacher_forcing(params):
             assert len(req.output) == n_new
         else:
             assert req.output == ref, (kw, req.output, ref)
+
+
+def test_engine_stats_counters(params):
+    """Observability counters: prefill/decode/generated tallies consistent
+    with the work performed."""
+    eng = Engine(params, CFG, num_slots=2, max_len=256,
+                 cache_dtype=jnp.bfloat16)
+    r1 = eng.submit([1, 2, 3], max_new_tokens=4)
+    r2 = eng.submit([4, 5, 6, 7, 8], max_new_tokens=2)
+    eng.run_to_completion()
+    st = eng.stats
+    assert st["prefill_tokens"] == 8  # 3 + 5
+    assert st["generated_tokens"] == 6  # 4 + 2
+    assert st["prefill_forwards"] >= 1  # batched prefill may merge them
+    assert st["decode_steps"] >= 3  # longest request decodes 3 post-prefill
