@@ -30,6 +30,17 @@ from quantumattention_tpu.utils.profiling import chain_bench
 
 
 def main():
+    # A real sweep, not a pretuned lookup: the shipped pretuned.json covers
+    # exactly these shape classes, so tune() would return instantly without
+    # sweeping.  Disable the packaged defaults for this process (the user
+    # cache still records the swept winners).
+    at._pretuned_path = lambda: __import__("pathlib").Path("/nonexistent")
+    at._CACHE = None
+    stale = [k for k in at._load_cache() if "sq8192" in k]
+    for k in stale:
+        del at._load_cache()[k]
+    print(f"cleared {len(stale)} stale sq8192 user-cache entries", flush=True)
+
     b, h, s, d = 16, 16, 8192, 128
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
     q = jax.random.normal(k1, (b, h, s, d), jnp.bfloat16)
@@ -59,7 +70,9 @@ def main():
         print(f"{name}: tuned+compiled in {time.perf_counter()-t0:.0f}s",
               flush=True)
 
-    print("cache:", at.cache_path().read_text(), flush=True)
+    import json
+
+    print("cache:", json.dumps(at._load_cache(), indent=1), flush=True)
 
     for name, fn in paths.items():
         t = chain_bench(fn, (q, k, v), iters=32)

@@ -25,6 +25,12 @@ import numpy as np
 from .llama import LlamaConfig, Params
 
 
+def _has_qkv_bias(sd: Mapping[str, Any]) -> bool:
+    """State-dict probe: does this checkpoint carry q/k/v projection
+    biases?  (Qwen2 ships them with no config flag.)"""
+    return any(k.endswith("self_attn.q_proj.bias") for k in sd)
+
+
 def _to_np(t: Any) -> np.ndarray:
     """torch.Tensor / np.ndarray / array-like -> float32 numpy."""
     if hasattr(t, "detach"):  # torch tensor, no torch import needed
@@ -79,9 +85,7 @@ def params_from_hf(
     """
     dtype = dtype or cfg.dtype
     sd = state_dict
-    if not cfg.qkv_bias and any(
-        k.endswith("self_attn.q_proj.bias") for k in sd
-    ):
+    if not cfg.qkv_bias and _has_qkv_bias(sd):
         # Qwen2 puts biases on q/k/v unconditionally while its config
         # carries no flag for it (transformers' Qwen2Config has neither
         # attention_bias nor qkv_bias) — loading with cfg.qkv_bias=False
@@ -159,9 +163,7 @@ def params_from_hf(
 def _cfg_with_detected_bias(cfg: LlamaConfig, sd: Mapping[str, Any]):
     """The state dict is the ground truth for q/k/v biases (Qwen2 carries
     them with no config flag)."""
-    if not cfg.qkv_bias and any(
-        k.endswith("self_attn.q_proj.bias") for k in sd
-    ):
+    if not cfg.qkv_bias and _has_qkv_bias(sd):
         return dataclasses.replace(cfg, qkv_bias=True)
     return cfg
 

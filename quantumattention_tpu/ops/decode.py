@@ -77,22 +77,49 @@ def _decode_kernel(
         m_scr, l_scr, acc_scr = refs[4:]
 
     b = pl.program_id(0)
-    j = pl.program_id(1)
-    h = pl.program_id(2)
-    num_kv_blocks = pl.num_programs(1)
+    if window_left is not None:
+        # Window mode swaps the inner grid dims (j innermost): skipped
+        # below-window steps then sit CONSECUTIVELY on the same clamped
+        # block index, which is what lets Mosaic elide their re-fetch —
+        # with heads innermost the repeats would be 8 steps apart and
+        # every skipped step would still stream a block.
+        h = pl.program_id(1)
+        j = pl.program_id(2)
+        num_kv_blocks = pl.num_programs(2)
+    else:
+        j = pl.program_id(1)
+        h = pl.program_id(2)
+        num_kv_blocks = pl.num_programs(1)
     bb = block_batch
 
     # Per-row valid lengths of this batch block (SMEM scalars, static loop).
     lens = [lengths_ref[b * bb + i] for i in range(bb)]
     max_len = lens[0]
+    min_len = lens[0]
     for ln in lens[1:]:
         max_len = jnp.maximum(max_len, ln)
+        min_len = jnp.minimum(min_len, ln)
 
     @pl.when(j == 0)
     def _init():
         m_scr[h] = jnp.full_like(m_scr[h], -jnp.inf)
         l_scr[h] = jnp.zeros_like(l_scr[h])
         acc_scr[h] = jnp.zeros_like(acc_scr[h])
+
+    run_block = j * block_kv < max_len
+    if window_left is not None:
+        # Skip KV blocks entirely BELOW every row's window: the lowest
+        # column any (row, token) pair keeps is lens - q_tokens -
+        # window_left (t = 0), so a block whose end is at or below the
+        # minimum over the batch block contributes nothing.  Combined with
+        # the clamped index map in the host wrapper (skipped steps re-
+        # reference the first in-window block, so Mosaic elides their
+        # fetch), a window model streams ~window bytes per step instead of
+        # the whole cache.
+        run_block = jnp.logical_and(
+            run_block,
+            (j + 1) * block_kv > min_len - q_tokens - window_left,
+        )
 
     # Split-halves int4 unpack = ops/quant.unpack_int4 (the canonical
     # inverse of dynamically_quantize_int4; pure jnp, Pallas-safe).
@@ -105,7 +132,7 @@ def _decode_kernel(
     # not a latency win.
     _unpack4 = quant_ops.unpack_int4
 
-    @pl.when(j * block_kv < max_len)
+    @pl.when(run_block)
     def _run():
         q = q_ref[:, 0]  # (bb, group_pad, D) float
         k = k_ref[:, 0]  # (bb, block_kv, D) — or (bb, block_kv, D/2) packed
@@ -386,26 +413,63 @@ def decode_attention(
     if group_pad != m_rows:
         qg = jnp.pad(qg, [(0, 0), (0, 0), (0, group_pad - m_rows), (0, 0)])
 
-    grid = (batch // bb, s_pad // block_kv, num_kv_heads)
+    if window_left is None:
+        grid = (batch // bb, s_pad // block_kv, num_kv_heads)
 
-    in_specs = [
-        pl.BlockSpec(
-            (bb, 1, group_pad, head_dim), lambda b, j, h, *_: (b, h, 0, 0)
-        ),
-        pl.BlockSpec(
-            (bb, 1, block_kv, cache_dim), lambda b, j, h, *_: (b, h, j, 0)
-        ),
-        pl.BlockSpec(
-            (bb, 1, block_kv, cache_dim), lambda b, j, h, *_: (b, h, j, 0)
-        ),
-    ]
+        in_specs = [
+            pl.BlockSpec(
+                (bb, 1, group_pad, head_dim), lambda b, j, h, *_: (b, h, 0, 0)
+            ),
+            pl.BlockSpec(
+                (bb, 1, block_kv, cache_dim), lambda b, j, h, *_: (b, h, j, 0)
+            ),
+            pl.BlockSpec(
+                (bb, 1, block_kv, cache_dim), lambda b, j, h, *_: (b, h, j, 0)
+            ),
+        ]
+        out_index = lambda b, j, h, *_: (b, h, 0, 0)
+        scale_index = lambda b, j, h, *_: (b, 0, j)
+    else:
+        # Window mode: j INNERMOST (see the kernel's program_id note) and
+        # the KV index clamped to the first in-window block — below-window
+        # steps then repeat the same index consecutively, so their fetch
+        # is elided and a window model streams ~window bytes per step
+        # instead of the whole cache.  (DMA-elision benefit needs compiled
+        # TPU validation; correctness holds either way — skipped steps'
+        # compute is off and the mask covers partial blocks.)
+        grid = (batch // bb, num_kv_heads, s_pad // block_kv)
+
+        def _lo_block(b, lens_ref):
+            mn = lens_ref[b * bb]
+            for i in range(1, bb):
+                mn = jnp.minimum(mn, lens_ref[b * bb + i])
+            return jnp.maximum(
+                (mn - q_tokens - window_left) // block_kv, 0
+            )
+
+        def kv_index(b, h, j, lens_ref):
+            return (b, h, jnp.maximum(j, _lo_block(b, lens_ref)), 0)
+
+        in_specs = [
+            pl.BlockSpec(
+                (bb, 1, group_pad, head_dim), lambda b, h, j, *_: (b, h, 0, 0)
+            ),
+            pl.BlockSpec((bb, 1, block_kv, cache_dim), kv_index),
+            pl.BlockSpec((bb, 1, block_kv, cache_dim), kv_index),
+        ]
+        out_index = lambda b, h, j, *_: (b, h, 0, 0)
+
+        def scale_index(b, h, j, lens_ref):
+            return (b, 0, jnp.maximum(j, _lo_block(b, lens_ref)))
+
     args = [qg, k_cache, v_cache]
     if quantized:
         # The scale block must span all heads (Mosaic sublane rule), but
         # its index is h-independent — with heads innermost in the grid it
-        # is fetched once per (b, j) and elided across the head sweep.
+        # is fetched once per (b, j) and elided across the head sweep
+        # (window mode instead clamps it with the KV blocks).
         scale_spec = pl.BlockSpec(
-            (bb, num_kv_heads, block_kv), lambda b, j, h, *_: (b, 0, j)
+            (bb, num_kv_heads, block_kv), scale_index
         )
         in_specs += [scale_spec, scale_spec]
         args += [k_scale.astype(jnp.float32), v_scale.astype(jnp.float32)]
@@ -436,9 +500,7 @@ def decode_attention(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (bb, 1, group_pad, head_dim), lambda b, j, h, *_: (b, h, 0, 0)
-        ),
+        out_specs=pl.BlockSpec((bb, 1, group_pad, head_dim), out_index),
         scratch_shapes=[
             # Per-head online-softmax state: the j loop is OUTSIDE the head
             # sweep, so all heads' accumulators live simultaneously.

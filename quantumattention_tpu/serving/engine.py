@@ -292,11 +292,12 @@ class Engine:
     def step(self) -> List[Request]:
         """One engine step of mixed prefill/decode scheduling.
 
-        Admits waiting requests (with full paged reservations), advances at
-        most ONE prefill chunk, then runs ONE decode step over every active
-        slot — so decode streams keep producing tokens while long prompts
-        prefill (BASELINE config 4's continuous-batching contract).
-        Returns requests that finished this step.
+        Admits waiting requests (with full paged reservations), advances
+        prefill — one chunk of a chunked prompt, or ONE batched forward
+        over every same-bucket whole prompt — then runs ONE decode step
+        over every active slot, so decode streams keep producing tokens
+        while long prompts prefill (BASELINE config 4's continuous-
+        batching contract).  Returns requests that finished this step.
         """
         self._admit()
         if self.prefilling:
@@ -420,10 +421,14 @@ class Engine:
             r for r in self.prefilling
             if whole(r) and padded(r) == padded(head)
         ]
-        if len(group) == 1:
-            self._prefill_advance(head)
-            return
-        self._prefill_whole_batch(group, padded(head))
+        # Bound the jit-program count: batch sizes are the largest power
+        # of two <= len(group) (a fresh (k, padded) shape means a fresh
+        # 30-240 s remote compile that stalls every live decode stream —
+        # CLAUDE.md; padding with dummy rows instead would need a spare
+        # slot to absorb their cache writes).  The remainder prefills next
+        # step.
+        k = 1 << (len(group).bit_length() - 1)
+        self._prefill_whole_batch(group[:k], padded(head))
 
     def _prefill_whole_batch(self, reqs: List[Request], padded: int) -> None:
         """One batched prefill forward for same-bucket prompts; K/V scatter
@@ -471,17 +476,14 @@ class Engine:
                 self.active[r.slot] = r
 
     def _prefill_advance(self, req: Request) -> None:
-        """Advance one request's prefill by at most one chunk; when the
+        """Advance a CHUNKED request's prefill by one chunk; when the
         prompt is fully in cache, sample the first token and promote the
-        request to the decode set."""
+        request to the decode set.  (Whole-prompt requests go through
+        _prefill_whole_batch — one implementation of the write path.)"""
         n = len(req.prompt)
-        chunked = self.prefill_chunk is not None and n > self.prefill_chunk
-        if chunked:
-            logits_last = self._prefill_one_chunk(req)
-            if req.prefill_pos < n:
-                return  # more chunks to go; decode still runs this step
-        else:
-            logits_last = self._prefill_whole(req)
+        logits_last = self._prefill_one_chunk(req)
+        if req.prefill_pos < n:
+            return  # more chunks to go; decode still runs this step
         self.prefilling.remove(req)
         first = self._sample(logits_last, req.sampling)
         finished_now = self._emit(req, int(first[0]))
@@ -656,48 +658,6 @@ class Engine:
         self.stats["prefill_forwards"] += 1
         return logits[:, tc - 1, :]
 
-    def _prefill_whole(self, req: Request) -> jax.Array:
-        """Single-shot prefill (prompt fits one bucket/chunk); returns the
-        last prompt position's logits."""
-        n = len(req.prompt)
-        # Clamp the bucket to the cache: an unclamped pad could make the
-        # write wider than max_len (a shape error at best, silent
-        # dynamic_update_slice clamping at worst).
-        padded = min(round_up(n, self.prefill_bucket), self.max_len)
-        tokens = np.zeros((1, padded), np.int32)
-        tokens[0, :n] = req.prompt
-        logits, kv = self._prefill_jit(self.params, jnp.asarray(tokens))
-        if self.cache_backend == "slots":
-            # Write each layer's K/V into this slot.
-            slot_arr = jnp.array([req.slot], jnp.int32)
-            zero = jnp.zeros((1,), jnp.int32)
-            nval = jnp.array([n], jnp.int32)
-            for li in range(self.cfg.num_layers):
-                k_l, v_l = kv[li]
-                self.caches[li] = kvc.append(
-                    self.caches[li], slot_arr, k_l.astype(jnp.float32),
-                    v_l.astype(jnp.float32), zero, nval,
-                )
-        else:
-            from . import paged_cache as pgc
-
-            # Pages were reserved at admission (_admit); padded is a page
-            # multiple by the construction-time alignment invariants, and
-            # ceil-division guards the general case.
-            n_pages = -(-padded // self.page_size)
-            page_ids = jnp.asarray(
-                self.alloc.tables[req.slot, :n_pages], jnp.int32
-            )
-            for li in range(self.cfg.num_layers):
-                k_l, v_l = kv[li]
-                self.pages[li] = pgc.write_tokens(
-                    self.pages[li], page_ids, 0, k_l[0], v_l[0]
-                )
-            self.alloc.lengths[req.slot] = n
-        req.prefill_pos = n
-        self.stats["prefill_tokens"] += n
-        self.stats["prefill_forwards"] += 1
-        return logits[:, n - 1, :]
 
     # ------------------------------------------------------------------
     # Decode
@@ -874,10 +834,15 @@ class Engine:
                 else:
                     # Propose BY SAMPLING from the filtered draft dist —
                     # the rejection ratio p/q is only exact when proposals
-                    # really come from the q it divides by.
-                    q_probs_steps.append(filtered_probs(dlogits, sp0))
+                    # really come from the q it divides by (and sampling
+                    # from the very q we stored costs one filtering pass,
+                    # not two).
+                    qp = filtered_probs(dlogits, sp0)
+                    q_probs_steps.append(qp)
                     self._key, kg = jax.random.split(self._key)
-                    cur = sample(dlogits, sp0, kg)
+                    cur = jax.random.categorical(
+                        kg, jnp.log(jnp.maximum(qp, 1e-30)), axis=-1
+                    ).astype(jnp.int32)
                 proposals.append(cur)
 
         # Target scores [last_token, d_1..d_gamma] in one parallel pass.
@@ -902,7 +867,8 @@ class Engine:
             )
             n_acc_np = np.asarray(n_acc_d)
             final_np = np.asarray(final_d)
-        # ONE synchronizing fetch for the whole round.
+        # Host fetches happen HERE, once per round (greedy: tgt+cand;
+        # stochastic: n_acc/final/cand) — never inside the draft loop.
         cand = np.asarray(cand_dev)
 
         finished: List[Request] = []
@@ -1100,6 +1066,7 @@ class Engine:
         )
         toks = np.asarray(toks)
         emits = np.asarray(emits)
+        self.stats["decode_steps"] += n
         finished: List[Request] = []
         for t in range(n):
             for slot, req in list(self.active.items()):

@@ -284,3 +284,41 @@ def test_decode_window_rejects_right_extent():
     with pytest.raises(ValueError, match="right"):
         decode_attention(q, kv, kv, jnp.full((2,), 8, jnp.int32),
                          window=(16, 4))
+
+
+def test_decode_sliding_window_quantized_and_ragged():
+    """Window mode with an int8 cache and ragged lengths: exercises the
+    j-innermost grid, the clamped KV/scale index maps, and the
+    below-window block skip against the windowed oracle."""
+    from quantumattention_tpu.ops.quant import dynamically_quantize_int8
+
+    B, Hkv, Smax, D = 4, 2, 768, 128
+    Hq, left = 8, 63
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(5), 3)
+    q = jax.random.normal(k1, (B, Hq, D), jnp.float32)
+    kraw = jax.random.normal(k2, (B, Hkv, Smax, D), jnp.float32)
+    vraw = jax.random.normal(k3, (B, Hkv, Smax, D), jnp.float32)
+    lengths = jnp.array([768, 700, 130, 0], jnp.int32)
+    kc, ks = dynamically_quantize_int8(kraw)
+    vc, vs = dynamically_quantize_int8(vraw)
+
+    out = decode_attention(
+        q.astype(jnp.bfloat16), kc, vc, lengths,
+        k_scale=ks, v_scale=vs, block_kv=128, block_batch=2,
+        window=(left, 0),
+    )
+    G = Hq // Hkv
+    ref = np.zeros((B, Hq, D), np.float32)
+    for b in range(B):
+        n = int(lengths[b])
+        if n == 0:
+            continue
+        lo = max(0, n - 1 - left)
+        o = sdpa_reference(
+            q[b][None, :, None, :],
+            jnp.repeat(kraw[b][None, :, lo:n], G, 1),
+            jnp.repeat(vraw[b][None, :, lo:n], G, 1),
+        )
+        ref[b] = np.asarray(o[0, :, 0], np.float32)
+    assert rmse(out, ref) < RMSE_TOL
+    assert np.all(np.asarray(out[3], np.float32) == 0.0)
