@@ -224,3 +224,30 @@ def test_rejection_scheme_self_draft_accepts_all():
     )
     assert int(n_acc[0]) == gamma
     assert 0 <= int(final[0]) < V
+
+
+def test_speculative_with_window_model(params, draft_params):
+    """Speculative rounds on a sliding-window target: the multi-query
+    verification must apply the window too — outputs equal plain greedy."""
+    cfg_w = llama.tiny(attention_impl="sdpa", dtype=jnp.float32, window=8)
+    params_w = llama.init_params(jax.random.PRNGKey(11), cfg_w)
+    dcfg_w = llama.tiny(
+        attention_impl="sdpa", dtype=jnp.float32, window=8,
+        num_layers=1, num_q_heads=4, num_kv_heads=2,
+    )
+    dparams_w = llama.init_params(jax.random.PRNGKey(12), dcfg_w)
+    prompt = list(range(1, 15))
+
+    plain = Engine(params_w, cfg_w, num_slots=1, max_len=64,
+                   cache_dtype=jnp.float32)
+    pr = plain.submit(prompt, max_new_tokens=8)
+    plain.run_to_completion()
+
+    spec = Engine(
+        params_w, cfg_w, num_slots=1, max_len=64,
+        cache_dtype=jnp.float32,
+        draft=(dparams_w, dcfg_w), spec_tokens=3,
+    )
+    sr = spec.submit(prompt, max_new_tokens=8)
+    spec.run_to_completion()
+    assert sr.output == pr.output
