@@ -175,7 +175,9 @@ def load_hf_model(model: Any, dtype=None) -> tuple:
     return params_from_hf(sd, cfg, dtype=dtype), cfg
 
 
-def load_hf_checkpoint(path: str, dtype=None, **config_overrides) -> tuple:
+def load_hf_checkpoint(
+    path: str, dtype=None, quantize_weights: bool = False, **config_overrides
+) -> tuple:
     """(params, cfg) from an on-disk HF checkpoint directory
     (``config.json`` + ``*.safetensors``, sharded or single-file).
 
@@ -199,4 +201,11 @@ def load_hf_checkpoint(path: str, dtype=None, **config_overrides) -> tuple:
     for f in files:
         sd.update(st_np.load_file(str(f)))
     cfg = _cfg_with_detected_bias(cfg, sd)
-    return params_from_hf(sd, cfg, dtype=dtype), cfg
+    params = params_from_hf(sd, cfg, dtype=dtype)
+    if quantize_weights:
+        # w8a16: int8 per-output-channel weights (models/quantized.py) —
+        # what lets an 8B-class model fit one 16 GB chip beside its cache.
+        from . import quantized
+
+        params = quantized.quantize_params(params)
+    return params, cfg

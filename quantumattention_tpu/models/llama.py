@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import interface
+from . import quantized
 
 Params = Dict[str, Any]
 
@@ -301,9 +302,9 @@ def _attend(cfg: LlamaConfig, q, k, v, *, is_causal: bool):
 
 def _qkv_proj(cfg: LlamaConfig, layer: Params, h: jax.Array):
     """Q/K/V projections with optional biases (Qwen2 style)."""
-    q = jnp.einsum("bse,eq->bsq", h, layer["wq"])
-    k = jnp.einsum("bse,ek->bsk", h, layer["wk"])
-    v = jnp.einsum("bse,ek->bsk", h, layer["wv"])
+    q = quantized.matmul("bse,eq->bsq", h, layer["wq"])
+    k = quantized.matmul("bse,ek->bsk", h, layer["wk"])
+    v = quantized.matmul("bse,ek->bsk", h, layer["wv"])
     if cfg.qkv_bias:
         q = q + layer["bq"]
         k = k + layer["bk"]
@@ -335,7 +336,7 @@ def _layer_attention(
     k = apply_rope(k, cos, sin)
     out = attend_fn(idx, q, k, v)
     out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(batch, t, cfg.q_dim)
-    return x + jnp.einsum("bsq,qe->bse", out, layer["wo"]), k, v
+    return x + quantized.matmul("bsq,qe->bse", out, layer["wo"]), k, v
 
 
 def attention_block(
@@ -364,10 +365,10 @@ def mlp_block(cfg: LlamaConfig, layer: Params, x: jax.Array) -> jax.Array:
             num_experts_per_tok=cfg.num_experts_per_tok,
             capacity_factor=cfg.capacity_factor,
         )
-    gate = jnp.einsum("bse,ei->bsi", h, layer["w_gate"])
-    up = jnp.einsum("bse,ei->bsi", h, layer["w_up"])
+    gate = quantized.matmul("bse,ei->bsi", h, layer["w_gate"])
+    up = quantized.matmul("bse,ei->bsi", h, layer["w_up"])
     act = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
-    return x + jnp.einsum("bsi,ie->bse", act, layer["w_down"])
+    return x + quantized.matmul("bsi,ie->bse", act, layer["w_down"])
 
 
 # ---------------------------------------------------------------------------
@@ -388,7 +389,7 @@ def _decoder(
     with ``collect_kv`` the post-RoPE K/V of each layer are also returned.
     """
     cos, sin = rope_table(positions, cfg.head_dim, cfg.rope_theta)
-    x = params["embed"][tokens].astype(cfg.dtype)
+    x = quantized.embed_lookup(params["embed"], tokens, cfg.dtype)
     kv = []
     for idx, layer in enumerate(params["layers"]):
         x, k, v = _layer_attention(cfg, idx, layer, x, cos, sin, attend_fn)
@@ -396,8 +397,11 @@ def _decoder(
             kv.append((k, v))
         x = mlp_block(cfg, layer, x)
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
-    logits = jnp.einsum("bse,ev->bsv", x, head).astype(jnp.float32)
+    if cfg.tie_embeddings:
+        logits = quantized.tied_head_matmul(x, params["embed"])
+    else:
+        logits = quantized.matmul("bse,ev->bsv", x, params["lm_head"])
+    logits = logits.astype(jnp.float32)
     return (logits, kv) if collect_kv else logits
 
 

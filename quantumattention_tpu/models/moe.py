@@ -182,10 +182,12 @@ def expert_ffn(moe: Params, x_e: jax.Array) -> jax.Array:
     One einsum per projection — E batched MXU matmuls, no per-expert loop.
     ``parallel/ep.py`` calls this on the locally-resident expert shard.
     """
-    gate = jnp.einsum("ech,ehi->eci", x_e, moe["w_gate"])
-    up = jnp.einsum("ech,ehi->eci", x_e, moe["w_up"])
+    from . import quantized
+
+    gate = quantized.matmul("ech,ehi->eci", x_e, moe["w_gate"])
+    up = quantized.matmul("ech,ehi->eci", x_e, moe["w_up"])
     act = jax.nn.silu(gate.astype(jnp.float32)).astype(x_e.dtype) * up
-    return jnp.einsum("eci,eih->ech", act, moe["w_down"])
+    return quantized.matmul("eci,eih->ech", act, moe["w_down"])
 
 
 def moe_ffn(

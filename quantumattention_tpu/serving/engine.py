@@ -240,13 +240,24 @@ class Engine:
     # ------------------------------------------------------------------
 
     @classmethod
-    def from_hf(cls, checkpoint_path: str, *, dtype=None, **engine_kwargs):
+    def from_hf(
+        cls,
+        checkpoint_path: str,
+        *,
+        dtype=None,
+        quantize_weights: bool = False,
+        **engine_kwargs,
+    ):
         """Engine over an on-disk HuggingFace checkpoint directory
         (``config.json`` + safetensors — ``models/hf.load_hf_checkpoint``;
-        cross-framework logit parity tested in tests/test_hf.py)."""
+        cross-framework logit parity tested in tests/test_hf.py).
+        ``quantize_weights=True`` stores projections int8 per-output-
+        channel (w8a16) — required to fit 8B-class weights on one chip."""
         from ..models import hf as hf_lib
 
-        params, cfg = hf_lib.load_hf_checkpoint(checkpoint_path, dtype=dtype)
+        params, cfg = hf_lib.load_hf_checkpoint(
+            checkpoint_path, dtype=dtype, quantize_weights=quantize_weights
+        )
         return cls(params, cfg, **engine_kwargs)
 
     def submit(
