@@ -320,12 +320,24 @@ def decode_attention(
 
     ``block_kv`` defaults to the largest measured-good block (4096; v5e
     sweep at Llama-3-8B shapes — fewer, larger blocks amortize per-step
-    overhead in this bandwidth-bound kernel).  ``block_batch`` groups that
-    many batch rows per grid step (batched MXU dots, ~bb-fold fewer grid
-    steps); default picks the largest divisor of B that fits VMEM.
+    overhead in this bandwidth-bound kernel).  With a sliding ``window``
+    the default instead TRACKS the window: fetch elision works at block
+    granularity, so a window smaller than the block still streams the
+    whole block (measured v5e, S=8192/window=1023 full-batch int8:
+    bkv=4096 0.50 ms vs window-matched bkv=1024 0.34 ms vs full-cache
+    0.86 ms — benchmarks/window_block_sweep.py).  ``block_batch`` groups
+    that many batch rows per grid step (batched MXU dots, ~bb-fold fewer
+    grid steps); default picks the largest divisor of B that fits VMEM.
     """
     if block_kv is None:
-        block_kv = 4096
+        if window is not None and window[0] is not None:
+            # Smallest 512-multiple covering the window extent: one in-
+            # window block plus at most one partial neighbor, while 512+
+            # keeps the per-grid-step overhead amortized (bkv=512 measured
+            # slower than 1024 at window=1023).
+            block_kv = min(4096, max(512, round_up(int(window[0]) + 1, 512)))
+        else:
+            block_kv = 4096
     # 4-D q = (B, Hq, T, D): T candidate tokens per slot (speculative-
     # decoding verification).  lengths must already INCLUDE the T appended
     # candidates; token t attends to everything before the candidates plus

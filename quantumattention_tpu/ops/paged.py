@@ -33,6 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .. import config
 from ..utils import checks
 from ..utils.shapes import cdiv
+from . import quant as quant_ops
 
 LOG2E = math.log2(math.e)
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
@@ -107,6 +108,7 @@ def _paged_kernel(
     max_blocks: int,
     pipelined: bool,
     window_left: Optional[int] = None,
+    int4: bool = False,
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -207,12 +209,21 @@ def _paged_kernel(
         # Dequantize in the page-native (ppb, ps, D) layout — the per-token
         # scale broadcasts over the lane (D) dim, avoiding a lane->sublane
         # shape cast — then merge the sublane dims for the matmul.
-        if quantized:
-            k = (
-                k_buf[slot].astype(jnp.float32) * ks_buf[slot][..., None]
-            ).astype(jnp.bfloat16).reshape(block_tokens, -1)
-        else:
-            k = k_buf[slot].reshape(block_tokens, -1)
+        # int4 pages pack two tokens per byte along the page's token axis
+        # (split-halves; serving/paged_cache.init_layer_pages), so the
+        # buffer holds (ppb, ps/2, D) and unpacks on the sublane axis —
+        # the 128-lane head_dim minor survives for the page DMA.
+        def load(buf, scale_buf):
+            x = buf[slot]
+            if int4:
+                x = quant_ops.unpack_int4(x, jnp.int8, axis=1)
+            if quantized:
+                x = (
+                    x.astype(jnp.float32) * scale_buf[slot][..., None]
+                ).astype(jnp.bfloat16)
+            return x.reshape(block_tokens, -1)
+
+        k = load(k_buf, ks_buf)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -239,12 +250,7 @@ def _paged_kernel(
         l_scr[:] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
         m_scr[:] = m_next
 
-        if quantized:
-            vf = (
-                v_buf[slot].astype(jnp.float32) * vs_buf[slot][..., None]
-            ).astype(jnp.bfloat16).reshape(block_tokens, -1)
-        else:
-            vf = v_buf[slot].reshape(block_tokens, -1)
+        vf = load(v_buf, vs_buf)
         pv = jax.lax.dot_general(
             p.astype(jnp.bfloat16), vf,
             (((1,), (0,)), ((), ())),
@@ -268,10 +274,19 @@ def _paged_kernel(
 def _gathered_reference(
     q, k_pages, v_pages, lengths, page_indices, *,
     k_scale_pages, v_scale_pages, sm_scale, interpret, window=None,
+    int4=False,
 ):
     """Materialize each sequence's pages contiguously, then run the ragged
     decode kernel — the semantic definition of the DMA kernel."""
     from .decode import decode_attention
+
+    if int4:
+        # Unpack the token-packed pages to int4-range int8 values first so
+        # the per-page split-halves order becomes natural token order; the
+        # ragged kernel's int8 path dequantizes them (value * scale holds
+        # for any integer range).
+        k_pages = quant_ops.unpack_int4(k_pages, jnp.int8, axis=2)
+        v_pages = quant_ops.unpack_int4(v_pages, jnp.int8, axis=2)
 
     def gather(pages, table):  # (Hkv, P, ps, ...) x (pps,) -> (Hkv, pps*ps, ...)
         g = jnp.take(pages, table, axis=1)
@@ -317,7 +332,7 @@ def paged_decode_attention(
         per-token scales for 8-bit pages.
     """
     batch, num_q_heads, head_dim = q.shape
-    num_kv_heads, _, page_size, _ = k_pages.shape
+    num_kv_heads, _, page_rows, _ = k_pages.shape
     pages_per_seq = page_indices.shape[1]
     if num_q_heads % num_kv_heads != 0:
         raise ValueError("num_q_heads must be divisible by num_kv_heads")
@@ -327,6 +342,13 @@ def paged_decode_attention(
         raise ValueError("k_scale_pages and v_scale_pages go together")
     if checks.is_8bit_dtype(k_pages.dtype) and not quantized:
         raise ValueError("8-bit KV pages require scale pages")
+    # Token-packed int4 pages (serving/paged_cache.init_layer_pages): half
+    # the byte rows per page, per-REAL-token scales.  Detected from the
+    # scale extent — int4 always carries scales.
+    int4 = quantized and k_scale_pages.shape[2] == 2 * page_rows
+    if int4 and k_pages.dtype != jnp.int8:
+        raise ValueError("int4 pages must use an int8 container")
+    page_size = k_scale_pages.shape[2] if int4 else page_rows
     if pages_per_seq % pages_per_block != 0:
         raise ValueError(
             f"pages_per_seq ({pages_per_seq}) must be a multiple of "
@@ -361,7 +383,7 @@ def paged_decode_attention(
         use_dma = (
             not interpret
             and head_dim % 128 == 0
-            and page_size % 32 == 0
+            and page_rows % 32 == 0
             and (not quantized or page_size % 128 == 0)
         )
     if not use_dma:
@@ -369,6 +391,7 @@ def paged_decode_attention(
             q, k_pages, v_pages, lengths, page_indices,
             k_scale_pages=k_scale_pages, v_scale_pages=v_scale_pages,
             sm_scale=sm_scale, window=window, interpret=interpret,
+            int4=int4,
         )
 
     group_pad = max(8, cdiv(group, 8) * 8)
@@ -391,6 +414,7 @@ def paged_decode_attention(
         max_blocks=max_blocks,
         pipelined=not interpret,
         window_left=window_left,
+        int4=int4,
     )
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
@@ -427,10 +451,10 @@ def paged_decode_attention(
         ),
         scratch_shapes=[
             pltpu.VMEM(
-                (2, pages_per_block, page_size, head_dim), k_pages.dtype
+                (2, pages_per_block, page_rows, head_dim), k_pages.dtype
             ),
             pltpu.VMEM(
-                (2, pages_per_block, page_size, head_dim), v_pages.dtype
+                (2, pages_per_block, page_rows, head_dim), v_pages.dtype
             ),
             pltpu.VMEM(scale_buf_shape, jnp.float32),
             pltpu.VMEM(scale_buf_shape, jnp.float32),

@@ -95,23 +95,44 @@ def dynamically_quantize_int4(
     dims = _normalize_dims(reduction_dim)
     if dims != (-1,) and dims != (t.ndim - 1,):
         raise ValueError("int4 packing requires reduction_dim == -1")
-    d = t.shape[-1]
-    if d % 2 != 0:
-        raise ValueError(f"last axis must be even to pack int4, got {d}")
-    q, scale = _dynamic_quantize(t, dims, 7.0, jnp.int8)
-    lo = q[..., : d // 2].astype(jnp.int32)
-    hi = q[..., d // 2 :].astype(jnp.int32)
-    packed = ((hi << 4) | (lo & 0xF)).astype(jnp.int8)
-    return packed, scale
+    q, scale = quantize_int4_values(t, reduction_dim=reduction_dim)
+    return pack_int4(q), scale
 
 
-def unpack_int4(packed: jax.Array, out_dtype=jnp.int8) -> jax.Array:
-    """Inverse of the int4 packing: (…, D/2) int8 -> (…, D) values in
-    [-8, 7], low nibbles first then high nibbles (split-halves layout)."""
+def quantize_int4_values(
+    t: jax.Array, *, reduction_dim: _Dims = -1
+) -> Tuple[jax.Array, jax.Array]:
+    """Int4 quantization WITHOUT packing: values in [-7, 7] carried in an
+    int8 container, plus fp32 scales.  The building block for containers
+    that pack along an axis other than the reduction axis (e.g. paged KV
+    pages pack two TOKENS per byte so the 128-lane head_dim minor survives
+    for DMA alignment — serving/paged_cache.py)."""
+    return _dynamic_quantize(t, _normalize_dims(reduction_dim), 7.0, jnp.int8)
+
+
+def pack_int4(values: jax.Array, axis: int = -1) -> jax.Array:
+    """Pack int4-range values (int8 container) two-per-byte along ``axis``
+    with the split-halves layout: element i -> LOW nibble, element
+    i + n/2 -> HIGH nibble of packed byte i.  ``axis``'s extent must be
+    even.  Inverse: :func:`unpack_int4` with the same axis."""
+    axis = axis % values.ndim
+    n = values.shape[axis]
+    if n % 2 != 0:
+        raise ValueError(f"axis {axis} must be even to pack int4, got {n}")
+    lo = jax.lax.slice_in_dim(values, 0, n // 2, axis=axis).astype(jnp.int32)
+    hi = jax.lax.slice_in_dim(values, n // 2, n, axis=axis).astype(jnp.int32)
+    return ((hi << 4) | (lo & 0xF)).astype(jnp.int8)
+
+
+def unpack_int4(packed: jax.Array, out_dtype=jnp.int8, axis: int = -1
+                ) -> jax.Array:
+    """Inverse of the int4 packing along ``axis``: (…, n/2, …) int8 ->
+    (…, n, …) values in [-8, 7], low nibbles first then high nibbles
+    (split-halves layout)."""
     p = packed.astype(jnp.int32)
     lo = (p << 28) >> 28  # sign-extend the low nibble
     hi = (p << 24) >> 28  # arithmetic shift sign-extends the high nibble
-    return jnp.concatenate([lo, hi], axis=-1).astype(out_dtype)
+    return jnp.concatenate([lo, hi], axis=axis).astype(out_dtype)
 
 
 def quantize_head_wise(t: jax.Array, qdtype=jnp.float8_e4m3fn):

@@ -37,6 +37,7 @@ from ..models import llama
 from ..ops import quant
 from ..ops.decode import decode_attention
 from . import kv_cache as kvc
+from ..utils import checks
 from ..utils.shapes import round_up
 from .sampling import SamplingParams, sample
 
@@ -121,11 +122,8 @@ class Engine:
         self.decode_block_kv = decode_block_kv
         self.cache_backend = cache_backend
         self.page_size = page_size
-        if kv_int4 and cache_backend != "slots":
-            raise ValueError(
-                "kv_int4 is supported on the slots backend only (paged "
-                "pages keep 8-bit containers)"
-            )
+        if kv_int4 and not checks.is_8bit_dtype(cache_dtype):
+            raise ValueError("kv_int4 requires an 8-bit cache_dtype")
         self.kv_int4 = kv_int4
         if draft is not None:
             if cache_backend != "slots":
@@ -168,7 +166,8 @@ class Engine:
                 num_pages = num_slots * pages_per_seq + 1
             self.pages = [
                 pgc.init_layer_pages(
-                    cfg.num_kv_heads, num_pages, page_size, cfg.head_dim, cache_dtype
+                    cfg.num_kv_heads, num_pages, page_size, cfg.head_dim,
+                    cache_dtype, int4=kv_int4,
                 )
                 for _ in range(cfg.num_layers)
             ]
@@ -594,9 +593,16 @@ class Engine:
 
                 def prefix(vals, scales):
                     p = jnp.take(vals, pids, axis=1)  # (Hkv, n_pg, psize, D)
-                    p = p.astype(jnp.float32).reshape(
-                        cfg.num_kv_heads, off, cfg.head_dim
-                    )
+                    if self.kv_int4:
+                        # Token-packed pages: (Hkv, n_pg, psize/2, D) bytes
+                        # -> per-page natural token order via the axis-2
+                        # split-halves unpack.
+                        from ..ops.quant import unpack_int4
+
+                        p = unpack_int4(p, jnp.float32, axis=2)
+                    else:
+                        p = p.astype(jnp.float32)
+                    p = p.reshape(cfg.num_kv_heads, off, cfg.head_dim)
                     if scales is not None:
                         s = jnp.take(scales, pids, axis=1).reshape(
                             cfg.num_kv_heads, off
@@ -947,6 +953,7 @@ class Engine:
         psize = self.page_size
         quantized = pages[0].k_scale is not None
         int8 = pages[0].k.dtype == jnp.int8
+        int4 = self.kv_int4
         new_lengths = positions + active_mask.astype(jnp.int32)
 
         def attend(idx, q, k_new, v_new):
@@ -955,11 +962,12 @@ class Engine:
             def qz(x):  # (B, Hkv, D) float -> values (+ (B, Hkv) scales)
                 if not quantized:
                     return x.astype(lp.k.dtype), None
-                fn = (
-                    quant.dynamically_quantize_int8
-                    if int8
-                    else quant.dynamically_quantize_fp8
-                )
+                if int4:
+                    fn = quant.quantize_int4_values
+                elif int8:
+                    fn = quant.dynamically_quantize_int8
+                else:
+                    fn = quant.dynamically_quantize_fp8
                 return fn(x.astype(jnp.float32), reduction_dim=-1)
 
             kq, ks = qz(k_new)
@@ -973,12 +981,42 @@ class Engine:
 
                 def write(c):
                     kpg, vpg, kspg, vspg = c
-                    kpg = jax.lax.dynamic_update_slice(
-                        kpg, kq[i][:, None, None, :], (0, page, off, 0)
-                    )
-                    vpg = jax.lax.dynamic_update_slice(
-                        vpg, vq[i][:, None, None, :], (0, page, off, 0)
-                    )
+                    if int4:
+                        # Token-packed pages: token ``off`` lives in byte
+                        # row off % (psize/2) — low nibble for the first
+                        # half of the page, high nibble for the second.
+                        # RMW the one byte row; int32 math avoids int8
+                        # shift-overflow pitfalls.
+                        half = psize // 2
+                        low = off < half
+                        row = jnp.where(low, off, off - half)
+
+                        def nib(dst, val):
+                            hkv, d = val.shape
+                            old = jax.lax.dynamic_slice(
+                                dst, (0, page, row, 0), (hkv, 1, 1, d)
+                            ).astype(jnp.int32)
+                            v32 = (
+                                val[:, None, None, :].astype(jnp.int32) & 0xF
+                            )
+                            new = jnp.where(
+                                low,
+                                (old & ~0xF) | v32,
+                                (old & 0xF) | (v32 << 4),
+                            )
+                            return jax.lax.dynamic_update_slice(
+                                dst, new.astype(jnp.int8), (0, page, row, 0)
+                            )
+
+                        kpg = nib(kpg, kq[i])
+                        vpg = nib(vpg, vq[i])
+                    else:
+                        kpg = jax.lax.dynamic_update_slice(
+                            kpg, kq[i][:, None, None, :], (0, page, off, 0)
+                        )
+                        vpg = jax.lax.dynamic_update_slice(
+                            vpg, vq[i][:, None, None, :], (0, page, off, 0)
+                        )
                     if quantized:
                         kspg = jax.lax.dynamic_update_slice(
                             kspg, ks[i][:, None, None], (0, page, off)

@@ -38,9 +38,25 @@ class LayerPages:
 
 
 def init_layer_pages(
-    num_kv_heads: int, num_pages: int, page_size: int, head_dim: int, dtype
+    num_kv_heads: int, num_pages: int, page_size: int, head_dim: int, dtype,
+    int4: bool = False,
 ) -> LayerPages:
-    shape = (num_kv_heads, num_pages, page_size, head_dim)
+    """``int4=True`` packs two TOKENS per int8 byte along the page's token
+    axis (split-halves within each page: token t -> low nibble of row t,
+    token t + page_size/2 -> high nibble), so pages are
+    (Hkv, P, page_size/2, head_dim).  Packing the token axis — not
+    head_dim like the slot cache — keeps the 128-lane minor dim intact,
+    which is what Mosaic's DMA alignment rules require for the async page
+    gather (ops/paged.py).  Scales stay per REAL token:
+    (Hkv, P, page_size) fp32."""
+    if int4:
+        if dtype != jnp.int8:
+            raise ValueError("int4 pages use an int8 container")
+        if page_size % 2 != 0:
+            raise ValueError("int4 pages need an even page_size")
+        shape = (num_kv_heads, num_pages, page_size // 2, head_dim)
+    else:
+        shape = (num_kv_heads, num_pages, page_size, head_dim)
     pages = LayerPages(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
     if checks.is_8bit_dtype(dtype):
         sshape = (num_kv_heads, num_pages, page_size)
@@ -72,7 +88,14 @@ def write_tokens(
     intermediate buffer internal.
     """
     dtype = pages.k.dtype
-    hkv, _, page_size, head_dim = pages.k.shape
+    hkv, _, page_rows, head_dim = pages.k.shape
+    # Token-packed int4 pages carry page_size/2 byte rows but per-REAL-token
+    # scales; the scale extent recovers the true page size.
+    int4 = (
+        pages.k_scale is not None
+        and pages.k_scale.shape[2] == 2 * page_rows
+    )
+    page_size = pages.k_scale.shape[2] if int4 else page_rows
     t = k_new.shape[1]
     # Cast INSIDE the jit: an eager astype at the call site is another
     # aliasing-hazard op on this CPU runtime (see the docstring).
@@ -82,6 +105,8 @@ def write_tokens(
     def quantize(x):
         if not checks.is_8bit_dtype(dtype):
             return x.astype(dtype), None
+        if int4:
+            return quant.quantize_int4_values(x, reduction_dim=-1)
         if dtype == jnp.int8:
             return quant.dynamically_quantize_int8(x, reduction_dim=-1)
         return quant.dynamically_quantize_fp8(x, reduction_dim=-1)
@@ -91,18 +116,34 @@ def write_tokens(
 
     k_pages, v_pages = pages.k, pages.v
     ksc, vsc = pages.k_scale, pages.v_scale
+
+    def write_page(dst, values, page, pos, take, src):
+        chunk = values[:, None, src : src + take]
+        if not int4:
+            return jax.lax.dynamic_update_slice(dst, chunk, (0, page, pos, 0))
+        # Nibble-granular write: unpack the target page's token axis,
+        # splice the new rows in, repack.  All inside this jit, so the
+        # intermediate full-precision page never escapes (same aliasing
+        # rationale as the docstring).
+        cur = jax.lax.dynamic_slice(
+            dst, (0, page, 0, 0), (hkv, 1, page_rows, head_dim)
+        )
+        full = quant.unpack_int4(cur, jnp.int8, axis=2)
+        full = jax.lax.dynamic_update_slice(
+            full, chunk.astype(jnp.int8), (0, 0, pos, 0)
+        )
+        return jax.lax.dynamic_update_slice(
+            dst, quant.pack_int4(full, axis=2), (0, page, 0, 0)
+        )
+
     pos = offset_in_first_page
     src = 0
     pi = 0
     while src < t:
         take = min(page_size - pos, t - src)
         page = page_ids[pi]
-        k_pages = jax.lax.dynamic_update_slice(
-            k_pages, kq[:, None, src : src + take], (0, page, pos, 0)
-        )
-        v_pages = jax.lax.dynamic_update_slice(
-            v_pages, vq[:, None, src : src + take], (0, page, pos, 0)
-        )
+        k_pages = write_page(k_pages, kq, page, pos, take, src)
+        v_pages = write_page(v_pages, vq, page, pos, take, src)
         if ks is not None:
             ksc = jax.lax.dynamic_update_slice(
                 ksc, ks[:, None, src : src + take], (0, page, pos)

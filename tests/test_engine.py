@@ -430,14 +430,57 @@ def test_engine_int4_cache_close_to_reference(params):
     assert agree >= len(ref) - 2, f"engine {req.output} vs {ref}"
 
 
-def test_engine_int4_rejected_on_paged(params):
-    import pytest as _pytest
+def test_engine_int4_paged_backend(params):
+    """kv_int4 on the PAGED backend: token-packed nibble pages (halved
+    page-pool residency).  CPU paged runs are schedule-invariant only
+    (CLAUDE.md: the CPU runtime's paged flow is nondeterministic), so
+    assert first token (prefill logits take no cache path) + completion,
+    against the slots kv_int4 engine."""
+    prompt = [5, 9, 23, 51, 7, 12]
+    n_new = 4
+    slot_eng = Engine(
+        params, CFG, num_slots=2, max_len=256, cache_dtype=jnp.int8,
+        kv_int4=True,
+    )
+    r_slot = slot_eng.submit(prompt, max_new_tokens=n_new)
+    slot_eng.run_to_completion()
+    paged_eng = Engine(
+        params, CFG, num_slots=2, max_len=256, cache_dtype=jnp.int8,
+        cache_backend="paged", page_size=64, kv_int4=True,
+    )
+    r_paged = paged_eng.submit(prompt, max_new_tokens=n_new)
+    paged_eng.run_to_completion()
+    assert r_paged.done
+    assert r_paged.output[0] == r_slot.output[0]
+    assert len(r_paged.output) == n_new
+    # Halved residency: the page arrays carry page_size/2 byte rows.
+    assert paged_eng.pages[0].k.shape[2] == 32
 
-    with _pytest.raises(ValueError, match="slots backend"):
-        Engine(
-            params, CFG, num_slots=2, max_len=256, cache_backend="paged",
-            kv_int4=True,
-        )
+
+def test_engine_int4_paged_chunked_prefill(params):
+    """Chunked prefill on int4 paged pages exercises the prefix unpack +
+    the mid-page RMW write; first token must match whole-prompt prefill
+    (both compute it from prefill logits, not the cache)."""
+    prompt = list(range(3, 3 + 70))  # spans two 64-token chunks
+    whole = Engine(
+        params, CFG, num_slots=1, max_len=256, cache_dtype=jnp.int8,
+        cache_backend="paged", page_size=32, kv_int4=True,
+    )
+    rw = whole.submit(prompt, max_new_tokens=3)
+    whole.run_to_completion()
+    chunked = Engine(
+        params, CFG, num_slots=1, max_len=256, cache_dtype=jnp.int8,
+        cache_backend="paged", page_size=32, prefill_chunk=64, kv_int4=True,
+    )
+    rc = chunked.submit(prompt, max_new_tokens=3)
+    chunked.run_to_completion()
+    assert rc.done and rw.done
+    assert len(rc.output) == 3
+    # The final chunk attends to the int4-requantized prefix while the
+    # whole-prompt path computes all logits in full precision, so allow
+    # one-token drift (same policy as the int8 chunked-vs-whole test).
+    agree = sum(a == b for a, b in zip(rc.output, rw.output))
+    assert agree >= 2, f"{rc.output} vs {rw.output}"
 
 
 @pytest.mark.parametrize("backend", ["slots", "paged"])

@@ -154,3 +154,93 @@ def test_paged_sliding_window_matches_decode():
         ))
     )
     assert err < 1e-6, err
+
+
+def test_paged_int4_token_packed_pages():
+    """int4 pages pack two TOKENS per byte along the page's token axis
+    (serving/paged_cache.init_layer_pages layout); the DMA kernel unpacks
+    on the sublane axis so the 128-lane head_dim minor survives.  Oracle:
+    fp32 SDPA over the dequantized gathered prefix."""
+    from quantumattention_tpu.ops.quant import (
+        pack_int4, quantize_int4_values, unpack_int4,
+    )
+
+    B, Hkv, pages_per_seq, page_size, D = 2, 2, 8, 64, 128
+    Hq = Hkv * 4
+    k_pages, v_pages, table = make_paged(
+        B, Hkv, pages_per_seq, page_size, D, seed=11
+    )
+    q = jax.random.normal(jax.random.PRNGKey(12), (B, Hq, D), jnp.float32)
+    lengths = jnp.array([512, 130], jnp.int32)
+
+    kq, ks = quantize_int4_values(k_pages, reduction_dim=-1)
+    vq, vs = quantize_int4_values(v_pages, reduction_dim=-1)
+    kp4 = pack_int4(kq, axis=2)  # (Hkv, P, ps/2, D)
+    vp4 = pack_int4(vq, axis=2)
+    assert kp4.shape == (Hkv, B * pages_per_seq + 3, page_size // 2, D)
+
+    out = paged_decode_attention(
+        q.astype(jnp.bfloat16), kp4, vp4, lengths, table,
+        k_scale_pages=ks, v_scale_pages=vs,
+        pages_per_block=2, use_dma=True,
+    )
+
+    # Dequantized oracle: the packed container must round-trip exactly.
+    kd = unpack_int4(kp4, jnp.float32, axis=2) * np.asarray(ks)[..., None]
+    vd = unpack_int4(vp4, jnp.float32, axis=2) * np.asarray(vs)[..., None]
+    np.testing.assert_allclose(
+        np.asarray(kd), np.asarray(kq, np.float32) * np.asarray(ks)[..., None]
+    )
+    for b in range(B):
+        n = int(lengths[b])
+        kc = gather_contiguous(kd, table, b)[:, :n]
+        vc = gather_contiguous(vd, table, b)[:, :n]
+        ref = sdpa_reference(
+            q[b][None, :, None, :], jnp.asarray(kc)[None], jnp.asarray(vc)[None]
+        )[0, :, 0, :]
+        assert rmse(out[b], ref) < RMSE_TOL, f"seq {b}"
+
+
+def test_paged_int4_write_tokens_roundtrip():
+    """write_tokens on int4 pages: nibble-packed pages must read back as
+    the exact int4 quantization of the written tokens, including partial
+    pages and a second write that lands mid-page (the RMW path)."""
+    from quantumattention_tpu.serving import paged_cache as pgc
+    from quantumattention_tpu.ops.quant import (
+        quantize_int4_values, unpack_int4,
+    )
+
+    Hkv, P, ps, D = 2, 6, 8, 16
+    pages = pgc.init_layer_pages(Hkv, P, ps, D, jnp.int8, int4=True)
+    assert pages.k.shape == (Hkv, P, ps // 2, D)
+
+    key = jax.random.PRNGKey(3)
+    k1, k2 = jax.random.split(key)
+    t1 = 13  # pages [4, 2]: full page 4 + 5 rows of page 2
+    k_new = jax.random.normal(k1, (Hkv, t1, D), jnp.float32)
+    v_new = jax.random.normal(k2, (Hkv, t1, D), jnp.float32)
+    pages = pgc.write_tokens(
+        pages, jnp.asarray([4, 2], jnp.int32), 0, k_new, v_new
+    )
+    # Second write resumes mid-page (offset 5 of page 2): tokens 13..19.
+    k_more = jax.random.normal(jax.random.PRNGKey(5), (Hkv, 7, D), jnp.float32)
+    v_more = jax.random.normal(jax.random.PRNGKey(6), (Hkv, 7, D), jnp.float32)
+    pages = pgc.write_tokens(
+        pages, jnp.asarray([2, 1], jnp.int32), 5, k_more, v_more
+    )
+
+    k_all = jnp.concatenate([k_new, k_more], axis=1)  # (Hkv, 20, D)
+    kq, ks = quantize_int4_values(k_all, reduction_dim=-1)
+    got = np.asarray(unpack_int4(pages.k, jnp.int8, axis=2))
+    gs = np.asarray(pages.k_scale)
+    want = np.asarray(kq)
+    ws = np.asarray(ks)
+    # Page map: tokens 0..7 -> page 4, 8..15 -> page 2, 16..19 -> page 1.
+    # Values must round-trip EXACTLY; scales only to float tolerance (the
+    # write path computes them inside jit, a 1-ULP difference vs eager).
+    np.testing.assert_array_equal(got[:, 4], want[:, 0:8])
+    np.testing.assert_array_equal(got[:, 2], want[:, 8:16])
+    np.testing.assert_array_equal(got[:, 1, :4], want[:, 16:20])
+    np.testing.assert_allclose(gs[:, 4], ws[:, 0:8], rtol=1e-5)
+    np.testing.assert_allclose(gs[:, 2], ws[:, 8:16], rtol=1e-5)
+    np.testing.assert_allclose(gs[:, 1, :4], ws[:, 16:20], rtol=1e-5)
