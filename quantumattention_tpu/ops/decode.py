@@ -296,6 +296,21 @@ def _pick_block_batch(batch: int, block_kv: int, head_dim: int,
     return 1
 
 
+def _auto_window_block_kv(window_left: int) -> int:
+    """Smallest power-of-two KV block (512..4096) covering the window
+    extent: one in-window block plus at most one partial neighbor, while
+    512+ keeps the per-grid-step overhead amortized (bkv=512 measured
+    slower than 1024 at window=1023).  Powers of two ONLY: a 512-multiple
+    like 1536 (window=1024) rarely divides s_max, and a non-dividing block
+    makes decode_attention's s_pad branch jnp.pad the ENTIRE cache every
+    decode step — a full-cache copy that dwarfs the kernel and negates the
+    window's fetch-elision win."""
+    for cand in (512, 1024, 2048):
+        if window_left + 1 <= cand:
+            return cand
+    return 4096
+
+
 def decode_attention(
     q: jax.Array,
     k_cache: jax.Array,
@@ -331,11 +346,7 @@ def decode_attention(
     """
     if block_kv is None:
         if window is not None and window[0] is not None:
-            # Smallest 512-multiple covering the window extent: one in-
-            # window block plus at most one partial neighbor, while 512+
-            # keeps the per-grid-step overhead amortized (bkv=512 measured
-            # slower than 1024 at window=1023).
-            block_kv = min(4096, max(512, round_up(int(window[0]) + 1, 512)))
+            block_kv = _auto_window_block_kv(int(window[0]))
         else:
             block_kv = 4096
     # 4-D q = (B, Hq, T, D): T candidate tokens per slot (speculative-

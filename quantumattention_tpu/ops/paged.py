@@ -344,8 +344,26 @@ def paged_decode_attention(
         raise ValueError("8-bit KV pages require scale pages")
     # Token-packed int4 pages (serving/paged_cache.init_layer_pages): half
     # the byte rows per page, per-REAL-token scales.  Detected from the
-    # scale extent — int4 always carries scales.
-    int4 = quantized and k_scale_pages.shape[2] == 2 * page_rows
+    # scale extent — int4 always carries scales.  Any other extent is a
+    # malformed scale array, not a layout: raise rather than silently
+    # reinterpreting int8 pages as int4 (or computing a wrong page_size).
+    int4 = False
+    if quantized:
+        scale_rows = k_scale_pages.shape[2]
+        if scale_rows == 2 * page_rows:
+            int4 = True
+        elif scale_rows != page_rows:
+            raise ValueError(
+                f"scale pages carry {scale_rows} token rows per page, but "
+                f"the KV pages have {page_rows} byte rows: expected exactly "
+                f"{page_rows} (int8 layout) or {2 * page_rows} (token-packed "
+                "int4 layout)"
+            )
+        if v_scale_pages.shape[2] != scale_rows:
+            raise ValueError(
+                f"k/v scale pages disagree on token rows per page: "
+                f"{scale_rows} vs {v_scale_pages.shape[2]}"
+            )
     if int4 and k_pages.dtype != jnp.int8:
         raise ValueError("int4 pages must use an int8 container")
     page_size = k_scale_pages.shape[2] if int4 else page_rows

@@ -278,6 +278,57 @@ def test_decode_sliding_window():
     assert rmse(out, ref) < RMSE_TOL
 
 
+def test_decode_auto_window_block_is_power_of_two():
+    """ADVICE r2: the auto block_kv for a window must be a power of two —
+    round_up(window+1, 512) picked 1536/2560/3584 for the common power-of-
+    two windows, which never divide s_max, and a non-dividing block makes
+    decode_attention jnp.pad the ENTIRE cache (plus scales) every step."""
+    from quantumattention_tpu.ops.decode import _auto_window_block_kv
+
+    for w, expect in [
+        (255, 512), (511, 512), (512, 1024), (1023, 1024),
+        (1024, 2048), (2047, 2048), (2048, 4096), (4095, 4096),
+        (4096, 4096), (100_000, 4096),
+    ]:
+        got = _auto_window_block_kv(w)
+        assert got == expect, (w, got)
+        assert got & (got - 1) == 0  # power of two
+        # Divides every power-of-two cache extent >= the block.
+        for s_max in (4096, 8192, 16384, 131072):
+            if s_max >= got:
+                assert s_max % got == 0
+
+
+def test_decode_auto_window_block_correct_pow2_window():
+    """End-to-end: a window of exactly 1024 (the shape the old default
+    mis-blocked) with the AUTO block_kv still matches the windowed
+    oracle."""
+    B, Hkv, Smax, D = 2, 1, 4096, 128
+    Hq, left = 8, 1024
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(7), 3)
+    q = jax.random.normal(k1, (B, Hq, D), jnp.float32)
+    k = jax.random.normal(k2, (B, Hkv, Smax, D), jnp.float32)
+    v = jax.random.normal(k3, (B, Hkv, Smax, D), jnp.float32)
+    lengths = jnp.array([4096, 1500], jnp.int32)
+
+    out = decode_attention(
+        q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+        v.astype(jnp.bfloat16), lengths, window=(left, 0),
+    )
+    G = Hq // Hkv
+    ref = np.zeros((B, Hq, D), np.float32)
+    for b in range(B):
+        n = int(lengths[b])
+        lo = max(0, n - 1 - left)
+        o = sdpa_reference(
+            q[b][None, :, None, :],
+            jnp.repeat(k[b][None, :, lo:n], G, 1),
+            jnp.repeat(v[b][None, :, lo:n], G, 1),
+        )
+        ref[b] = np.asarray(o[0, :, 0], np.float32)
+    assert rmse(out, ref) < RMSE_TOL
+
+
 def test_decode_window_rejects_right_extent():
     q = jnp.zeros((2, 4, 64), jnp.bfloat16)
     kv = jnp.zeros((2, 2, 128, 64), jnp.bfloat16)

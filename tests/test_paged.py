@@ -121,6 +121,29 @@ def test_paged_validation():
         )
 
 
+def test_paged_rejects_malformed_scale_pages():
+    """ADVICE r2: a scale extent that is neither page_rows (int8) nor
+    2*page_rows (token-packed int4) is a malformed scale array and must
+    raise, not silently reinterpret the pages under a wrong layout."""
+    q = jnp.zeros((1, 4, 64), jnp.bfloat16)
+    kp = jnp.zeros((2, 8, 64, 64), jnp.int8)
+    vp = jnp.zeros((2, 8, 64, 64), jnp.int8)
+    table = jnp.zeros((1, 4), jnp.int32)
+    lengths = jnp.array([5], jnp.int32)
+    bad = jnp.ones((2, 8, 48), jnp.float32)  # 48 is neither 64 nor 128
+    good = jnp.ones((2, 8, 64), jnp.float32)
+    with pytest.raises(ValueError, match="token rows"):
+        paged_decode_attention(
+            q, kp, vp, lengths, table, k_scale_pages=bad, v_scale_pages=bad
+        )
+    # k/v scale extents must agree (one int8-shaped, one int4-shaped).
+    with pytest.raises(ValueError, match="disagree"):
+        paged_decode_attention(
+            q, kp, vp, lengths, table,
+            k_scale_pages=good, v_scale_pages=jnp.ones((2, 8, 128)),
+        )
+
+
 def test_paged_sliding_window_matches_decode():
     """window=(left, 0) on the paged kernel must equal the contiguous
     decode kernel with the same window (gathered layout)."""
