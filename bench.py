@@ -116,23 +116,20 @@ def main() -> None:
     t_fp8 = bench_one(fp8_headwise, q, k, v, args.iters)
     t_pb = bench_one(fp8_per_block, q, k, v, args.iters)
 
-    # Causal comparison at pinned measured-best blocks (the per-block
-    # path's VMEM K-cache makes it the fastest causal kernel).
-    from quantumattention_tpu import config as qa_config
-
-    with qa_config.patch(
-        {"kernel.block_q": 1024, "kernel.block_kv": 2048}
-    ):
-        t_bf16_c = bench_one(
-            lambda q, k, v: qa.attn_func(q, k, v, is_causal=True),
-            q, k, v, args.iters,
-        )
-        t_pb_c = bench_one(
-            lambda q, k, v: qa.fp8_attn_func(
-                q, k, v, is_causal=True, scaling_method="per-block"
-            ),
-            q, k, v, args.iters,
-        )
+    # Causal comparison at the swept pretuned blocks (benchmarks/
+    # tune_shapes.py winners, shipped in pretuned.json: (1024, 1024) for
+    # causal — 108 vs 93 TFLOP/s at the old pinned (1024, 2048)).  The
+    # per-block path's VMEM K-cache makes it the fastest causal kernel.
+    t_bf16_c = bench_one(
+        lambda q, k, v: qa.attn_func(q, k, v, is_causal=True),
+        q, k, v, args.iters,
+    )
+    t_pb_c = bench_one(
+        lambda q, k, v: qa.fp8_attn_func(
+            q, k, v, is_causal=True, scaling_method="per-block"
+        ),
+        q, k, v, args.iters,
+    )
     causal_flops = flops // 2
 
     # Decode throughput: int8 KV cache at Llama-3-8B attention shapes

@@ -21,6 +21,8 @@ attention path for QAT).
 
 from __future__ import annotations
 
+import functools
+import math
 from typing import Any, Dict
 
 import jax
@@ -91,6 +93,91 @@ def tied_head_matmul(x: jax.Array, embed: Any) -> jax.Array:
         return jnp.einsum("bse,ve->bsv", x, embed)
     y = jnp.einsum("bse,ve->bsv", x, embed["q"].astype(x.dtype))
     return y.astype(jnp.float32) * embed["s"][:, 0]
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _init_qdense(key: jax.Array, shape, dtype) -> Dict[str, jax.Array]:
+    """One projection matrix, initialized AND quantized inside one jit so
+    the full-precision draw is a transient XLA temporary, never a live
+    buffer — peak extra HBM is one matrix, not the whole bf16 tree."""
+    fan_in = shape[0]
+    w = jax.random.truncated_normal(key, -3, 3, shape, jnp.float32)
+    return quantize_matrix((w / math.sqrt(fan_in)).astype(dtype))
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _init_qembed(key: jax.Array, shape, dtype) -> Dict[str, jax.Array]:
+    fan_in = shape[0]
+    w = jax.random.truncated_normal(key, -3, 3, shape, jnp.float32)
+    return quantize_embed((w / math.sqrt(fan_in)).astype(dtype))
+
+
+def init_quantized_params(key: jax.Array, cfg) -> Params:
+    """``quantize_params(llama.init_params(key, cfg))`` without ever
+    materializing the full-precision tree.
+
+    bf16 Llama-3-8B weights are ~16 GB — more than a v5e chip's HBM — so
+    benchmark/serving setups at 8B shapes must go straight to the w8a16
+    representation.  Key schedule and init math replicate
+    ``models/llama.init_params`` exactly; the resulting tree matches
+    quantizing the full-precision init up to jit-vs-eager fp rounding
+    (tested to 1e-5 relative)."""
+    n_keys = 2 + 7 * cfg.num_layers
+    keys = iter(jax.random.split(key, n_keys))
+    dt = cfg.dtype
+
+    params: Params = {
+        "embed": _init_qembed(next(keys), (cfg.vocab_size, cfg.hidden_size), dt),
+        "final_norm": jnp.ones((cfg.hidden_size,), jnp.float32),
+        "layers": [],
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = _init_qdense(
+            next(keys), (cfg.hidden_size, cfg.vocab_size), dt
+        )
+    else:
+        next(keys)
+    for _ in range(cfg.num_layers):
+        layer: Params = {}
+        if cfg.qkv_bias:
+            layer.update(
+                bq=jnp.zeros((cfg.q_dim,), dt),
+                bk=jnp.zeros((cfg.kv_dim,), dt),
+                bv=jnp.zeros((cfg.kv_dim,), dt),
+            )
+        layer |= {
+            "attn_norm": jnp.ones((cfg.hidden_size,), jnp.float32),
+            "wq": _init_qdense(next(keys), (cfg.hidden_size, cfg.q_dim), dt),
+            "wk": _init_qdense(next(keys), (cfg.hidden_size, cfg.kv_dim), dt),
+            "wv": _init_qdense(next(keys), (cfg.hidden_size, cfg.kv_dim), dt),
+            "wo": _init_qdense(next(keys), (cfg.q_dim, cfg.hidden_size), dt),
+            "mlp_norm": jnp.ones((cfg.hidden_size,), jnp.float32),
+        }
+        if cfg.num_experts > 0:
+            from . import moe as moe_lib
+
+            moe_params = moe_lib.init_moe_params(
+                next(keys), cfg.hidden_size, cfg.intermediate_size,
+                cfg.num_experts, dtype=dt,
+            )
+            for k in ("w_gate", "w_up", "w_down"):
+                moe_params[k] = jax.jit(quantize_matrix)(moe_params[k])
+            layer["moe"] = moe_params  # router stays fp32
+            next(keys), next(keys)
+        else:
+            layer |= {
+                "w_gate": _init_qdense(
+                    next(keys), (cfg.hidden_size, cfg.intermediate_size), dt
+                ),
+                "w_up": _init_qdense(
+                    next(keys), (cfg.hidden_size, cfg.intermediate_size), dt
+                ),
+                "w_down": _init_qdense(
+                    next(keys), (cfg.intermediate_size, cfg.hidden_size), dt
+                ),
+            }
+        params["layers"].append(layer)
+    return params
 
 
 def quantize_params(params: Params) -> Params:

@@ -89,6 +89,38 @@ def llama_param_specs(cfg: LlamaConfig) -> Any:
     return specs
 
 
+def param_specs_for(params: Any, cfg: LlamaConfig) -> Any:
+    """``llama_param_specs`` adapted to a params tree that may hold w8a16
+    quantized leaves (``models/quantized``: ``{"q": int8, "s": fp32}``).
+
+    The int8 codes take the full matrix's spec; the scale inherits it with
+    every size-1 dim unsharded (scales are per-output-channel keepdims, so
+    the sharded output axis survives and the reduced axis drops out — e.g.
+    wq (in, out) P(None, "tp") -> s (1, out) P(None, "tp"); wo (out, in)
+    P("tp", None) -> s (1, in) P(None, None); embed rows (V, 1) keep the
+    vocab sharding)."""
+    from ..models import quantized as qz
+
+    base = llama_param_specs(cfg)
+
+    def walk(p: Any, s: Any) -> Any:
+        if qz.is_quantized(p):
+            scale = p["s"]
+            axes = list(s) + [None] * (scale.ndim - len(list(s)))
+            sspec = P(*[
+                ax if scale.shape[i] != 1 else None
+                for i, ax in enumerate(axes[: scale.ndim])
+            ])
+            return {"q": s, "s": sspec}
+        if isinstance(p, dict):
+            return {k: walk(v, s[k]) for k, v in p.items()}
+        if isinstance(p, list):
+            return [walk(a, b) for a, b in zip(p, s)]
+        return s
+
+    return walk(params, base)
+
+
 def shard_params(params: Any, mesh: Mesh, specs: Any) -> Any:
     """Place a params pytree onto the mesh per the given specs."""
     return jax.tree_util.tree_map(

@@ -81,9 +81,35 @@ class Engine:
         prefill_chunk: Optional[int] = None,
         draft: Optional[Tuple[llama.Params, llama.LlamaConfig]] = None,
         spec_tokens: int = 4,
+        mesh=None,
+        tp_axis: str = "tp",
     ) -> None:
         if cache_backend not in ("slots", "paged"):
             raise ValueError(f"unknown cache_backend: {cache_backend!r}")
+        if mesh is not None:
+            # Tensor-parallel serving (serving/tp.py): Megatron-sharded
+            # weights, KV-head-sharded caches, shard_mapped kernels.
+            if cache_backend != "slots":
+                raise ValueError("mesh serving requires the slots backend")
+            if draft is not None:
+                raise ValueError(
+                    "speculative decoding is a single-chip path (the "
+                    "multi-query verification kernel is not head-sharded)"
+                )
+            if prefill_chunk is not None:
+                raise ValueError(
+                    "chunked prefill is a single-chip path under mesh "
+                    "serving; use whole-prompt (bucketed) prefill"
+                )
+            n = mesh.shape[tp_axis]
+            if cfg.num_kv_heads % n or cfg.num_q_heads % n:
+                raise ValueError(
+                    f"num_q_heads ({cfg.num_q_heads}) and num_kv_heads "
+                    f"({cfg.num_kv_heads}) must be divisible by the "
+                    f"'{tp_axis}' axis size ({n})"
+                )
+        self.mesh = mesh
+        self.tp_axis = tp_axis
         if prefill_chunk is not None and max_len % prefill_chunk != 0:
             # Chunk writes are full-width (bounded jit cache: one compile
             # per chunk offset); alignment guarantees they never run past
@@ -197,10 +223,24 @@ class Engine:
         }
         self._key = jax.random.PRNGKey(seed)
 
-        self._prefill_jit = jax.jit(
-            functools.partial(llama.forward_prefill, cfg=cfg),
-            static_argnames=(),
-        )
+        if mesh is not None:
+            from . import tp as tp_lib
+
+            self.params = tp_lib.shard_serving_params(self.params, cfg, mesh)
+            self.caches = [
+                tp_lib.shard_cache(c, mesh, tp_axis) for c in self.caches
+            ]
+            self._prefill_jit = jax.jit(
+                functools.partial(
+                    tp_lib.forward_prefill_tp, cfg=cfg, mesh=mesh,
+                    axis=tp_axis,
+                )
+            )
+        else:
+            self._prefill_jit = jax.jit(
+                functools.partial(llama.forward_prefill, cfg=cfg),
+                static_argnames=(),
+            )
         # Cache donation is a TPU-memory optimization only: the CPU runtime
         # corrupts retained aliases of donated buffers (see kv_cache.append's
         # note), and a jit that returns an input unchanged can alias it — so
@@ -704,6 +744,17 @@ class Engine:
                 nval,
             )
             c = caches[idx]
+            if self.mesh is not None:
+                from . import tp as tp_lib
+
+                return tp_lib.decode_attention_tp(
+                    q.astype(jnp.bfloat16),
+                    c.k, c.v, c.lengths,
+                    mesh=self.mesh, axis=self.tp_axis,
+                    k_scale=c.k_scale, v_scale=c.v_scale,
+                    block_kv=self.decode_block_kv,
+                    window=self._window(cfg),
+                )
             return decode_attention(
                 q.astype(jnp.bfloat16),
                 c.k,

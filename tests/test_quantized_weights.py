@@ -91,6 +91,54 @@ def test_engine_with_quantized_weights(params):
     assert agree >= 3, (qr.output, fr.output)
 
 
+def _assert_trees_match(direct, via_full):
+    """Same tree up to jit-vs-eager fp rounding: float leaves match to
+    1e-5 relative; int8 codes may flip by exactly 1 at round-to-nearest
+    boundaries (the ~1e-7 scale wobble moves w/s across .5) on a tiny
+    fraction of entries."""
+    leaves_d, treedef_d = jax.tree_util.tree_flatten(direct)
+    leaves_f, treedef_f = jax.tree_util.tree_flatten(via_full)
+    assert treedef_d == treedef_f
+    for a, b in zip(leaves_d, leaves_f):
+        assert a.dtype == b.dtype and a.shape == b.shape
+        an, bn = np.asarray(a), np.asarray(b)
+        if an.dtype == np.int8:
+            diff = np.abs(an.astype(np.int16) - bn.astype(np.int16))
+            assert diff.max() <= 1
+            assert (diff != 0).mean() < 0.01
+        else:
+            np.testing.assert_allclose(
+                an.astype(np.float64), bn.astype(np.float64),
+                rtol=1e-5, atol=1e-9,
+            )
+
+
+def test_init_quantized_params_matches_quantize_of_init(params):
+    """init_quantized_params must produce the same tree as quantizing the
+    full-precision init (same key schedule, same math) — it only changes
+    peak memory, not semantics."""
+    direct = quantized.init_quantized_params(jax.random.PRNGKey(0), CFG)
+    _assert_trees_match(direct, quantized.quantize_params(params))
+
+
+def test_init_quantized_params_variants():
+    """Tied embeddings, qkv bias, and MoE trees all build and forward."""
+    for cfg in [
+        llama.tiny(attention_impl="sdpa", dtype=jnp.float32,
+                   tie_embeddings=True),
+        llama.tiny(attention_impl="sdpa", dtype=jnp.float32, qkv_bias=True),
+        llama.tiny(attention_impl="sdpa", dtype=jnp.float32, num_experts=4,
+                   capacity_factor=4.0),
+    ]:
+        qp = quantized.init_quantized_params(jax.random.PRNGKey(1), cfg)
+        ref = quantized.quantize_params(
+            llama.init_params(jax.random.PRNGKey(1), cfg)
+        )
+        _assert_trees_match(qp, ref)
+        logits = llama.forward(qp, jnp.asarray([[1, 2, 3]], jnp.int32), cfg)
+        assert bool(jnp.all(jnp.isfinite(logits.astype(jnp.float32))))
+
+
 def test_quantized_memory_halves(params):
     def nbytes(tree):
         return sum(
