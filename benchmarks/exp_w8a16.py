@@ -6,6 +6,13 @@ candidate matmul strategies at decode/prefill shapes to find where the
 time goes.  Weights are jit PARAMETERS (CLAUDE.md: closed-over GB arrays
 become program constants and can kill the relay).
 
+CAVEAT (discovered from this run's impossible numbers — bf16 dot "1102
+TFLOP/s", 5.6x the MXU peak): chain_bench's ADDITIVE perturbation is
+unsound for XLA-native matmuls — dot(x + bcast(c), w) distributes and the
+loop-invariant dot(x, w) hoists out of the scan.  The w8a16/w8a8 numbers
+here are lower bounds on badness only; benchmarks/qmm_sweep.py re-measures
+everything with a non-distributable roll perturbation and is the record.
+
 Usage: python benchmarks/exp_w8a16.py  (TPU; ONE process only)
 """
 

@@ -55,6 +55,8 @@ def main():
     p.add_argument("--model", default="llama3_8b")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (logic smoke, not a benchmark)")
+    p.add_argument("--no-fuse", action="store_true",
+                   help="keep separate wq/wk/wv and gate/up matmuls")
     args = p.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -72,6 +74,10 @@ def main():
 
     t0 = time.perf_counter()
     params = quantized.init_quantized_params(jax.random.PRNGKey(0), cfg)
+    if not args.no_fuse:
+        # One [wq|wk|wv] and one [gate|up] matmul per layer: the per-op
+        # fixed dispatch cost dominates decode (op_overhead_probe.py).
+        params = quantized.fuse_projections(params)
     # Force materialization so weight init doesn't bleed into phase timing.
     jax.block_until_ready(params)
     nbytes = sum(
@@ -140,6 +146,7 @@ def main():
                 "detail": {
                     "model": args.model,
                     "weights": "int8 w8a16",
+                    "fused_projections": not args.no_fuse,
                     "kv_cache": "int8 token-wise",
                     "slots": args.slots,
                     "prompt_tokens": args.prompt,

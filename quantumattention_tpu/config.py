@@ -84,6 +84,16 @@ kernel = _Namespace(
     # Mosaic scoped-VMEM limit override in MiB (None = compiler default,
     # 16 MiB on v5e; raising it permits larger score tiles).
     vmem_limit_mb=None,
+    # Route w8a16 weight matmuls (models/quantized.matmul) through the
+    # Pallas dequantize-in-VMEM kernel (ops/qmm.py).  XLA does NOT fuse
+    # the int8->bf16 weight convert into its dot (measured 291 vs 957
+    # GB/s at decode shapes, 6.9x at prefill shapes —
+    # benchmarks/exp_w8a16.py), so the kernel is the production path on
+    # TPU; interpret-mode (CPU) runs keep the einsum so tests stay fast.
+    # Tensor-parallel serving disables it per-engine: a pallas_call under
+    # plain jit is opaque to GSPMD (serving/tp.py shard-maps attention
+    # but relies on GSPMD to partition the projections).
+    qmm=_env_bool("QUANTUM_ATTN_QMM", True),
     # Use the blockwise Pallas dq/dkv backward kernels (flash_bwd.py);
     # False falls back to the O(S^2) oracle-recompute VJP.
     pallas_bwd=_env_bool("QUANTUM_ATTN_PALLAS_BWD", True),

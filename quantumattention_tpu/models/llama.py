@@ -301,10 +301,21 @@ def _attend(cfg: LlamaConfig, q, k, v, *, is_causal: bool):
 
 
 def _qkv_proj(cfg: LlamaConfig, layer: Params, h: jax.Array):
-    """Q/K/V projections with optional biases (Qwen2 style)."""
-    q = quantized.matmul("bse,eq->bsq", h, layer["wq"])
-    k = quantized.matmul("bse,ek->bsk", h, layer["wk"])
-    v = quantized.matmul("bse,ek->bsk", h, layer["wv"])
+    """Q/K/V projections with optional biases (Qwen2 style).
+
+    A tree fused by ``quantized.fuse_projections`` carries one
+    ``w_qkv = [wq|wk|wv]`` matrix — one matmul op instead of three (the
+    per-op fixed dispatch cost dominates decode steps; see
+    quantized.fuse_projections)."""
+    if "w_qkv" in layer:
+        qkv = quantized.matmul("bse,ef->bsf", h, layer["w_qkv"])
+        q, k, v = jnp.split(
+            qkv, [cfg.q_dim, cfg.q_dim + cfg.kv_dim], axis=-1
+        )
+    else:
+        q = quantized.matmul("bse,eq->bsq", h, layer["wq"])
+        k = quantized.matmul("bse,ek->bsk", h, layer["wk"])
+        v = quantized.matmul("bse,ek->bsk", h, layer["wv"])
     if cfg.qkv_bias:
         q = q + layer["bq"]
         k = k + layer["bk"]
@@ -365,8 +376,14 @@ def mlp_block(cfg: LlamaConfig, layer: Params, x: jax.Array) -> jax.Array:
             num_experts_per_tok=cfg.num_experts_per_tok,
             capacity_factor=cfg.capacity_factor,
         )
-    gate = quantized.matmul("bse,ei->bsi", h, layer["w_gate"])
-    up = quantized.matmul("bse,ei->bsi", h, layer["w_up"])
+    if "w_gate_up" in layer:
+        # Fused [gate|up] (quantized.fuse_projections): one op, one
+        # weight stream, exact same numerics after the split.
+        gu = quantized.matmul("bse,ef->bsf", h, layer["w_gate_up"])
+        gate, up = jnp.split(gu, 2, axis=-1)
+    else:
+        gate = quantized.matmul("bse,ei->bsi", h, layer["w_gate"])
+        up = quantized.matmul("bse,ei->bsi", h, layer["w_up"])
     act = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
     return x + quantized.matmul("bsi,ie->bse", act, layer["w_down"])
 

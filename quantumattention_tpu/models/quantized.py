@@ -52,15 +52,69 @@ def quantize_matrix(w: jax.Array) -> Dict[str, jax.Array]:
     return {"q": q, "s": s}
 
 
-def matmul(spec: str, x: jax.Array, w: Any) -> jax.Array:
+def _plain_contraction(spec: str, x_ndim: int) -> bool:
+    """True iff ``spec`` is "...e,eo->...o": contract x's last axis with a
+    2-D weight's first, output channel last — the only pattern the qmm
+    kernel implements (every decoder projection matches)."""
+    try:
+        ins, outp = spec.split("->")
+        xs, ws = ins.split(",")
+    except ValueError:
+        return False
+    return (
+        len(ws) == 2
+        and len(xs) == x_ndim
+        and xs[-1] == ws[0]
+        and outp == xs[:-1] + ws[1]
+    )
+
+
+def matmul(
+    spec: str, x: jax.Array, w: Any, *, use_kernel: bool | None = None
+) -> jax.Array:
     """``einsum(spec, x, w)`` where ``w`` may be quantized.
 
     The output channel must be the LAST result axis (true of every
     projection in the decoder), so the (…, 1, out) scale broadcasts onto
     the product by trailing alignment after dropping its keepdim.
+
+    2-D quantized weights route through the Pallas dequantize-in-VMEM
+    kernel (``ops/qmm`` — XLA does not fuse the int8->bf16 convert into
+    its dot; see the ``config.kernel.qmm`` note) when ``use_kernel`` is
+    None (auto: compiled TPU runs only) or True (forced, e.g. interpret-
+    mode tests); the einsum path remains for 3-D expert stacks, odd
+    shapes, and interpret mode.
     """
     if not is_quantized(w):
         return jnp.einsum(spec, x, w)
+    if use_kernel is None:
+        from ..utils import checks
+        from .. import config
+
+        use_kernel = bool(config.kernel.qmm) and not checks.resolve_interpret(
+            config.interpret
+        )
+        if use_kernel and w["q"].ndim == 2:
+            # Measured op-cost model (benchmarks/op_overhead_probe.py): a
+            # pallas call costs ~0.1 ms fixed + bytes at ~810 GB/s, while
+            # XLA's convert+dot runs ~300 GB/s with ~10 us/op overhead —
+            # the kernel wins when the weight stream is large (decode
+            # MLPs, lm_head) or the op is MXU-bound (prefill); XLA keeps
+            # the small projections.
+            wbytes = w["q"].shape[0] * w["q"].shape[1]
+            rows = 1
+            for d in x.shape[:-1]:
+                rows *= d
+            use_kernel = wbytes >= 32 * 1024 * 1024 or (
+                rows >= 512 and wbytes >= 8 * 1024 * 1024
+            )
+    if use_kernel and _plain_contraction(spec, x.ndim):
+        from ..ops import qmm
+
+        x2 = x.reshape(-1, x.shape[-1])
+        if qmm.supported(x2, w["q"]):
+            y = qmm.quantized_matmul(x2, w["q"], w["s"])
+            return y.reshape(*x.shape[:-1], w["q"].shape[-1])
     y = jnp.einsum(spec, x, w["q"].astype(x.dtype))
     # The keepdims scale (…, 1, out) broadcasts onto (…, rows, out) for
     # both plain (in, out) weights and batched (E, in, out) expert stacks.
@@ -178,6 +232,55 @@ def init_quantized_params(key: jax.Array, cfg) -> Params:
             }
         params["layers"].append(layer)
     return params
+
+
+def _concat_quantized(parts) -> Dict[str, jax.Array]:
+    """Concatenate quantized matrices along the OUTPUT (last) axis —
+    per-output-channel scales concatenate right along."""
+    return {
+        "q": jnp.concatenate([p["q"] for p in parts], axis=-1),
+        "s": jnp.concatenate([p["s"] for p in parts], axis=-1),
+    }
+
+
+def fuse_projections(params: Params) -> Params:
+    """Fuse per-layer QKV and gate/up projections into single matrices.
+
+    Serving optimization for SINGLE-CHIP engines: on the measured runtime
+    every matmul op carries a fixed dispatch cost (~0.1 ms for a pallas
+    call — benchmarks/op_overhead_probe.py), so a 32-layer decode step
+    with 7 matmuls per layer pays more in op count than in bytes; fusing
+    [wq|wk|wv] -> w_qkv and [w_gate|w_up] -> w_gate_up removes 3 ops per
+    layer and doubles the bytes per remaining op (better amortization).
+    Numerics are EXACTLY the einsum's: per-output-channel scales
+    concatenate along the fused axis.
+
+    Tensor-parallel serving must NOT fuse: the tp column shard of a
+    concatenated [gate|up] puts all-gate halves on chip 0 (parallel/
+    mesh.param_specs_for rejects fused trees).  Works on quantized trees
+    (the w8a16 serving representation); biases stay separate (added after
+    the split).
+    """
+
+    def one_layer(layer: Params) -> Params:
+        out = dict(layer)
+        if all(k in out for k in ("wq", "wk", "wv")) and all(
+            is_quantized(out[k]) for k in ("wq", "wk", "wv")
+        ):
+            out["w_qkv"] = _concat_quantized(
+                [out.pop("wq"), out.pop("wk"), out.pop("wv")]
+            )
+        if all(k in out for k in ("w_gate", "w_up")) and all(
+            is_quantized(out[k]) for k in ("w_gate", "w_up")
+        ):
+            out["w_gate_up"] = _concat_quantized(
+                [out.pop("w_gate"), out.pop("w_up")]
+            )
+        return out
+
+    out = dict(params)
+    out["layers"] = [one_layer(l) for l in params["layers"]]
+    return out
 
 
 def quantize_params(params: Params) -> Params:

@@ -113,6 +113,13 @@ def param_specs_for(params: Any, cfg: LlamaConfig) -> Any:
             ])
             return {"q": s, "s": sspec}
         if isinstance(p, dict):
+            if "w_qkv" in p or "w_gate_up" in p:
+                raise ValueError(
+                    "fused projection trees (quantized.fuse_projections) "
+                    "cannot be tensor-parallel sharded: the tp column "
+                    "shard of a concatenated [gate|up] puts all-gate "
+                    "halves on chip 0 — fuse only for single-chip serving"
+                )
             return {k: walk(v, s[k]) for k, v in p.items()}
         if isinstance(p, list):
             return [walk(a, b) for a, b in zip(p, s)]

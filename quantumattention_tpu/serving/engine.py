@@ -24,6 +24,7 @@ Architecture (jit-stability first):
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import functools
 import itertools
@@ -33,6 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import config
 from ..models import llama
 from ..ops import quant
 from ..ops.decode import decode_attention
@@ -339,6 +341,17 @@ class Engine:
         self.waiting.append(req)
         return req
 
+    def _trace_cfg(self):
+        """Config context for everything this engine traces/executes.
+
+        Mesh serving relies on GSPMD to partition the weight matmuls, and
+        a pallas_call is opaque to GSPMD — so the qmm weight kernel
+        (ops/qmm.py) must stay off in every program a mesh engine
+        compiles (shard-mapped attention is unaffected)."""
+        if self.mesh is not None:
+            return config.patch({"kernel.qmm": False})
+        return contextlib.nullcontext()
+
     def step(self) -> List[Request]:
         """One engine step of mixed prefill/decode scheduling.
 
@@ -349,6 +362,10 @@ class Engine:
         while long prompts prefill (BASELINE config 4's continuous-
         batching contract).  Returns requests that finished this step.
         """
+        with self._trace_cfg():
+            return self._step_inner()
+
+    def _step_inner(self) -> List[Request]:
         self._admit()
         if self.prefilling:
             self._prefill_advance_group()
@@ -370,12 +387,13 @@ class Engine:
         detection, and per-request budgets all happen on device).
         """
         out: List[Request] = []
-        while self.waiting or self.prefilling or self.active:
-            n = self._burst_size(decode_burst)
-            if n > 1:
-                out.extend(self._decode_burst(n))
-            else:
-                out.extend(self.step())
+        with self._trace_cfg():
+            while self.waiting or self.prefilling or self.active:
+                n = self._burst_size(decode_burst)
+                if n > 1:
+                    out.extend(self._decode_burst(n))
+                else:
+                    out.extend(self._step_inner())
         return out
 
     def _burst_size(self, decode_burst: Optional[int]) -> int:

@@ -77,6 +77,15 @@ def chain_bench(
     running carry folded in so XLA cannot hoist or dedupe iterations —
     pick a small input (e.g. q), its extra read+write is part of every
     iteration.
+
+    SOUND ONLY FOR PALLAS KERNELS (opaque to XLA).  For XLA-native
+    matmuls the additive perturbation is distributable —
+    dot(x + bcast(c), w) = dot(x, w) + dot(bcast(c), w) — and XLA hoists
+    the loop-invariant dot out of the scan: measured 1102 TFLOP/s
+    (5.6x MXU peak) for a plain bf16 einsum this way
+    (benchmarks/exp_w8a16.py).  Time XLA matmuls with a data-dependent
+    jnp.roll of the activation instead (benchmarks/qmm_sweep.py's
+    roll_chain_bench).
     """
 
     @jax.jit

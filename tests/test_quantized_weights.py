@@ -139,6 +139,50 @@ def test_init_quantized_params_variants():
         assert bool(jnp.all(jnp.isfinite(logits.astype(jnp.float32))))
 
 
+def test_fuse_projections_forward_matches(params):
+    """Fused [wq|wk|wv] / [gate|up] trees compute the same logits: each
+    output channel's contraction is independent, so concatenation does
+    not change any reduction order."""
+    qparams = quantized.quantize_params(params)
+    fused = quantized.fuse_projections(qparams)
+    layer = fused["layers"][0]
+    assert "w_qkv" in layer and "wq" not in layer
+    assert "w_gate_up" in layer and "w_gate" not in layer
+    tokens = jnp.asarray([[3, 17, 42, 99, 7, 23]], jnp.int32)
+    a = llama.forward(qparams, tokens, CFG).astype(jnp.float32)
+    b = llama.forward(fused, tokens, CFG).astype(jnp.float32)
+    assert float(jnp.max(jnp.abs(a - b))) < 1e-4
+
+
+def test_fuse_projections_qkv_bias():
+    cfg = llama.tiny(attention_impl="sdpa", dtype=jnp.float32, qkv_bias=True)
+    p = quantized.quantize_params(llama.init_params(jax.random.PRNGKey(5), cfg))
+    fused = quantized.fuse_projections(p)
+    tokens = jnp.asarray([[1, 2, 3, 4]], jnp.int32)
+    a = llama.forward(p, tokens, cfg).astype(jnp.float32)
+    b = llama.forward(fused, tokens, cfg).astype(jnp.float32)
+    assert float(jnp.max(jnp.abs(a - b))) < 1e-4
+
+
+def test_fused_tree_serves(params):
+    from quantumattention_tpu.serving.engine import Engine
+
+    fused = quantized.fuse_projections(quantized.quantize_params(params))
+    eng = Engine(fused, CFG, num_slots=1, max_len=128,
+                 cache_dtype=jnp.int8)
+    r = eng.submit([5, 9, 23], max_new_tokens=5)
+    eng.run_to_completion(decode_burst=4)
+    assert r.done and len(r.output) == 5
+
+
+def test_fused_tree_rejected_by_tp_specs(params):
+    from quantumattention_tpu.parallel import mesh as qmesh
+
+    fused = quantized.fuse_projections(quantized.quantize_params(params))
+    with pytest.raises(ValueError, match="fused projection"):
+        qmesh.param_specs_for(fused, CFG)
+
+
 def test_quantized_memory_halves(params):
     def nbytes(tree):
         return sum(
