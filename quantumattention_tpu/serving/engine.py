@@ -287,18 +287,31 @@ class Engine:
         *,
         dtype=None,
         quantize_weights: bool = False,
+        fuse_projections: bool = False,
         **engine_kwargs,
     ):
         """Engine over an on-disk HuggingFace checkpoint directory
         (``config.json`` + safetensors — ``models/hf.load_hf_checkpoint``;
         cross-framework logit parity tested in tests/test_hf.py).
         ``quantize_weights=True`` stores projections int8 per-output-
-        channel (w8a16) — required to fit 8B-class weights on one chip."""
+        channel (w8a16) — required to fit 8B-class weights on one chip.
+        ``fuse_projections=True`` (single-chip serving only, requires
+        quantized weights) fuses [wq|wk|wv] and [gate|up] to cut per-layer
+        matmul op count — see models/quantized.fuse_projections."""
         from ..models import hf as hf_lib
 
         params, cfg = hf_lib.load_hf_checkpoint(
             checkpoint_path, dtype=dtype, quantize_weights=quantize_weights
         )
+        if fuse_projections:
+            if not quantize_weights:
+                raise ValueError(
+                    "fuse_projections requires quantize_weights=True "
+                    "(fusion operates on the w8a16 tree)"
+                )
+            from ..models import quantized as qz
+
+            params = qz.fuse_projections(params)
         return cls(params, cfg, **engine_kwargs)
 
     def submit(
@@ -1155,7 +1168,11 @@ class Engine:
             one, (caches, tokens, active, remaining, key), None,
             length=n_steps,
         )
-        return caches, toks, emits
+        # ONE fetchable array: each host->device fetch pays a fixed ~38 ms
+        # tunnel roundtrip (traced in benchmarks/decode_ladder.py), so the
+        # token and emitted-mask traces ship together.
+        packed = jnp.stack([toks, emits.astype(jnp.int32)])
+        return caches, packed
 
     def _decode_burst(self, n: int) -> List[Request]:
         sp = next(iter(self.active.values())).sampling
@@ -1177,13 +1194,13 @@ class Engine:
             eos[slot] = -1 if req.eos_id is None else req.eos_id
             remaining[slot] = req.max_new_tokens - len(req.output)
         self._key, sub = jax.random.split(self._key)
-        self.caches, toks, emits = jitted(
+        self.caches, packed = jitted(
             self.params, self.caches, jnp.asarray(self.last_token),
             jnp.asarray(active_mask), jnp.asarray(remaining),
             jnp.asarray(eos), sub,
         )
-        toks = np.asarray(toks)
-        emits = np.asarray(emits)
+        packed = np.asarray(packed)  # one fixed-cost fetch per burst
+        toks, emits = packed[0], packed[1].astype(bool)
         self.stats["decode_steps"] += n
         finished: List[Request] = []
         for t in range(n):

@@ -122,38 +122,58 @@ def append(
     # trace time).
     int4 = cache.k.shape[-1] * 2 == k_new.shape[-1]
 
-    def write_one(cache_k, cache_v, cache_ks, cache_vs, lengths, i):
+    # Batched quantize for EVERY slot in one op (token-wise scales reduce
+    # over the last axis only, so this is bit-identical to per-slot).
+    kq, ks = _quantize_tokens(k_new, dtype, int4)
+    vq, vs = _quantize_tokens(v_new, dtype, int4)
+    t = k_new.shape[2]
+    lengths = cache.lengths.at[slot_ids].set(offsets + n_valid)
+
+    if t == 1:
+        # Decode write: ONE scatter per cache array.  (The per-slot
+        # fori_loop was a measured decode-step bottleneck: 16 slots x 4-5
+        # tiny sequential ops x 32 layers of per-op dispatch overhead per
+        # step.)  Distinct (slot, row) pairs, so order-independent.
+        rows = offsets[:, None]
+        sids = slot_ids[:, None]
+        # Advanced indices (N, 1) at dims 0 and 2, separated by the head
+        # slice — the indexed view is (N, 1, H, D'); move T forward in
+        # the updates to match.
+        ck = cache.k.at[sids, :, rows].set(kq.transpose(0, 2, 1, 3))
+        cv = cache.v.at[sids, :, rows].set(vq.transpose(0, 2, 1, 3))
+        cks, cvs = cache.k_scale, cache.v_scale
+        if ks is not None:
+            cks = cks.at[sids, :, rows].set(ks.transpose(0, 2, 1))
+            cvs = cvs.at[sids, :, rows].set(vs.transpose(0, 2, 1))
+        return KVCache(k=ck, v=cv, lengths=lengths, k_scale=cks, v_scale=cvs)
+
+    # Chunked/prefill write (T tokens per slot, few slots): contiguous
+    # dynamic_update_slice per slot beats a (N*T)-row scatter on TPU
+    # (measured: the scatter version nearly halved prefill tokens/s).
+    def write_one(carry, i):
+        cache_k, cache_v, cache_ks, cache_vs = carry
         slot = slot_ids[i]
         off = offsets[i]
-        kq, ks = _quantize_tokens(k_new[i], dtype, int4)
-        vq, vs = _quantize_tokens(v_new[i], dtype, int4)
         cache_k = jax.lax.dynamic_update_slice(
-            cache_k, kq[None], (slot, 0, off, 0)
+            cache_k, kq[i][None], (slot, 0, off, 0)
         )
         cache_v = jax.lax.dynamic_update_slice(
-            cache_v, vq[None], (slot, 0, off, 0)
+            cache_v, vq[i][None], (slot, 0, off, 0)
         )
         if ks is not None:
             cache_ks = jax.lax.dynamic_update_slice(
-                cache_ks, ks[None], (slot, 0, off)
+                cache_ks, ks[i][None], (slot, 0, off)
             )
             cache_vs = jax.lax.dynamic_update_slice(
-                cache_vs, vs[None], (slot, 0, off)
+                cache_vs, vs[i][None], (slot, 0, off)
             )
-        lengths = lengths.at[slot].set(off + n_valid[i])
-        return cache_k, cache_v, cache_ks, cache_vs, lengths
+        return (cache_k, cache_v, cache_ks, cache_vs), None
 
     n = slot_ids.shape[0]
-    ck, cv, cks, cvs, lengths = cache.k, cache.v, cache.k_scale, cache.v_scale, cache.lengths
-    if cks is None:
-        cks = jnp.zeros((0,), jnp.float32)
-        cvs = jnp.zeros((0,), jnp.float32)
-
-    def body(i, carry):
-        return write_one(*carry, i)
-
-    ck, cv, cks, cvs, lengths = jax.lax.fori_loop(
-        0, n, body, (ck, cv, cks, cvs, lengths)
+    cks0 = cache.k_scale if ks is not None else jnp.zeros((0,), jnp.float32)
+    cvs0 = cache.v_scale if ks is not None else jnp.zeros((0,), jnp.float32)
+    (ck, cv, cks, cvs), _ = jax.lax.scan(
+        write_one, (cache.k, cache.v, cks0, cvs0), jnp.arange(n)
     )
     return KVCache(
         k=ck,
