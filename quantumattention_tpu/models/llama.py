@@ -400,10 +400,17 @@ def _decoder(
     cfg: LlamaConfig,
     attend_fn,
     collect_kv: bool = False,
+    last_pos: Optional[jax.Array] = None,
 ):
     """The shared decoder body: embed -> [attention, MLP] x L -> norm ->
     head.  ``attend_fn(idx, q, k, v)`` serves every attention sublayer;
     with ``collect_kv`` the post-RoPE K/V of each layer are also returned.
+
+    ``last_pos`` ((B,) int32): compute the LM head only at that position
+    per row — prefill needs one next-token distribution per request, and
+    the full-sequence head is the single biggest prefill matmul (4096
+    positions x 128k vocab = 8.4 TFLOP at 8B shapes, all but B rows of it
+    thrown away).
     """
     cos, sin = rope_table(positions, cfg.head_dim, cfg.rope_theta)
     x = quantized.embed_lookup(params["embed"], tokens, cfg.dtype)
@@ -413,6 +420,8 @@ def _decoder(
         if collect_kv:
             kv.append((k, v))
         x = mlp_block(cfg, layer, x)
+    if last_pos is not None:
+        x = x[jnp.arange(x.shape[0]), last_pos][:, None, :]  # (B, 1, E)
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     if cfg.tie_embeddings:
         logits = quantized.tied_head_matmul(x, params["embed"])
@@ -445,18 +454,25 @@ def forward_prefill(
     cfg: LlamaConfig,
     *,
     positions: Optional[jax.Array] = None,
+    last_pos: Optional[jax.Array] = None,
 ):
     """Prefill forward that also returns per-layer rotated K/V for caching.
 
     Returns (logits, kv): kv is a list of (k, v) tuples, each
     (B, Hkv, S, D) in cfg.dtype — the exact tensors decode attention must
-    see, i.e. *after* RoPE.
+    see, i.e. *after* RoPE.  With ``last_pos`` ((B,) int32 index of each
+    row's final prompt token), logits are (B, vocab) — the LM head runs
+    on B rows instead of B*S (see _decoder).
     """
     if positions is None:
         positions = jnp.arange(tokens.shape[1], dtype=jnp.int32)
-    return _decoder(
-        params, tokens, positions, cfg, _fused_attend(cfg), collect_kv=True
+    logits, kv = _decoder(
+        params, tokens, positions, cfg, _fused_attend(cfg),
+        collect_kv=True, last_pos=last_pos,
     )
+    if last_pos is not None:
+        logits = logits[:, 0, :]
+    return logits, kv
 
 
 def forward_chunk(

@@ -513,24 +513,47 @@ class Engine:
 
     def _prefill_whole_batch(self, reqs: List[Request], padded: int) -> None:
         """One batched prefill forward for same-bucket prompts; K/V scatter
-        into every request's slot is a single batched ragged append."""
+        into every request's slot is a single batched ragged append.
+
+        Prefill-throughput structure (each measured): the LM head runs on
+        ONE row per request (last_pos — the full-sequence head is the
+        biggest prefill matmul and all but B rows are discarded), all
+        layers' cache appends go in ONE jitted dispatch, and all-greedy
+        batches take their first tokens with ONE device fetch."""
         k = len(reqs)
         tokens = np.zeros((k, padded), np.int32)
         for i, r in enumerate(reqs):
             tokens[i, : len(r.prompt)] = r.prompt
-        logits, kv = self._prefill_jit(self.params, jnp.asarray(tokens))
+        last_pos = jnp.asarray(
+            [len(r.prompt) - 1 for r in reqs], jnp.int32
+        )
+        logits, kv = self._prefill_jit(
+            self.params, jnp.asarray(tokens), last_pos=last_pos
+        )
         if self.cache_backend == "slots":
             slot_arr = jnp.asarray([r.slot for r in reqs], jnp.int32)
             zeros = jnp.zeros((k,), jnp.int32)
             nvals = jnp.asarray(
                 [len(r.prompt) for r in reqs], jnp.int32
             )
-            for li in range(self.cfg.num_layers):
-                k_l, v_l = kv[li]
-                self.caches[li] = kvc.append(
-                    self.caches[li], slot_arr, k_l.astype(jnp.float32),
-                    v_l.astype(jnp.float32), zeros, nvals,
+            if not hasattr(self, "_append_all_jit"):
+
+                def _append_all(caches, kv, slots, offs, nv):
+                    return [
+                        kvc.append(
+                            c, slots, kl.astype(jnp.float32),
+                            vl.astype(jnp.float32), offs, nv,
+                        )
+                        for c, (kl, vl) in zip(caches, kv)
+                    ]
+
+                donate = (0,) if jax.default_backend() != "cpu" else ()
+                self._append_all_jit = jax.jit(
+                    _append_all, donate_argnums=donate
                 )
+            self.caches = self._append_all_jit(
+                self.caches, kv, slot_arr, zeros, nvals
+            )
         else:
             from . import paged_cache as pgc
 
@@ -546,14 +569,21 @@ class Engine:
                     )
                 self.alloc.lengths[r.slot] = len(r.prompt)
         self.stats["prefill_forwards"] += 1
+        # One fetch for the whole batch when every request is greedy (the
+        # common case) — per-request int() fetches each pay the fixed
+        # device->host roundtrip.
+        if all(r.sampling.temperature == 0.0 for r in reqs):
+            firsts = np.asarray(jnp.argmax(logits, axis=-1))
+        else:
+            firsts = [
+                int(self._sample(logits[i : i + 1], r.sampling)[0])
+                for i in range(k)
+            ]
         for i, r in enumerate(reqs):
             self.prefilling.remove(r)
             r.prefill_pos = len(r.prompt)
             self.stats["prefill_tokens"] += len(r.prompt)
-            first = self._sample(
-                logits[i : i + 1, len(r.prompt) - 1, :], r.sampling
-            )
-            if not self._emit(r, int(first[0])):
+            if not self._emit(r, int(firsts[i])):
                 self.active[r.slot] = r
 
     def _prefill_advance(self, req: Request) -> None:

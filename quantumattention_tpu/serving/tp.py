@@ -153,11 +153,16 @@ def forward_prefill_tp(
     cfg: llama.LlamaConfig,
     mesh: Mesh,
     axis: str = "tp",
+    last_pos: Optional[jax.Array] = None,
 ):
     """``models/llama.forward_prefill`` with head-sharded fused attention
-    (same signature contract: returns (logits, per-layer post-RoPE K/V))."""
+    (same signature contract: returns (logits, per-layer post-RoPE K/V);
+    ``last_pos`` restricts the LM head to one row per request)."""
     positions = jnp.arange(tokens.shape[1], dtype=jnp.int32)
-    return llama._decoder(
+    logits, kv = llama._decoder(
         params, tokens, positions, cfg,
-        prefill_attend(cfg, mesh, axis), collect_kv=True,
+        prefill_attend(cfg, mesh, axis), collect_kv=True, last_pos=last_pos,
     )
+    if last_pos is not None:
+        logits = logits[:, 0, :]
+    return logits, kv

@@ -44,6 +44,29 @@ def test_forward_impls_agree(params, tokens):
     assert err < 0.1
 
 
+def test_prefill_last_pos_matches_full_logits(params, tokens):
+    """forward_prefill(last_pos=...) must return exactly the row the full
+    head computes at that position, and identical K/V (the engine samples
+    first tokens from it; the full-sequence LM head is prefill's biggest
+    matmul, so the row-gathered variant is the serving path)."""
+    full_logits, full_kv = llama.forward_prefill(params, tokens, CFG)
+    last = jnp.asarray([95, 40], jnp.int32)
+    row_logits, row_kv = llama.forward_prefill(
+        params, tokens, CFG, last_pos=last
+    )
+    assert row_logits.shape == (2, CFG.vocab_size)
+    want = jnp.stack([full_logits[0, 95], full_logits[1, 40]])
+    np.testing.assert_allclose(
+        np.asarray(row_logits, np.float32), np.asarray(want, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+    # The argmax (what the engine actually consumes) must agree exactly.
+    assert jnp.argmax(row_logits, -1).tolist() == jnp.argmax(want, -1).tolist()
+    for (k1, v1), (k2, v2) in zip(full_kv, row_kv):
+        np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+
 def test_sliding_window_model(params, tokens):
     cfg = dataclasses.replace(CFG, attention_impl="bf16", window=32)
     ref_cfg = dataclasses.replace(CFG, attention_impl="sdpa", window=32)
