@@ -1,0 +1,95 @@
+"""In-process serving A/B grid at Llama-3-8B shapes.
+
+Chip throughput drifts ~1.5x across process windows, so operating-point
+comparisons (burst size, batch, cache container) are only valid inside
+ONE process.  Weights are initialized once (fused w8a16) and shared by
+every engine; each config runs one warm round (compiles) and two measured
+rounds, reporting the best.
+
+Usage: python benchmarks/model_grid.py  (TPU; ONE process only)
+"""
+
+import gc
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/quantumattention_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from quantumattention_tpu.models import llama, quantized
+from quantumattention_tpu.serving.engine import Engine
+
+
+def run_config(params, cfg, *, name, slots, max_len, prompt, new, burst,
+               cache_dtype=jnp.int8, kv_int4=False):
+    eng = Engine(params, cfg, num_slots=slots, max_len=max_len,
+                 cache_dtype=cache_dtype, kv_int4=kv_int4,
+                 prefill_bucket=prompt)
+    prompts = [
+        [(7 * i + j) % 1000 + 1 for j in range(prompt)] for i in range(slots)
+    ]
+    # warm/compile: one full burst per request
+    reqs = [eng.submit(p, max_new_tokens=burst + 1) for p in prompts]
+    eng.run_to_completion(decode_burst=burst)
+    assert all(r.done for r in reqs)
+
+    best_dec, best_pre = float("inf"), float("inf")
+    for _ in range(2):
+        reqs = [eng.submit(p, max_new_tokens=new) for p in prompts]
+        t0 = time.perf_counter()
+        while eng.waiting or eng.prefilling:
+            eng.step()
+        jax.block_until_ready(eng.caches[0].k)
+        best_pre = min(best_pre, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        eng.run_to_completion(decode_burst=burst)
+        best_dec = min(best_dec, time.perf_counter() - t0)
+        assert all(r.done and len(r.output) == new for r in reqs)
+
+    steps = new - 1
+    print(json.dumps({
+        "config": name,
+        "slots": slots, "max_len": max_len, "prompt": prompt,
+        "burst": burst,
+        "cache": "int4" if kv_int4 else jnp.dtype(cache_dtype).name,
+        "decode_ms_per_step": round(best_dec / steps * 1e3, 2),
+        "decode_tok_s": round(slots * steps / best_dec, 1),
+        "prefill_tok_s": round(slots * prompt / best_pre, 1),
+    }), flush=True)
+    del eng
+    gc.collect()
+
+
+def main():
+    cfg = llama.llama3_8b()
+    params = quantized.fuse_projections(
+        quantized.init_quantized_params(jax.random.PRNGKey(0), cfg)
+    )
+    jax.block_until_ready(params)
+    print("weights ready", flush=True)
+
+    base = dict(slots=16, max_len=1024, prompt=256, new=257, burst=64)
+    run_config(params, cfg, name="base_int8", **base)
+    run_config(params, cfg, name="burst128",
+               slots=16, max_len=1024, prompt=256, new=257, burst=128)
+    run_config(params, cfg, name="slots32",
+               slots=32, max_len=512, prompt=128, new=257, burst=64)
+    run_config(params, cfg, name="kv_int4",
+               slots=16, max_len=1024, prompt=256, new=257, burst=64,
+               kv_int4=True)
+    run_config(params, cfg, name="bf16_cache",
+               slots=16, max_len=1024, prompt=256, new=257, burst=64,
+               cache_dtype=jnp.bfloat16)
+    # re-run base last: quantifies within-process drift across the grid
+    run_config(params, cfg, name="base_int8_again", **base)
+    print("DONE", flush=True)
+
+
+if __name__ == "__main__":
+    main()
