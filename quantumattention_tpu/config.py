@@ -94,6 +94,16 @@ kernel = _Namespace(
     # plain jit is opaque to GSPMD (serving/tp.py shard-maps attention
     # but relies on GSPMD to partition the projections).
     qmm=_env_bool("QUANTUM_ATTN_QMM", True),
+    # Fuse each decoder layer's tail (wo projection + residual + RMSNorm
+    # + SwiGLU MLP + residual) into ONE Pallas call in the decode regime
+    # (ops/qmlp.py).  The measured op-cost model says decode steps are
+    # op-count-bound (~0.1 ms fixed per pallas call, ~300 GB/s XLA weight
+    # streams), so collapsing 2 pallas + ~6 XLA ops per layer into one
+    # call is the single biggest step-time lever at 8B shapes.  True =
+    # compiled TPU only (like qmm); "force" also routes in interpret mode
+    # (CPU differential tests).  Mesh engines patch it off alongside qmm
+    # (a pallas_call is opaque to GSPMD).
+    qmlp=_env_bool("QUANTUM_ATTN_QMLP", True),
     # Use the blockwise Pallas dq/dkv backward kernels (flash_bwd.py);
     # False falls back to the O(S^2) oracle-recompute VJP.
     pallas_bwd=_env_bool("QUANTUM_ATTN_PALLAS_BWD", True),

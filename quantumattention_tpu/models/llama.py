@@ -333,9 +333,12 @@ def _layer_attention(
     attend_fn,
 ):
     """One attention sublayer over (B, T, E): norm -> QKV -> RoPE ->
-    ``attend_fn(idx, q, k, v)`` on (B, H, T, D) tensors -> output proj.
+    ``attend_fn(idx, q, k, v)`` on (B, H, T, D) tensors.
 
-    Returns (new_x, k, v) with k/v the post-RoPE tensors (for KV caching).
+    Returns (attn_out, k, v): attn_out is (B, T, q_dim) BEFORE the output
+    projection (wo + residual live in ``_layer_tail`` so the decode regime
+    can fuse them into the MLP kernel); k/v are the post-RoPE tensors
+    (for KV caching).
     """
     batch, t, _ = x.shape
     h = rms_norm(x, layer["attn_norm"], cfg.rms_norm_eps)
@@ -347,7 +350,39 @@ def _layer_attention(
     k = apply_rope(k, cos, sin)
     out = attend_fn(idx, q, k, v)
     out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(batch, t, cfg.q_dim)
-    return x + quantized.matmul("bsq,qe->bse", out, layer["wo"]), k, v
+    return out, k, v
+
+
+def _layer_tail(
+    cfg: LlamaConfig, layer: Params, x: jax.Array, attn_out: jax.Array
+) -> jax.Array:
+    """Output projection + residual + MLP sublayer.
+
+    In the decode regime on a ``quantized.fuse_projections`` w8a16 tree
+    this is ONE Pallas call (``ops/qmlp.fused_layer_tail``): the measured
+    op-cost model (docs/ARCHITECTURE.md) makes a 32-layer decode step
+    op-count-bound, so wo + residual + rms_norm + gate/up + silu + down +
+    residual collapse into a single kernel that streams all three weight
+    matrices at the marginal DMA rate.  Everywhere else (prefill, training,
+    full-precision or unfused trees, MoE, interpret mode) the unfused path
+    runs.
+    """
+    from ..ops import qmlp
+
+    if qmlp.tail_supported(cfg, layer, x):
+        lead = x.shape[:-1]
+        y = qmlp.fused_layer_tail(
+            x.reshape(-1, x.shape[-1]),
+            layer["mlp_norm"],
+            layer["w_gate_up"],
+            layer["w_down"],
+            eps=cfg.rms_norm_eps,
+            attn_out=attn_out.reshape(-1, attn_out.shape[-1]),
+            wo=layer["wo"],
+        )
+        return y.reshape(*lead, x.shape[-1])
+    x = x + quantized.matmul("bsq,qe->bse", attn_out, layer["wo"])
+    return mlp_block(cfg, layer, x)
 
 
 def attention_block(
@@ -358,11 +393,11 @@ def attention_block(
     sin: jax.Array,
 ) -> jax.Array:
     """Self-attention sublayer over (B, S, E) activations (fused kernel)."""
-    x, _, _ = _layer_attention(
+    attn_out, _, _ = _layer_attention(
         cfg, 0, layer, x, cos, sin,
         lambda _i, q, k, v: _attend(cfg, q, k, v, is_causal=True),
     )
-    return x
+    return x + quantized.matmul("bsq,qe->bse", attn_out, layer["wo"])
 
 
 def mlp_block(cfg: LlamaConfig, layer: Params, x: jax.Array) -> jax.Array:
@@ -416,10 +451,12 @@ def _decoder(
     x = quantized.embed_lookup(params["embed"], tokens, cfg.dtype)
     kv = []
     for idx, layer in enumerate(params["layers"]):
-        x, k, v = _layer_attention(cfg, idx, layer, x, cos, sin, attend_fn)
+        attn_out, k, v = _layer_attention(
+            cfg, idx, layer, x, cos, sin, attend_fn
+        )
         if collect_kv:
             kv.append((k, v))
-        x = mlp_block(cfg, layer, x)
+        x = _layer_tail(cfg, layer, x, attn_out)
     if last_pos is not None:
         x = x[jnp.arange(x.shape[0]), last_pos][:, None, :]  # (B, 1, E)
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)

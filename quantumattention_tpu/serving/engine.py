@@ -44,6 +44,53 @@ from ..utils.shapes import round_up
 from .sampling import SamplingParams, sample
 
 
+def _chunk_prefix_attend(
+    q, k_new, v_new, ck, cv, ks, vs, slot, off, *, head_dim, window
+):
+    """Cache-prefix + chunk fused attention for one slot (B == 1).
+
+    Gathers the slot's first ``off`` cached tokens (dequantized;
+    packed-int4 containers are detected by the value minor dim), concats
+    the chunk's post-RoPE K/V, and runs the causal fused kernel with
+    ``q_offset = off``.  Pure head-local math, so it is also the body
+    ``serving/tp.chunk_attention_tp`` shard-maps over the KV-head axis.
+    """
+    from ..ops.flash import flash_attention
+
+    if off > 0:
+        hkv = ck.shape[1]
+
+        def prefix(values, scales):
+            dc = values.shape[-1]  # head_dim, or head_dim/2 packed
+            p = jax.lax.dynamic_slice(
+                values, (slot, 0, 0, 0), (1, hkv, off, dc)
+            )
+            if dc * 2 == head_dim:  # packed int4 (kv_int4=True)
+                from ..ops.quant import unpack_int4
+
+                p = unpack_int4(p, jnp.float32)
+            else:
+                p = p.astype(jnp.float32)
+            if scales is not None:
+                s = jax.lax.dynamic_slice(scales, (slot, 0, 0), (1, hkv, off))
+                p = p * s[..., None]
+            return p.astype(jnp.bfloat16)
+
+        k_all = jnp.concatenate(
+            [prefix(ck, ks), k_new.astype(jnp.bfloat16)], axis=2
+        )
+        v_all = jnp.concatenate(
+            [prefix(cv, vs), v_new.astype(jnp.bfloat16)], axis=2
+        )
+    else:
+        k_all = k_new
+        v_all = v_new
+    return flash_attention(
+        q, k_all, v_all, is_causal=True, q_offset=jnp.int32(off),
+        window=window,
+    )
+
+
 @dataclasses.dataclass
 class Request:
     id: int
@@ -97,11 +144,6 @@ class Engine:
                 raise ValueError(
                     "speculative decoding is a single-chip path (the "
                     "multi-query verification kernel is not head-sharded)"
-                )
-            if prefill_chunk is not None:
-                raise ValueError(
-                    "chunked prefill is a single-chip path under mesh "
-                    "serving; use whole-prompt (bucketed) prefill"
                 )
             n = mesh.shape[tp_axis]
             if cfg.num_kv_heads % n or cfg.num_q_heads % n:
@@ -359,10 +401,11 @@ class Engine:
 
         Mesh serving relies on GSPMD to partition the weight matmuls, and
         a pallas_call is opaque to GSPMD — so the qmm weight kernel
-        (ops/qmm.py) must stay off in every program a mesh engine
-        compiles (shard-mapped attention is unaffected)."""
+        (ops/qmm.py) and the fused layer tail (ops/qmlp.py) must stay off
+        in every program a mesh engine compiles (shard-mapped attention
+        is unaffected)."""
         if self.mesh is not None:
-            return config.patch({"kernel.qmm": False})
+            return config.patch({"kernel.qmm": False, "kernel.qmlp": False})
         return contextlib.nullcontext()
 
     def step(self) -> List[Request]:
@@ -604,9 +647,8 @@ class Engine:
     def _prefill_chunk_impl(self, params, caches, chunk_tokens, slot, off, tc):
         """Jitted (off static): one prefill chunk attending to cache prefix
         + itself, then appended to the cache (mixed prefill/decode building
-        block — BASELINE config 4)."""
-        from ..ops.flash import flash_attention
-
+        block — BASELINE config 4).  Under a mesh the attention runs
+        shard-mapped on the KV-head axis (serving/tp.chunk_attention_tp)."""
         cfg = self.cfg
         width = chunk_tokens.shape[1]  # padded chunk width; tc <= width valid
         positions = off + jnp.arange(width, dtype=jnp.int32)
@@ -615,39 +657,17 @@ class Engine:
         def attend(idx, q, k_new, v_new):
             recorded[idx] = (k_new, v_new)
             c = caches[idx]
-            if off > 0:
-                hkv, d = cfg.num_kv_heads, cfg.head_dim
+            if self.mesh is not None:
+                from . import tp as tp_lib
 
-                def prefix(values, scales):
-                    dc = values.shape[-1]  # head_dim, or head_dim/2 packed
-                    p = jax.lax.dynamic_slice(
-                        values, (slot, 0, 0, 0), (1, hkv, off, dc)
-                    )
-                    if dc * 2 == d:  # packed int4 (kv_int4=True)
-                        from ..ops.quant import unpack_int4
-
-                        p = unpack_int4(p, jnp.float32)
-                    else:
-                        p = p.astype(jnp.float32)
-                    if scales is not None:
-                        s = jax.lax.dynamic_slice(
-                            scales, (slot, 0, 0), (1, hkv, off)
-                        )
-                        p = p * s[..., None]
-                    return p.astype(jnp.bfloat16)
-
-                k_all = jnp.concatenate(
-                    [prefix(c.k, c.k_scale), k_new.astype(jnp.bfloat16)], axis=2
+                return tp_lib.chunk_attention_tp(
+                    q, k_new, v_new, c, slot, off,
+                    mesh=self.mesh, axis=self.tp_axis,
+                    head_dim=cfg.head_dim, window=self._window(cfg),
                 )
-                v_all = jnp.concatenate(
-                    [prefix(c.v, c.v_scale), v_new.astype(jnp.bfloat16)], axis=2
-                )
-            else:
-                k_all = k_new
-                v_all = v_new
-            return flash_attention(
-                q, k_all, v_all, is_causal=True, q_offset=jnp.int32(off),
-                window=self._window(cfg),
+            return _chunk_prefix_attend(
+                q, k_new, v_new, c.k, c.v, c.k_scale, c.v_scale, slot, off,
+                head_dim=cfg.head_dim, window=self._window(cfg),
             )
 
         logits = llama.forward_chunk(params, chunk_tokens, positions, cfg, attend)

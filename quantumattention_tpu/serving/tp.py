@@ -126,6 +126,58 @@ def decode_attention_tp(
     )(*args)
 
 
+def chunk_attention_tp(
+    q: jax.Array,
+    k_new: jax.Array,
+    v_new: jax.Array,
+    cache: kvc.KVCache,
+    slot: jax.Array,
+    off: int,
+    *,
+    mesh: Mesh,
+    axis: str = "tp",
+    head_dim: int,
+    window=None,
+) -> jax.Array:
+    """Chunked-prefill attention (cache prefix + chunk) with heads sharded
+    over ``mesh[axis]`` — the mesh engine's mixed prefill/decode building
+    block.  Each chip gathers ITS KV-head shard of the slot's cache prefix
+    and runs the fused causal kernel on its local Q-head groups; like
+    ``decode_attention_tp``, attention itself is zero-communication (the
+    psum lives in the row-sharded output projection that follows)."""
+    from .engine import _chunk_prefix_attend
+
+    n = mesh.shape[axis]
+    if q.shape[1] % n or k_new.shape[1] % n:
+        raise ValueError(
+            f"q heads ({q.shape[1]}) and kv heads ({k_new.shape[1]}) must "
+            f"be divisible by the '{axis}' axis size ({n})"
+        )
+    h4 = P(None, axis, None, None)
+    sc = P(None, axis, None)
+    quantized = cache.k_scale is not None
+
+    def body(q, kn, vn, ck, cv, slot, *scales):
+        ks, vs = scales if quantized else (None, None)
+        return _chunk_prefix_attend(
+            q, kn, vn, ck, cv, ks, vs, slot, off,
+            head_dim=head_dim, window=window,
+        )
+
+    in_specs = [h4, h4, h4, h4, h4, P()]
+    args = [q, k_new, v_new, cache.k, cache.v, slot]
+    if quantized:
+        in_specs += [sc, sc]
+        args += [cache.k_scale, cache.v_scale]
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=h4,
+        check_vma=False,
+    )(*args)
+
+
 def prefill_attend(cfg: llama.LlamaConfig, mesh: Mesh, axis: str = "tp"):
     """attend_fn for ``models/llama._decoder``: the config's fused prefill
     attention (fp8/bf16/sdpa) shard_mapped over local heads."""

@@ -165,15 +165,47 @@ def test_engine_tp_quantized_weights_burst(mesh):
     assert eng.stats["generated_tokens"] == 18
 
 
+def test_engine_tp_chunked_prefill(mesh):
+    """Mixed prefill/decode under the mesh: a long prompt prefills in
+    chunks (shard-mapped chunk attention over the KV-head axis) while an
+    active decode stream advances every step; first token matches the
+    single-chip chunked engine (prefill logits are deterministic)."""
+    cfg = llama.tiny(attention_impl="sdpa", dtype=jnp.float32)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    long_prompt = [(3 * i) % 97 + 1 for i in range(150)]  # 3 chunks of 64
+
+    def run(mesh_arg):
+        eng = Engine(params, cfg, num_slots=2, max_len=256,
+                     cache_dtype=jnp.int8, prefill_chunk=64, mesh=mesh_arg)
+        short = eng.submit([5, 9, 23], max_new_tokens=8)
+        eng.step()  # short prompt prefills (single chunk), starts decoding
+        produced = [len(short.output)]
+        long_req = eng.submit(list(long_prompt), max_new_tokens=3)
+        while long_req.prefill_pos < len(long_prompt):
+            eng.step()
+            produced.append(len(short.output))
+        eng.run_to_completion()
+        return short, long_req, produced
+
+    s1, l1, prod1 = run(None)
+    s2, l2, prod2 = run(mesh)
+    assert l2.done and len(l2.output) == 3
+    assert s2.done and len(s2.output) == 8
+    # decode advanced during every chunked-prefill step (until done)
+    assert all(
+        b > a or b == 8 for a, b in zip(prod2, prod2[1:])
+    ), prod2
+    # deterministic prefill logits -> same first token as single-chip
+    assert l1.output[0] == l2.output[0]
+    assert s1.output[0] == s2.output[0]
+
+
 def test_engine_tp_rejects_unsupported(mesh):
     cfg = llama.tiny(attention_impl="sdpa", dtype=jnp.float32)
     params = llama.init_params(jax.random.PRNGKey(0), cfg)
     with pytest.raises(ValueError, match="slots"):
         Engine(params, cfg, num_slots=2, max_len=256, mesh=mesh,
                cache_backend="paged", page_size=64)
-    with pytest.raises(ValueError, match="chunked prefill"):
-        Engine(params, cfg, num_slots=2, max_len=256, mesh=mesh,
-               prefill_chunk=64)
     with pytest.raises(ValueError, match="divisible"):
         Engine(params, llama.tiny(num_kv_heads=2, num_q_heads=4),
                num_slots=2, max_len=256, mesh=mesh)
