@@ -128,6 +128,7 @@ class Engine:
         page_size: int = 128,
         num_pages: Optional[int] = None,
         prefill_chunk: Optional[int] = None,
+        prefix_cache: bool = False,
         draft: Optional[Tuple[llama.Params, llama.LlamaConfig]] = None,
         spec_tokens: int = 4,
         mesh=None,
@@ -183,6 +184,17 @@ class Engine:
                     f"prefill_chunk ({prefill_chunk}) must be a multiple "
                     f"of page_size ({page_size})"
                 )
+        if prefix_cache:
+            # Automatic prefix caching (vLLM-style): matched requests skip
+            # straight to the first un-cached page and prefill the rest
+            # through the CHUNKED path, which requires the paged backend
+            # (shared pages live in page tables) and a chunk size (the
+            # resume offset is page-aligned, not bucket-aligned).
+            if cache_backend != "paged":
+                raise ValueError("prefix_cache requires the paged backend")
+            if prefill_chunk is None:
+                raise ValueError("prefix_cache requires prefill_chunk")
+        self.prefix_cache = prefix_cache
         self.prefill_chunk = prefill_chunk
         self.params = params
         self.cfg = cfg
@@ -264,6 +276,8 @@ class Engine:
             "spec_rounds": 0,
             "spec_proposed": 0,
             "spec_accepted": 0,
+            "prefix_hits": 0,
+            "prefix_tokens_reused": 0,
         }
         self._key = jax.random.PRNGKey(seed)
 
@@ -504,22 +518,66 @@ class Engine:
             padded = min(round_up(n, self.prefill_bucket), self.max_len)
         return max(padded, n + req.max_new_tokens)
 
+    def _prompt_hashes(self, req: Request) -> List[bytes]:
+        from . import paged_cache as pgc
+
+        return pgc.hash_pages(req.prompt, self.page_size)
+
     def _admit(self) -> None:
         """Move waiting requests into the prefill queue, reserving their
         full paged footprint up front (FIFO backpressure: the head of the
-        queue blocks admission until its reservation fits)."""
+        queue blocks admission until its reservation fits).  With the
+        prefix cache on, cached prompt pages are adopted (shared,
+        refcounted) and prefill resumes at the first un-cached page."""
         while self.waiting and self.free_slots:
             req = self.waiting[0]
+            matched: List[int] = []
             if self.cache_backend == "paged":
                 reserve = self._reservation_tokens(req)
-                if not self.alloc.can_fit(reserve, self.page_size):
+                if self.prefix_cache:
+                    # Cap the match so >= 1 prompt token always prefills
+                    # (the first sampled token needs fresh last-position
+                    # logits — a fully cached prompt would leave nothing
+                    # to run).
+                    usable = (len(req.prompt) - 1) // self.page_size
+                    matched = self.alloc.match_prefix(
+                        self._prompt_hashes(req)[:usable]
+                    )
+                need = self.alloc.pages_for(reserve, self.page_size) - len(
+                    matched
+                )
+                # Matched idle pages leave the evictable pool on adoption —
+                # count them out so they are not double-counted as both
+                # "ours" and "evictable".
+                avail = self.alloc.free_pages + max(
+                    0, self.alloc.evictable_pages - len(matched)
+                )
+                if need > avail:
                     break
             self.waiting.pop(0)
             slot = self.free_slots.pop(0)
             req.slot = slot
             if self.cache_backend == "paged":
+                if matched:
+                    self.alloc.adopt(slot, matched)
                 self.alloc.allocate(slot, reserve, self.page_size)
+                if matched:
+                    n_matched = len(matched) * self.page_size
+                    req.prefill_pos = n_matched
+                    self.alloc.lengths[slot] = n_matched
+                    self.stats["prefix_hits"] += 1
+                    self.stats["prefix_tokens_reused"] += n_matched
             self.prefilling.append(req)
+
+    def _register_prefix(self, req: Request) -> None:
+        """Publish a fully prefilled prompt's whole pages to the prefix
+        cache (pages holding any garbage tail rows past the prompt are
+        never whole, so never published)."""
+        if not self.prefix_cache:
+            return
+        hashes = self._prompt_hashes(req)
+        if hashes:
+            self.alloc.register(req.slot, hashes)
 
     def _prefill_advance_group(self) -> None:
         """Advance prefill this step: the head request's next chunk, or —
@@ -529,8 +587,11 @@ class Engine:
         head = self.prefilling[0]
 
         def whole(r: Request) -> bool:
-            return self.prefill_chunk is None or (
-                len(r.prompt) <= self.prefill_chunk
+            # Prefix-matched requests (prefill_pos > 0) must resume at
+            # their page-aligned offset — the whole path writes from 0.
+            return r.prefill_pos == 0 and (
+                self.prefill_chunk is None
+                or len(r.prompt) <= self.prefill_chunk
             )
 
         def padded(r: Request) -> int:
@@ -611,12 +672,16 @@ class Engine:
                         self.pages[li], page_ids, 0, k_l[i], v_l[i]
                     )
                 self.alloc.lengths[r.slot] = len(r.prompt)
+                self._register_prefix(r)
         self.stats["prefill_forwards"] += 1
         # One fetch for the whole batch when every request is greedy (the
         # common case) — per-request int() fetches each pay the fixed
         # device->host roundtrip.
-        if all(r.sampling.temperature == 0.0 for r in reqs):
-            firsts = np.asarray(jnp.argmax(logits, axis=-1))
+        if len({r.sampling for r in reqs}) == 1:
+            # One batched sample + ONE fetch (greedy included: _sample at
+            # temperature 0 is a batched argmax) — per-request int()
+            # fetches pay the fixed ~38 ms tunnel roundtrip k times.
+            firsts = np.asarray(self._sample(logits, reqs[0].sampling))
         else:
             firsts = [
                 int(self._sample(logits[i : i + 1], r.sampling)[0])
@@ -639,6 +704,8 @@ class Engine:
         if req.prefill_pos < n:
             return  # more chunks to go; decode still runs this step
         self.prefilling.remove(req)
+        if self.cache_backend == "paged":
+            self._register_prefix(req)
         first = self._sample(logits_last, req.sampling)
         finished_now = self._emit(req, int(first[0]))
         if not finished_now:  # may finish at prefill (max_new_tokens == 1)
@@ -1294,8 +1361,21 @@ class Engine:
             )
 
         finished: List[Request] = []
-        # Sample per active request (sampling params may differ per request).
-        for slot, req in list(self.active.items()):
+        items = list(self.active.items())
+        if len({req.sampling for _, req in items}) == 1:
+            # One device op + ONE host fetch for all slots: every
+            # np.asarray/int() fetch through the tunnel costs a fixed
+            # ~38 ms, and the old per-slot sampling loop paid it |active|
+            # times — measured 3.0 s engine steps at 16 slots vs ~0.5 s
+            # of actual compute (benchmarks/engine_prefill_probe.py).
+            # Rows of inactive slots are sampled too (same op) and ignored.
+            toks = np.asarray(self._sample(logits, items[0][1].sampling))
+            for slot, req in items:
+                if self._emit(req, int(toks[slot])):
+                    finished.append(req)
+            return finished
+        # Mixed per-request sampling params: sample per request.
+        for slot, req in items:
             tok = int(self._sample(logits[slot : slot + 1], req.sampling)[0])
             if self._emit(req, tok):
                 finished.append(req)
@@ -1328,25 +1408,47 @@ class Engine:
         exhausted = len(req.output) >= req.max_new_tokens
         total = len(req.prompt) + len(req.output)
         if hit_eos or exhausted or total >= self.max_len:
-            req.done = True
-            if req.slot is not None and req.slot in self.active:
-                del self.active[req.slot]
-            if req.slot is not None:
-                if self.cache_backend == "slots":
-                    for li in range(self.cfg.num_layers):
-                        self.caches[li] = kvc.free_slots(
-                            self.caches[li], jnp.array([req.slot], jnp.int32)
-                        )
-                    if self.draft_params is not None:
-                        for li in range(self.draft_cfg.num_layers):
-                            self.draft_caches[li] = kvc.free_slots(
-                                self.draft_caches[li],
-                                jnp.array([req.slot], jnp.int32),
-                            )
-                        self._draft_prefilled.discard(req.slot)
-                else:
-                    self.alloc.release(req.slot)
-                self.free_slots.append(req.slot)
-            self.finished.append(req)
+            self._release(req)
             return True
         return False
+
+    def _release(self, req: Request) -> None:
+        """Mark ``req`` done and return its slot (cache rows, pages) to the
+        pool.  All layers' slot-frees go in ONE jitted dispatch — a
+        per-layer loop is 32 host dispatches per finished request."""
+        req.done = True
+        if req.slot is not None and req.slot in self.active:
+            del self.active[req.slot]
+        if req.slot is not None:
+            if self.cache_backend == "slots":
+                if not hasattr(self, "_free_all_jit"):
+                    self._free_all_jit = jax.jit(
+                        lambda caches, s: [kvc.free_slots(c, s) for c in caches]
+                    )
+                sl = jnp.array([req.slot], jnp.int32)
+                self.caches = self._free_all_jit(self.caches, sl)
+                if self.draft_params is not None:
+                    self.draft_caches = self._free_all_jit(
+                        self.draft_caches, sl
+                    )
+                    self._draft_prefilled.discard(req.slot)
+            else:
+                self.alloc.release(req.slot)
+            self.free_slots.append(req.slot)
+        self.finished.append(req)
+
+    def cancel(self, req: Request) -> None:
+        """Abort a request at any stage: waiting requests are dropped from
+        the queue; prefilling/active ones release their slot (and paged
+        reservation) immediately.  Already-generated tokens stay in
+        ``req.output``; ``req.done`` is set either way."""
+        if req.done:
+            return
+        if req in self.waiting:
+            self.waiting.remove(req)
+            req.done = True
+            self.finished.append(req)
+            return
+        if req in self.prefilling:
+            self.prefilling.remove(req)
+        self._release(req)

@@ -16,9 +16,11 @@ Host-side state (plain numpy — allocation is Python-scheduler work):
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import functools
-from typing import List, Optional, Tuple
+import hashlib
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -26,6 +28,25 @@ import numpy as np
 
 from ..ops import quant
 from ..utils import checks
+
+
+def hash_pages(prompt: Sequence[int], page_size: int) -> List[bytes]:
+    """Chained content hashes of a prompt's WHOLE pages.
+
+    ``h[i]`` identifies the page holding tokens ``[i*ps, (i+1)*ps)`` AND
+    everything before it (the chain makes a page's identity depend on its
+    full prefix, so two prompts share page i only when they agree on all
+    of ``[0, (i+1)*ps)``) — the vLLM automatic-prefix-caching scheme.
+    Partial trailing pages are never hashed (never shared)."""
+    out: List[bytes] = []
+    h = b""
+    for i in range(len(prompt) // page_size):
+        chunk = np.asarray(
+            prompt[i * page_size : (i + 1) * page_size], np.int32
+        ).tobytes()
+        h = hashlib.sha1(h + chunk).digest()
+        out.append(h)
+    return out
 
 
 @jax.tree_util.register_dataclass
@@ -158,7 +179,15 @@ def write_tokens(
 
 
 class PageAllocator:
-    """Host-side free-list allocator + per-slot page tables."""
+    """Host-side free-list allocator + per-slot page tables, with optional
+    automatic prefix caching (vLLM-style): whole prompt pages are
+    content-addressed by chained hash (``hash_pages``), refcounted while
+    any slot's table points at them, and parked in an LRU pool when idle —
+    reusable by a later prompt with the same prefix, evictable when the
+    free list runs dry.  Shared pages are append-safe without
+    copy-on-write because the engine only ever writes a slot's OWN pages:
+    prefill starts after the adopted prefix, and decode appends at
+    positions past the prompt."""
 
     def __init__(self, num_pages: int, num_slots: int, pages_per_seq: int):
         self.num_pages = num_pages
@@ -168,16 +197,40 @@ class PageAllocator:
         self.tables = np.zeros((num_slots, pages_per_seq), np.int32)
         self.lengths = np.zeros((num_slots,), np.int32)
         self.allocated = np.zeros((num_slots,), np.int32)
+        # Prefix cache: content hash -> page id, live refcounts, and the
+        # idle (refcount-0) pages in LRU order.
+        self.cache: Dict[bytes, int] = {}
+        self.page_hash: Dict[int, bytes] = {}
+        self.refs: Dict[int, int] = {}
+        self.idle: "collections.OrderedDict[int, None]" = (
+            collections.OrderedDict()
+        )
 
     @property
     def free_pages(self) -> int:
         return len(self.free)
 
+    @property
+    def evictable_pages(self) -> int:
+        return len(self.idle)
+
     def pages_for(self, n_tokens: int, page_size: int) -> int:
         return -(-n_tokens // page_size)
 
     def can_fit(self, n_tokens: int, page_size: int) -> bool:
-        return self.pages_for(n_tokens, page_size) <= len(self.free)
+        return self.pages_for(n_tokens, page_size) <= (
+            len(self.free) + len(self.idle)
+        )
+
+    def _take_free(self) -> int:
+        if self.free:
+            return self.free.pop()
+        if self.idle:  # evict the least-recently-used cached prefix page
+            page, _ = self.idle.popitem(last=False)
+            del self.cache[self.page_hash.pop(page)]
+            self.refs.pop(page, None)
+            return page
+        raise MemoryError("out of KV pages")
 
     def allocate(self, slot: int, n_tokens: int, page_size: int) -> np.ndarray:
         """Reserve pages so the slot can hold n_tokens total; returns the
@@ -191,9 +244,7 @@ class PageAllocator:
             )
         new = []
         for i in range(have, need):
-            if not self.free:
-                raise MemoryError("out of KV pages")
-            page = self.free.pop()
+            page = self._take_free()
             self.tables[slot, i] = page
             new.append(page)
         self.allocated[slot] = need
@@ -201,10 +252,55 @@ class PageAllocator:
 
     def release(self, slot: int) -> None:
         for i in range(int(self.allocated[slot])):
-            self.free.append(int(self.tables[slot, i]))
+            page = int(self.tables[slot, i])
+            if page in self.page_hash:
+                self.refs[page] -= 1
+                if self.refs[page] == 0:
+                    self.idle[page] = None  # evictable, newest last
+            else:
+                self.free.append(page)
         self.tables[slot] = 0
         self.lengths[slot] = 0
         self.allocated[slot] = 0
+
+    # -- prefix cache ------------------------------------------------------
+
+    def match_prefix(self, hashes: Sequence[bytes]) -> List[int]:
+        """Longest cached run of ``hashes`` from the start; returns the
+        page ids (does NOT take references — call ``adopt``)."""
+        pages: List[int] = []
+        for h in hashes:
+            page = self.cache.get(h)
+            if page is None:
+                break
+            pages.append(page)
+        return pages
+
+    def adopt(self, slot: int, pages: Sequence[int]) -> None:
+        """Point the slot's first ``len(pages)`` table entries at shared
+        pages (refcounted).  Must run before ``allocate`` for the slot."""
+        if int(self.allocated[slot]):
+            raise ValueError("adopt() requires an empty slot")
+        for i, page in enumerate(pages):
+            self.tables[slot, i] = page
+            self.refs[page] = self.refs.get(page, 0) + 1
+            self.idle.pop(page, None)  # back in use
+        self.allocated[slot] = len(pages)
+
+    def register(self, slot: int, hashes: Sequence[bytes]) -> None:
+        """Publish the slot's first ``len(hashes)`` OWN pages under their
+        content hashes (first writer wins; already-shared/registered pages
+        are skipped).  The slot keeps using them; they become reusable by
+        later prompts and idle/evictable after every holder releases."""
+        for i, h in enumerate(hashes):
+            page = int(self.tables[slot, i])
+            if page in self.page_hash:  # adopted or already registered
+                continue
+            if h in self.cache:  # same content published by another slot
+                continue
+            self.cache[h] = page
+            self.page_hash[page] = h
+            self.refs[page] = self.refs.get(page, 0) + 1
 
     # -- helpers ---------------------------------------------------------
 

@@ -611,3 +611,53 @@ def test_engine_stats_counters(params):
     assert st["generated_tokens"] == 6  # 4 + 2
     assert st["prefill_forwards"] >= 1  # batched prefill may merge them
     assert st["decode_steps"] >= 3  # longest request decodes 3 post-prefill
+
+
+def test_engine_cancel_waiting_and_active(params):
+    """cancel() drops a waiting request, frees an active request's slot
+    for the next admission, and zeroes the slot's cache length."""
+    eng = Engine(params, CFG, num_slots=2, max_len=64,
+                 cache_dtype=jnp.bfloat16)
+    a = eng.submit([3, 1, 4], max_new_tokens=40)
+    b = eng.submit([1, 5, 9], max_new_tokens=4)
+    c = eng.submit([2, 6, 5], max_new_tokens=4)  # waits: both slots taken
+
+    eng.step()  # a, b prefill + first decode
+    assert a.slot is not None and not a.done
+    assert c.slot is None
+
+    eng.cancel(c)  # cancel while waiting
+    assert c.done and c.output == [] and c not in eng.waiting
+
+    slot_a = a.slot
+    eng.cancel(a)  # cancel while active
+    assert a.done and slot_a in eng.free_slots
+    assert int(eng.caches[0].lengths[slot_a]) == 0
+    assert slot_a not in eng.active
+
+    d = eng.submit([7, 7, 7], max_new_tokens=3)  # reuses the freed slot
+    eng.run_to_completion()
+    assert d.done and len(d.output) == 3
+    assert b.done and len(b.output) == 4
+    eng.cancel(d)  # cancelling a finished request is a no-op
+    assert len(d.output) == 3
+
+
+def test_engine_cancel_mid_chunked_prefill(params):
+    """Cancelling a request mid-chunked-prefill releases its slot and the
+    remaining chunks never run."""
+    eng = Engine(params, CFG, num_slots=1, max_len=64,
+                 cache_dtype=jnp.bfloat16, prefill_chunk=16)
+    long_req = eng.submit(list(range(1, 49)), max_new_tokens=4)  # 3 chunks
+    eng.step()  # chunk 1
+    assert 0 < long_req.prefill_pos < 48 and long_req in eng.prefilling
+    forwards_before = eng.stats["prefill_forwards"]
+    eng.cancel(long_req)
+    assert long_req.done and long_req not in eng.prefilling
+    assert eng.free_slots  # slot returned
+
+    other = eng.submit([9, 9, 9], max_new_tokens=2)
+    eng.run_to_completion()
+    assert other.done and len(other.output) == 2
+    # the cancelled prompt's remaining chunks never prefilled
+    assert eng.stats["prefill_forwards"] == forwards_before + 1
