@@ -65,6 +65,8 @@ def main() -> None:
     parser.add_argument("--causal", action="store_true")
     parser.add_argument("--iters", type=int, default=32)
     parser.add_argument("--verbose", action="store_true")
+    parser.add_argument("--no-serving", action="store_true",
+                        help="skip the model-level serving measurement")
     args = parser.parse_args()
 
     import quantumattention_tpu as qa
@@ -163,6 +165,55 @@ def main() -> None:
     )
     decode_tok_s = dB / t_dec
 
+    # Model-level serving throughput (Llama-3-8B shapes, int8 w8a16
+    # weights + int8 token-wise KV, 16 slots, burst decode) — the
+    # whole-stack number benchmarks/model_grid.py tracks.  The 8 GB
+    # weight tree needs the prefill tensors gone first; any failure here
+    # leaves the kernel metrics intact.
+    serving = {}
+    if not args.no_serving and jax.default_backend() != "cpu":
+        try:
+            import gc
+            import time
+
+            del q, k, v
+            gc.collect()
+            from quantumattention_tpu.models import llama, quantized
+            from quantumattention_tpu.serving.engine import Engine
+
+            cfg8 = llama.llama3_8b()
+            params8 = quantized.fuse_projections(
+                quantized.init_quantized_params(jax.random.PRNGKey(0), cfg8)
+            )
+            jax.block_until_ready(params8)
+            eng = Engine(params8, cfg8, num_slots=16, max_len=1024,
+                         cache_dtype=jnp.int8, prefill_bucket=256)
+            prompts = [
+                [(7 * i + j) % 1000 + 1 for j in range(256)]
+                for i in range(16)
+            ]
+            pre = dec = float("inf")
+            for _ in range(2):  # round 0 warms/compiles, round 1 measures
+                reqs = [eng.submit(p, max_new_tokens=257) for p in prompts]
+                t0 = time.perf_counter()
+                while eng.waiting or eng.prefilling:
+                    eng.step()
+                jax.block_until_ready(eng.caches[0].k)
+                pre = min(pre, time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                eng.run_to_completion(decode_burst=64)
+                dec = min(dec, time.perf_counter() - t0)
+                assert all(r.done and len(r.output) == 257 for r in reqs)
+            serving = {
+                "serving_decode_tok_s_8b_16slots": round(16 * 256 / dec, 1),
+                "serving_decode_ms_per_step": round(dec / 256 * 1e3, 2),
+                "serving_prefill_tok_s_8b": round(16 * 256 / pre, 1),
+            }
+            del eng, params8
+            gc.collect()
+        except Exception as e:  # pragma: no cover - diagnostic passthrough
+            serving = {"serving_error": f"{type(e).__name__}: {e}"}
+
     tflops_stock = flops / t_stock / 1e12
     tflops_bf16 = flops / t_bf16 / 1e12
     tflops_fp8 = flops / t_fp8 / 1e12
@@ -199,6 +250,7 @@ def main() -> None:
                     "decode_int8kv_tokens_per_s_8b_shapes": round(
                         decode_tok_s
                     ),
+                    **serving,
                 },
             }
         )
