@@ -41,6 +41,69 @@ def is_quantized(w: Any) -> bool:
     return isinstance(w, dict) and "q" in w and "s" in w
 
 
+def is_quantized4(w: Any) -> bool:
+    return isinstance(w, dict) and "q4" in w and "s" in w
+
+
+#: w4a16 scale-group size along the input (contraction) axis — the
+#: standard group-wise int4 recipe (per-output-channel int4 alone is too
+#: lossy; 128-row groups bound the error like GPTQ/AWQ defaults).
+INT4_GROUP = 128
+#: Packing block: rows pair split-halves WITHIN each 256-row block
+#: (byte row r of block g holds original rows 256g+r low / 256g+128+r
+#: high), so any kernel row-tile that is a multiple of 128 packed rows
+#: covers a contiguous original-row range — what the qmm/qmlp int4 tiles
+#: rely on.
+_PACK_BLOCK = 2 * INT4_GROUP
+
+
+def pack_int4_rows(q: jax.Array) -> jax.Array:
+    """(R, C) int4-range int8 -> (R/2, C) packed (see _PACK_BLOCK)."""
+    r, c = q.shape
+    if r % _PACK_BLOCK:
+        raise ValueError(f"rows ({r}) must be a multiple of {_PACK_BLOCK}")
+    g = q.reshape(r // _PACK_BLOCK, _PACK_BLOCK, c).astype(jnp.int32)
+    lo, hi = g[:, :INT4_GROUP], g[:, INT4_GROUP:]
+    return ((hi << 4) | (lo & 0xF)).astype(jnp.int8).reshape(r // 2, c)
+
+
+def unpack_int4_rows(packed: jax.Array, out_dtype=jnp.int8) -> jax.Array:
+    """Inverse of :func:`pack_int4_rows` for any row extent that is a
+    multiple of 128 packed rows (tiles included)."""
+    r2, c = packed.shape
+    g = packed.astype(jnp.int32).reshape(r2 // INT4_GROUP, INT4_GROUP, c)
+    lo = (g << 28) >> 28
+    hi = g >> 4  # byte sign == high-nibble sign
+    return (
+        jnp.concatenate([lo, hi], axis=1).reshape(r2 * 2, c).astype(out_dtype)
+    )
+
+
+def quantize_matrix_int4(w: jax.Array) -> Dict[str, jax.Array]:
+    """(in, out) float -> {"q4": (in/2, out) packed int8,
+    "s": (in/INT4_GROUP, out) fp32} — symmetric group-wise int4."""
+    wf = w.astype(jnp.float32)
+    r, c = wf.shape
+    if r % _PACK_BLOCK:
+        raise ValueError(
+            f"int4 quantization needs in-dim % {_PACK_BLOCK} == 0 (got {r})"
+        )
+    g = wf.reshape(r // INT4_GROUP, INT4_GROUP, c)
+    amax = jnp.maximum(jnp.max(jnp.abs(g), axis=1, keepdims=True), 1e-12)
+    s = amax / 7.0
+    q = jnp.clip(jnp.round(g / s), -8, 7).reshape(r, c).astype(jnp.int8)
+    return {"q4": pack_int4_rows(q), "s": s[:, 0, :]}
+
+
+def dequantize_int4(w: Dict[str, jax.Array], dtype=jnp.float32) -> jax.Array:
+    """{"q4", "s"} -> the (in, out) dequantized matrix (reference path for
+    tests and the einsum fallback; kernels dequantize tiles in VMEM)."""
+    u = unpack_int4_rows(w["q4"], jnp.int8).astype(jnp.float32)
+    r, c = u.shape
+    u = u.reshape(r // INT4_GROUP, INT4_GROUP, c) * w["s"][:, None, :]
+    return u.reshape(r, c).astype(dtype)
+
+
 def quantize_matrix(w: jax.Array) -> Dict[str, jax.Array]:
     """(…, in, out) float -> {"q": int8, "s": (…, 1, out) fp32}."""
     wf = w.astype(jnp.float32)
@@ -83,8 +146,26 @@ def matmul(
     its dot; see the ``config.kernel.qmm`` note) when ``use_kernel`` is
     None (auto: compiled TPU runs only) or True (forced, e.g. interpret-
     mode tests); the einsum path remains for 3-D expert stacks, odd
-    shapes, and interpret mode.
+    shapes, and interpret mode.  w4a16 ({"q4", "s"}) matrices route the
+    same way (qmm's int4 tiles); their einsum fallback dequantizes the
+    whole matrix in-graph (fine on CPU/tests; the kernel is the TPU path).
     """
+    if is_quantized4(w):
+        if use_kernel is None:
+            from ..utils import checks
+            from .. import config
+
+            use_kernel = bool(config.kernel.qmm) and not (
+                checks.resolve_interpret(config.interpret)
+            )
+        if use_kernel and _plain_contraction(spec, x.ndim):
+            from ..ops import qmm
+
+            x2 = x.reshape(-1, x.shape[-1])
+            if qmm.supported4(x2, w["q4"]):
+                y = qmm.quantized_matmul4(x2, w["q4"], w["s"])
+                return y.reshape(*x.shape[:-1], w["q4"].shape[-1])
+        return jnp.einsum(spec, x, dequantize_int4(w, x.dtype))
     if not is_quantized(w):
         return jnp.einsum(spec, x, w)
     if use_kernel is None:
@@ -160,13 +241,20 @@ def _init_qdense(key: jax.Array, shape, dtype) -> Dict[str, jax.Array]:
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
+def _init_qdense4(key: jax.Array, shape, dtype) -> Dict[str, jax.Array]:
+    fan_in = shape[0]
+    w = jax.random.truncated_normal(key, -3, 3, shape, jnp.float32)
+    return quantize_matrix_int4((w / math.sqrt(fan_in)).astype(dtype))
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
 def _init_qembed(key: jax.Array, shape, dtype) -> Dict[str, jax.Array]:
     fan_in = shape[0]
     w = jax.random.truncated_normal(key, -3, 3, shape, jnp.float32)
     return quantize_embed((w / math.sqrt(fan_in)).astype(dtype))
 
 
-def init_quantized_params(key: jax.Array, cfg) -> Params:
+def init_quantized_params(key: jax.Array, cfg, int4: bool = False) -> Params:
     """``quantize_params(llama.init_params(key, cfg))`` without ever
     materializing the full-precision tree.
 
@@ -175,7 +263,15 @@ def init_quantized_params(key: jax.Array, cfg) -> Params:
     representation.  Key schedule and init math replicate
     ``models/llama.init_params`` exactly; the resulting tree matches
     quantizing the full-precision init up to jit-vs-eager fp rounding
-    (tested to 1e-5 relative)."""
+    (tested to 1e-5 relative).
+
+    ``int4=True``: decoder projections become w4a16 group-wise int4
+    (half the weight bytes again — what the byte-bound decode path
+    streams; measured 1.5x faster layer tails, benchmarks/
+    exp_w4a16_tail.py).  Embedding and lm_head stay int8 (per-row lookup
+    and the qmm int8 path respectively); MoE expert stacks stay int8
+    (the 3-D einsum path)."""
+    dense = _init_qdense4 if int4 else _init_qdense
     n_keys = 2 + 7 * cfg.num_layers
     keys = iter(jax.random.split(key, n_keys))
     dt = cfg.dtype
@@ -201,10 +297,10 @@ def init_quantized_params(key: jax.Array, cfg) -> Params:
             )
         layer |= {
             "attn_norm": jnp.ones((cfg.hidden_size,), jnp.float32),
-            "wq": _init_qdense(next(keys), (cfg.hidden_size, cfg.q_dim), dt),
-            "wk": _init_qdense(next(keys), (cfg.hidden_size, cfg.kv_dim), dt),
-            "wv": _init_qdense(next(keys), (cfg.hidden_size, cfg.kv_dim), dt),
-            "wo": _init_qdense(next(keys), (cfg.q_dim, cfg.hidden_size), dt),
+            "wq": dense(next(keys), (cfg.hidden_size, cfg.q_dim), dt),
+            "wk": dense(next(keys), (cfg.hidden_size, cfg.kv_dim), dt),
+            "wv": dense(next(keys), (cfg.hidden_size, cfg.kv_dim), dt),
+            "wo": dense(next(keys), (cfg.q_dim, cfg.hidden_size), dt),
             "mlp_norm": jnp.ones((cfg.hidden_size,), jnp.float32),
         }
         if cfg.num_experts > 0:
@@ -220,13 +316,13 @@ def init_quantized_params(key: jax.Array, cfg) -> Params:
             next(keys), next(keys)
         else:
             layer |= {
-                "w_gate": _init_qdense(
+                "w_gate": dense(
                     next(keys), (cfg.hidden_size, cfg.intermediate_size), dt
                 ),
-                "w_up": _init_qdense(
+                "w_up": dense(
                     next(keys), (cfg.hidden_size, cfg.intermediate_size), dt
                 ),
-                "w_down": _init_qdense(
+                "w_down": dense(
                     next(keys), (cfg.intermediate_size, cfg.hidden_size), dt
                 ),
             }
@@ -236,9 +332,14 @@ def init_quantized_params(key: jax.Array, cfg) -> Params:
 
 def _concat_quantized(parts) -> Dict[str, jax.Array]:
     """Concatenate quantized matrices along the OUTPUT (last) axis —
-    per-output-channel scales concatenate right along."""
+    per-output-channel (and per-group) scales concatenate right along.
+    Works for both int8 ({"q", "s"}) and int4 ({"q4", "s"}) parts (the
+    packing axis is the input axis, untouched by an output concat)."""
+    key = "q4" if is_quantized4(parts[0]) else "q"
+    if any(("q4" in p) != (key == "q4") for p in parts):
+        raise ValueError("cannot fuse mixed int8/int4 projections")
     return {
-        "q": jnp.concatenate([p["q"] for p in parts], axis=-1),
+        key: jnp.concatenate([p[key] for p in parts], axis=-1),
         "s": jnp.concatenate([p["s"] for p in parts], axis=-1),
     }
 
@@ -262,17 +363,16 @@ def fuse_projections(params: Params) -> Params:
     the split).
     """
 
+    def _q(w: Any) -> bool:
+        return is_quantized(w) or is_quantized4(w)
+
     def one_layer(layer: Params) -> Params:
         out = dict(layer)
-        if all(k in out for k in ("wq", "wk", "wv")) and all(
-            is_quantized(out[k]) for k in ("wq", "wk", "wv")
-        ):
+        if all(k in out and _q(out[k]) for k in ("wq", "wk", "wv")):
             out["w_qkv"] = _concat_quantized(
                 [out.pop("wq"), out.pop("wk"), out.pop("wv")]
             )
-        if all(k in out for k in ("w_gate", "w_up")) and all(
-            is_quantized(out[k]) for k in ("w_gate", "w_up")
-        ):
+        if all(k in out and _q(out[k]) for k in ("w_gate", "w_up")):
             out["w_gate_up"] = _concat_quantized(
                 [out.pop("w_gate"), out.pop("w_up")]
             )

@@ -64,11 +64,32 @@ _WO_BUDGET = 32 * 1024 * 1024
 _MAX_ROWS = 256
 
 
+def _mm(x, w_ref, s_ref, dt, int4):
+    """One weight matmul inside the tail: int8 tiles convert + scale the
+    fp32 dot output per channel; int4 tiles fold group scales into the
+    unpack (ops/qmm.dequant4_tile), so the dot needs no epilogue."""
+    from .qmm import dequant4_tile
+
+    if int4:
+        w = dequant4_tile(w_ref[...], s_ref[...], dt)
+        return jax.lax.dot_general(
+            x, w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    return jax.lax.dot_general(
+        x, w_ref[...].astype(dt), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * s_ref[...].astype(jnp.float32)
+
+
 def _tail_kernel(
     *refs,
     has_wo: bool,
     n_j: int,
     eps: float,
+    wo4: bool = False,
+    gu4: bool = False,
+    d4: bool = False,
 ):
     if has_wo:
         (x_ref, attn_ref, wo_ref, wos_ref, norm_ref,
@@ -85,14 +106,8 @@ def _tail_kernel(
     @pl.when(j == 0)
     def _head():
         if has_wo:
-            proj = jax.lax.dot_general(
-                attn_ref[...], wo_ref[...].astype(dt),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            x1 = x_ref[...] + (
-                proj * wos_ref[...].astype(jnp.float32)
-            ).astype(dt)
+            proj = _mm(attn_ref[...], wo_ref, wos_ref, dt, wo4)
+            x1 = x_ref[...] + proj.astype(dt)
         else:
             x1 = x_ref[...]
         x1_s[...] = x1
@@ -104,60 +119,72 @@ def _tail_kernel(
         acc[...] = jnp.zeros_like(acc)
 
     h = h_s[...]
-    gate = (
-        jax.lax.dot_general(
-            h, wg_ref[...].astype(dt),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        * gs_ref[...].astype(jnp.float32)
-    ).astype(dt)
-    up = (
-        jax.lax.dot_general(
-            h, wu_ref[...].astype(dt),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        * us_ref[...].astype(jnp.float32)
-    ).astype(dt)
+    gate = _mm(h, wg_ref, gs_ref, dt, gu4).astype(dt)
+    up = _mm(h, wu_ref, us_ref, dt, gu4).astype(dt)
     act = jax.nn.silu(gate.astype(jnp.float32)).astype(dt) * up
-    acc[...] += jax.lax.dot_general(
-        act, wd_ref[...].astype(dt),
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    # int8: _mm applies the per-channel down scale to each tile's fp32
+    # dot — the scale is constant across j, so per-tile scaling equals
+    # scaling the sum.  int4: scales are folded into the weights.
+    acc[...] += _mm(act, wd_ref, ds_ref, dt, d4)
 
     @pl.when(j == n_j - 1)
     def _store():
-        o_ref[...] = x1_s[...] + (
-            acc[...] * ds_ref[...].astype(jnp.float32)
-        ).astype(dt)
+        o_ref[...] = x1_s[...] + acc[...].astype(dt)
 
 
-def _resident_bytes(m_pad: int, e_dim: int, q_dim: int, itemsize: int) -> int:
+def _resident_bytes(
+    m_pad: int, e_dim: int, q_dim: int, itemsize: int, wo4: bool = False
+) -> int:
     """VMEM held for the kernel's whole lifetime: the wo matrix (+ scale),
     x/attn_out/out blocks, x1/h scratch, the fp32 accumulator, and the
     broadcast scale/norm rows."""
-    wo = q_dim * e_dim + 4 * e_dim if q_dim else 0
+    if q_dim:
+        wo = q_dim * e_dim // (2 if wo4 else 1)
+        wo += (q_dim // 128 if wo4 else 1) * 4 * e_dim
+    else:
+        wo = 0
     acts = m_pad * (5 * e_dim + q_dim) * itemsize  # x, out, x1, h (+attn)
     return wo + acts + m_pad * e_dim * 4 + 3 * 4 * e_dim
 
 
+def _stream_bytes(e_dim: int, bi: int, gu4: bool, d4: bool) -> int:
+    """Double-buffered per-step tile stream: gate + up (+ their group
+    scales when int4) + down (+ its scales)."""
+    gu = 2 * (e_dim * bi // (2 if gu4 else 1))
+    if gu4:
+        gu += 2 * (e_dim // 128) * bi * 4
+    d = bi * e_dim // (2 if d4 else 1)
+    if d4:
+        d += (bi // 128) * e_dim * 4
+    return 2 * (gu + d)
+
+
 def _pick_block_i(
-    inter: int, e_dim: int, resident: int = 0
+    inter: int, e_dim: int, resident: int = 0,
+    gu4: bool = False, d4: bool = False,
 ) -> Optional[int]:
-    """Largest 128-multiple divisor of the intermediate dim whose
-    double-buffered gate+up+down tile stream fits the VMEM budget next to
-    the kernel's resident buffers."""
+    """Largest legal divisor of the intermediate dim whose double-buffered
+    tile stream fits the VMEM budget next to the kernel's resident
+    buffers.  int4 down tiles need 256-multiples (whole packing blocks)."""
     budget = _VMEM_BUDGET - resident
+    gran = 256 if d4 else 128
     for bi in (4096, 2048, 1024, 512, 256, 128):
-        if inter % bi == 0 and 6 * e_dim * bi <= budget:
+        if bi % gran:
+            continue
+        if inter % bi == 0 and _stream_bytes(e_dim, bi, gu4, d4) <= budget:
             return bi
     return None
 
 
 def _is_q(w: Any) -> bool:
-    return isinstance(w, dict) and "q" in w and "s" in w
+    return isinstance(w, dict) and "s" in w and ("q" in w or "q4" in w)
+
+
+def _minfo(w: dict):
+    """(int4, in_dim, out_dim) of an int8/int4 quantized matrix."""
+    if "q4" in w:
+        return True, 2 * w["q4"].shape[0], w["q4"].shape[1]
+    return False, w["q"].shape[0], w["q"].shape[1]
 
 
 def tail_supported(cfg, layer, x: jax.Array) -> bool:
@@ -188,19 +215,22 @@ def tail_supported(cfg, layer, x: jax.Array) -> bool:
     if rows > _MAX_ROWS:
         return False
     e_dim = x.shape[-1]
-    q_dim, e2 = layer["wo"]["q"].shape
-    e3, i2 = layer["w_gate_up"]["q"].shape
-    inter, e4 = layer["w_down"]["q"].shape
+    wo4, q_dim, e2 = _minfo(layer["wo"])
+    gu4, e3, i2 = _minfo(layer["w_gate_up"])
+    d4, inter, e4 = _minfo(layer["w_down"])
     if not (e_dim == e2 == e3 == e4 and i2 == 2 * inter):
         return False
     if e_dim % 128 or inter % 128 or q_dim % 128:
         return False
-    if q_dim * e_dim > _WO_BUDGET:
+    # int4 matrices pack 256-row blocks along their input axis.
+    if (gu4 and e_dim % 256) or (d4 and inter % 256) or (wo4 and q_dim % 256):
+        return False
+    if q_dim * e_dim // (2 if wo4 else 1) > _WO_BUDGET:
         return False
     resident = _resident_bytes(
-        round_up(rows, 16), e_dim, q_dim, x.dtype.itemsize
+        round_up(rows, 16), e_dim, q_dim, x.dtype.itemsize, wo4
     )
-    return _pick_block_i(inter, e_dim, resident) is not None
+    return _pick_block_i(inter, e_dim, resident, gu4, d4) is not None
 
 
 def fused_layer_tail(
@@ -215,37 +245,41 @@ def fused_layer_tail(
     block_i: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
-    """One-call decoder-layer tail (see module docstring for the math)."""
+    """One-call decoder-layer tail (see module docstring for the math).
+    Each weight may be int8 ({"q", "s"}) or group-wise int4 ({"q4", "s"},
+    models/quantized.quantize_matrix_int4) — int4 tiles carry half the
+    bytes and fold their group scales into the in-VMEM unpack."""
     if (attn_out is None) != (wo is None):
         raise ValueError("attn_out and wo must be given together")
     m, e_dim = x.shape
-    inter, e2 = w_down["q"].shape
-    e3, i2 = w_gate_up["q"].shape
-    if e2 != e_dim or e3 != e_dim or i2 != 2 * inter:
+    gu4, e3, i2 = _minfo(w_gate_up)
+    d4, inter, e4 = _minfo(w_down)
+    if e4 != e_dim or e3 != e_dim or i2 != 2 * inter:
         raise ValueError(
-            f"shape mismatch: x (M,{e_dim}), w_gate_up {w_gate_up['q'].shape}"
-            f", w_down {w_down['q'].shape}"
+            f"shape mismatch: x (M,{e_dim}), w_gate_up in={e3} out={i2}, "
+            f"w_down in={inter} out={e4}"
         )
     has_wo = attn_out is not None
+    wo4 = has_wo and "q4" in wo
     if interpret is None:
         interpret = checks.resolve_interpret(config.interpret)
+    row_tile = 16 if x.dtype == jnp.bfloat16 else 8
     if block_i is None:
-        row_tile = 16 if x.dtype == jnp.bfloat16 else 8
         block_i = _pick_block_i(
             inter, e_dim,
             _resident_bytes(
                 round_up(m, row_tile), e_dim,
-                attn_out.shape[1] if has_wo else 0, x.dtype.itemsize,
+                attn_out.shape[1] if has_wo else 0, x.dtype.itemsize, wo4,
             ),
+            gu4, d4,
         )
-    if block_i is None or inter % block_i:
+    if block_i is None or inter % block_i or (d4 and block_i % 256):
         raise ValueError(
             f"intermediate dim {inter} has no kernel-legal block "
             f"(block_i={block_i})"
         )
 
     dt = x.dtype
-    row_tile = 16 if dt == jnp.bfloat16 else 8
     m_pad = round_up(m, row_tile)
     if m_pad != m:
         x = jnp.pad(x, [(0, m_pad - m), (0, 0)])
@@ -253,8 +287,6 @@ def fused_layer_tail(
             attn_out = jnp.pad(attn_out, [(0, m_pad - m), (0, 0)])
 
     n_j = inter // block_i
-    gus = w_gate_up["s"].reshape(1, 2 * inter).astype(jnp.float32)
-    ds = w_down["s"].reshape(1, e_dim).astype(jnp.float32)
     norm2 = norm_w.reshape(1, e_dim).astype(jnp.float32)
 
     whole = lambda shape: pl.BlockSpec(shape, lambda j: (0, 0))
@@ -262,33 +294,64 @@ def fused_layer_tail(
     args = [x]
     if has_wo:
         q_dim = attn_out.shape[1]
-        wos = wo["s"].reshape(1, e_dim).astype(jnp.float32)
+        in_specs.append(whole((m_pad, q_dim)))
+        args.append(attn_out)
+        if wo4:
+            in_specs += [
+                whole((q_dim // 2, e_dim)),
+                whole((q_dim // 128, e_dim)),
+            ]
+            args += [wo["q4"], wo["s"].astype(jnp.float32)]
+        else:
+            in_specs += [whole((q_dim, e_dim)), whole((1, e_dim))]
+            args += [wo["q"], wo["s"].reshape(1, e_dim).astype(jnp.float32)]
+    in_specs.append(whole((1, e_dim)))  # norm
+    args.append(norm2)
+    if gu4:
         in_specs += [
-            whole((m_pad, q_dim)),
-            whole((q_dim, e_dim)),
+            pl.BlockSpec((e_dim // 2, block_i), lambda j: (0, j)),
+            pl.BlockSpec((e_dim // 2, block_i), lambda j: (0, n_j + j)),
+            pl.BlockSpec((e_dim // 128, block_i), lambda j: (0, j)),
+            pl.BlockSpec((e_dim // 128, block_i), lambda j: (0, n_j + j)),
+        ]
+        gus = w_gate_up["s"].astype(jnp.float32)
+        args += [w_gate_up["q4"], w_gate_up["q4"], gus, gus]
+    else:
+        in_specs += [
+            pl.BlockSpec((e_dim, block_i), lambda j: (0, j)),
+            pl.BlockSpec((e_dim, block_i), lambda j: (0, n_j + j)),
+            pl.BlockSpec((1, block_i), lambda j: (0, j)),
+            pl.BlockSpec((1, block_i), lambda j: (0, n_j + j)),
+        ]
+        gus = w_gate_up["s"].reshape(1, 2 * inter).astype(jnp.float32)
+        args += [w_gate_up["q"], w_gate_up["q"], gus, gus]
+    if d4:
+        in_specs += [
+            pl.BlockSpec((block_i // 2, e_dim), lambda j: (j, 0)),
+            pl.BlockSpec((block_i // 128, e_dim), lambda j: (j, 0)),
+        ]
+        args += [w_down["q4"], w_down["s"].astype(jnp.float32)]
+    else:
+        in_specs += [
+            pl.BlockSpec((block_i, e_dim), lambda j: (j, 0)),
             whole((1, e_dim)),
         ]
-        args += [attn_out, wo["q"], wos]
-    in_specs += [
-        whole((1, e_dim)),                                       # norm
-        pl.BlockSpec((e_dim, block_i), lambda j: (0, j)),        # gate tile
-        pl.BlockSpec((e_dim, block_i), lambda j: (0, n_j + j)),  # up tile
-        pl.BlockSpec((1, block_i), lambda j: (0, j)),            # gate scale
-        pl.BlockSpec((1, block_i), lambda j: (0, n_j + j)),      # up scale
-        pl.BlockSpec((block_i, e_dim), lambda j: (j, 0)),        # down tile
-        whole((1, e_dim)),                                       # down scale
-    ]
-    args += [norm2, w_gate_up["q"], w_gate_up["q"], gus, gus, w_down["q"], ds]
+        args += [w_down["q"], w_down["s"].reshape(1, e_dim).astype(jnp.float32)]
 
-    wgu_bytes = e_dim * 2 * inter
-    wd_bytes = inter * e_dim
-    wo_bytes = (attn_out.shape[1] * e_dim) if has_wo else 0
+    wgu_bytes = e_dim * 2 * inter // (2 if gu4 else 1)
+    wd_bytes = inter * e_dim // (2 if d4 else 1)
+    wo_bytes = (
+        attn_out.shape[1] * e_dim // (2 if wo4 else 1) if has_wo else 0
+    )
     flops = 2 * m_pad * e_dim * 2 * inter + 2 * m_pad * inter * e_dim
     if has_wo:
         flops += 2 * m_pad * attn_out.shape[1] * e_dim
 
     out = pl.pallas_call(
-        functools.partial(_tail_kernel, has_wo=has_wo, n_j=n_j, eps=eps),
+        functools.partial(
+            _tail_kernel, has_wo=has_wo, n_j=n_j, eps=eps,
+            wo4=wo4, gu4=gu4, d4=d4,
+        ),
         grid=(n_j,),
         in_specs=in_specs,
         out_specs=whole((m_pad, e_dim)),

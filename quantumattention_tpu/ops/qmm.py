@@ -67,6 +67,44 @@ def _qmm_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int):
         ).astype(o_ref.dtype)
 
 
+def dequant4_tile(packed: jax.Array, scales: jax.Array, dt) -> jax.Array:
+    """In-VMEM w4a16 tile dequant: (R/2, C) packed int8 + (R/128, C) fp32
+    group scales -> (R, C) ``dt``.
+
+    Layout matches ``models/quantized.pack_int4_rows``: rows pair
+    split-halves within 256-row blocks, so every 128-packed-row group
+    unpacks to its 256 original rows in order; scale groups are 128 rows.
+    All reshapes move the SUBLANE axis only (Mosaic-cheap); the scale
+    multiply folds into the unpack pass, so the dot needs no epilogue
+    scale (unlike the int8 kernel's per-channel output scale)."""
+    r2, c = packed.shape
+    g = packed.astype(jnp.int32).reshape(r2 // 128, 128, c)
+    lo = (g << 28) >> 28
+    hi = g >> 4  # byte sign == high-nibble sign
+    w = jnp.concatenate([lo, hi], axis=1)  # (r2/128, 256, c), rows in order
+    w = w.reshape(r2 // 64, 128, c).astype(jnp.float32) * scales[:, None, :]
+    return w.reshape(2 * r2, c).astype(dt)
+
+
+def _qmm4_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    w = dequant4_tile(w_ref[...], s_ref[...], x_ref.dtype)
+    acc_ref[...] += jax.lax.dot_general(
+        x_ref[...], w,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(k == n_k - 1)
+    def _store():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
 def _pick_block(dim: int, candidates) -> Optional[int]:
     for c in candidates:
         if dim % c == 0:
@@ -188,4 +226,103 @@ def quantized_matmul(
         ),
         interpret=interpret,
     )(x, w, scale2)
+    return out[:m, :] if m_pad != m else out
+
+
+def supported4(x: jax.Array, w4: jax.Array) -> bool:
+    """Trace-time gate for the w4a16 kernel path."""
+    if x.ndim != 2 or w4.ndim != 2 or w4.dtype != jnp.int8:
+        return False
+    if x.dtype not in (jnp.bfloat16, jnp.float32):
+        return False
+    k = 2 * w4.shape[0]
+    # 256-multiples keep every k-tile whole packing blocks; the n rule
+    # matches the int8 kernel.
+    return x.shape[1] == k and k % 256 == 0 and w4.shape[1] % 128 == 0
+
+
+def quantized_matmul4(
+    x: jax.Array,
+    w4: jax.Array,
+    scale: jax.Array,
+    *,
+    block_m: Optional[int] = None,
+    block_n: Optional[int] = None,
+    block_k: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """``x @ dequantize_int4({"q4": w4, "s": scale})`` with the unpack +
+    group-scale fused in-VMEM (see models/quantized for the layout).
+    Same regimes as the int8 kernel; weight tiles carry HALF the bytes."""
+    m, k_dim = x.shape
+    k2, n = w4.shape
+    if k_dim != 2 * k2:
+        raise ValueError(
+            f"contraction mismatch: x (M,{k_dim}) vs packed w ({k2}*2,N)"
+        )
+    if scale.shape != (k_dim // 128, n):
+        raise ValueError(
+            f"scale shape {scale.shape} != ({k_dim // 128}, {n})"
+        )
+    if interpret is None:
+        interpret = checks.resolve_interpret(config.interpret)
+
+    row_tile = 16 if x.dtype == jnp.bfloat16 else 8
+    if block_m is None:
+        block_m = min(512, round_up(m, row_tile))
+    m_pad = round_up(m, block_m)
+    if block_k is None or block_n is None:
+        if m_pad // block_m == 1 and n % 128 == 0:
+            # Decode regime: full-width tiles, k block from the byte
+            # budget (packed bytes = bk/2 per column).
+            acc_bytes = block_m * n * 4
+            tile_cap = min(_TILE_BUDGET, (_VMEM_BUDGET - acc_bytes) // 2)
+            bk = min(k_dim, (2 * tile_cap // n) // 256 * 256)
+            while bk >= 256 and k_dim % bk:
+                bk -= 256
+            if bk >= 256:
+                block_k = block_k or bk
+                block_n = block_n or n
+        if block_k is None:
+            block_k = _pick_block(k_dim, (2048, 1024, 512, 256))
+        if block_n is None:
+            block_n = _pick_block(n, (512, 256, 128))
+    if block_k is None or block_n is None or block_k % 256:
+        raise ValueError(
+            f"K ({k_dim}) needs a 256-multiple block and N ({n}) a "
+            "128-multiple block for the w4a16 kernel"
+        )
+    if m_pad != m:
+        x = jnp.pad(x, [(0, m_pad - m), (0, 0)])
+
+    n_k = k_dim // block_k
+    grid = (m_pad // block_m, n // block_n, n_k)
+
+    out = pl.pallas_call(
+        functools.partial(_qmm4_kernel, n_k=n_k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k)),
+            pl.BlockSpec((block_k // 2, block_n), lambda i, j, k: (k, j)),
+            pl.BlockSpec((block_k // 128, block_n), lambda i, j, k: (k, j)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), x.dtype),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=(
+                64 * 1024 * 1024 if checks.tpu_generation() >= 5 else None
+            ),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * k_dim * n,
+            bytes_accessed=(
+                m_pad * k_dim * x.dtype.itemsize + k_dim * n // 2
+                + m_pad * n * 2
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, w4, scale.astype(jnp.float32))
     return out[:m, :] if m_pad != m else out

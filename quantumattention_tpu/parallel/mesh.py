@@ -112,6 +112,12 @@ def param_specs_for(params: Any, cfg: LlamaConfig) -> Any:
                 for i, ax in enumerate(axes[: scale.ndim])
             ])
             return {"q": s, "s": sspec}
+        if qz.is_quantized4(p):
+            # w4a16: packed codes (in/2, out) shard like the full matrix
+            # (both axes survive packing/grouping, just shrunk 2x/128x),
+            # and the (in/128, out) group scales take the SAME spec (the
+            # input axis exists here, unlike int8's size-1 keepdim).
+            return {"q4": s, "s": s}
         if isinstance(p, dict):
             if "w_qkv" in p or "w_gate_up" in p:
                 raise ValueError(

@@ -1,0 +1,194 @@
+"""w4a16 group-wise int4 weights: packing, quantization, the qmm/qmlp
+int4 kernel paths (interpret mode), and the end-to-end model/engine."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quantumattention_tpu import config
+from quantumattention_tpu.models import llama, quantized as qz
+from quantumattention_tpu.ops import qmlp, qmm
+
+
+def rel_rmse(a, b):
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    return float(np.sqrt(np.mean((a - b) ** 2)) / (np.std(b) + 1e-9))
+
+
+def test_pack_roundtrip_and_tiles():
+    q = jax.random.randint(
+        jax.random.PRNGKey(0), (1024, 384), -8, 8, jnp.int32
+    ).astype(jnp.int8)
+    p = qz.pack_int4_rows(q)
+    assert p.shape == (512, 384)
+    np.testing.assert_array_equal(np.asarray(qz.unpack_int4_rows(p)), q)
+    # any 128-packed-row tile unpacks to a CONTIGUOUS original-row range
+    tile = p[128:256]  # packed rows 128..256 = one packing block
+    np.testing.assert_array_equal(
+        np.asarray(qz.unpack_int4_rows(tile)), np.asarray(q[256:512])
+    )
+
+
+def test_quantize_int4_groupwise():
+    w = jax.random.normal(jax.random.PRNGKey(1), (512, 256)) / 30
+    w4 = qz.quantize_matrix_int4(w)
+    assert w4["q4"].shape == (256, 256) and w4["s"].shape == (4, 256)
+    # RTN int4 physics: ~0.115 sigma per-element RMSE; group scales keep
+    # it there even with per-group amax variation
+    err = rel_rmse(qz.dequantize_int4(w4), w)
+    assert err < 0.14, err
+    with pytest.raises(ValueError, match="256"):
+        qz.quantize_matrix_int4(jnp.zeros((128, 64)))
+
+
+def test_qmm4_matches_dequantized_einsum():
+    w = qz.quantize_matrix_int4(
+        jax.random.normal(jax.random.PRNGKey(2), (512, 384)) / 20
+    )
+    x = jax.random.normal(jax.random.PRNGKey(3), (16, 512), jnp.float32)
+    got = qmm.quantized_matmul4(x, w["q4"], w["s"], interpret=True)
+    want = x @ qz.dequantize_int4(w)
+    assert rel_rmse(got, want) < 1e-5
+    # ragged M, bf16, explicit blocks
+    xb = jax.random.normal(jax.random.PRNGKey(4), (33, 1024), jnp.bfloat16)
+    wb = qz.quantize_matrix_int4(
+        jax.random.normal(jax.random.PRNGKey(5), (1024, 512))
+    )
+    got = qmm.quantized_matmul4(
+        xb, wb["q4"], wb["s"], block_m=16, block_n=256, block_k=256,
+        interpret=True,
+    )
+    want = (xb.astype(jnp.float32) @ qz.dequantize_int4(wb)).astype(
+        jnp.bfloat16
+    )
+    assert rel_rmse(got, want) < 1e-2
+
+
+def test_qmm4_gates():
+    x = jnp.zeros((4, 512), jnp.bfloat16)
+    w4 = jnp.zeros((256, 384), jnp.int8)
+    assert qmm.supported4(x, w4)
+    assert not qmm.supported4(jnp.zeros((4, 384), jnp.bfloat16), w4)  # K
+    assert not qmm.supported4(x, jnp.zeros((256, 100), jnp.int8))  # N%128
+    assert not qmm.supported4(jnp.zeros((4, 512), jnp.int32), w4)  # dtype
+    with pytest.raises(ValueError, match="scale"):
+        qmm.quantized_matmul4(x, w4, jnp.ones((3, 384)), interpret=True)
+
+
+def _mk_int4_layer(key, e, inter, q_dim):
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    wg = qz.quantize_matrix_int4(jax.random.normal(k1, (e, inter)) / e**0.5)
+    wu = qz.quantize_matrix_int4(jax.random.normal(k2, (e, inter)) / e**0.5)
+    return {
+        "wo": qz.quantize_matrix_int4(
+            jax.random.normal(k3, (q_dim, e)) / q_dim**0.5
+        ),
+        "mlp_norm": jnp.abs(jax.random.normal(k4, (e,))) + 0.5,
+        "w_gate_up": {
+            "q4": jnp.concatenate([wg["q4"], wu["q4"]], -1),
+            "s": jnp.concatenate([wg["s"], wu["s"]], -1),
+        },
+        "w_down": qz.quantize_matrix_int4(
+            jax.random.normal(k5, (inter, e)) / inter**0.5
+        ),
+    }
+
+
+def _tail_reference(layer, x, attn, eps=1e-5):
+    x1 = x + attn @ qz.dequantize_int4(layer["wo"], x.dtype)
+    xf = x1.astype(jnp.float32)
+    h = (
+        xf * jax.lax.rsqrt(jnp.mean(xf * xf, -1, keepdims=True) + eps)
+        * layer["mlp_norm"]
+    ).astype(x.dtype)
+    gu = h @ qz.dequantize_int4(layer["w_gate_up"], x.dtype)
+    gate, up = jnp.split(gu, 2, -1)
+    act = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
+    return x1 + act @ qz.dequantize_int4(layer["w_down"], x.dtype)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_fused_tail_int4(dtype):
+    e, inter, q_dim, m = 256, 512, 512, 16
+    layer = _mk_int4_layer(jax.random.PRNGKey(6), e, inter, q_dim)
+    x = jax.random.normal(jax.random.PRNGKey(7), (m, e)).astype(dtype)
+    attn = jax.random.normal(jax.random.PRNGKey(8), (m, q_dim)).astype(dtype)
+    got = qmlp.fused_layer_tail(
+        x, layer["mlp_norm"], layer["w_gate_up"], layer["w_down"],
+        eps=1e-5, attn_out=attn, wo=layer["wo"], interpret=True,
+    )
+    want = _tail_reference(layer, x, attn)
+    tol = 1e-2 if dtype == jnp.bfloat16 else 1e-4
+    assert rel_rmse(got, want) < tol
+
+
+def test_fused_tail_mixed_int8_wo():
+    e, inter, q_dim, m = 256, 512, 512, 8
+    layer = _mk_int4_layer(jax.random.PRNGKey(9), e, inter, q_dim)
+    layer["wo"] = qz.quantize_matrix(
+        jax.random.normal(jax.random.PRNGKey(10), (q_dim, e)) / q_dim**0.5
+    )
+    x = jax.random.normal(jax.random.PRNGKey(11), (m, e), jnp.float32)
+    attn = jax.random.normal(jax.random.PRNGKey(12), (m, q_dim), jnp.float32)
+    got = qmlp.fused_layer_tail(
+        x, layer["mlp_norm"], layer["w_gate_up"], layer["w_down"],
+        eps=1e-5, attn_out=attn, wo=layer["wo"], interpret=True,
+    )
+    wo_f = layer["wo"]["q"].astype(jnp.float32) * layer["wo"]["s"]
+    x1 = x + attn @ wo_f
+    xf = x1.astype(jnp.float32)
+    h = (
+        xf * jax.lax.rsqrt(jnp.mean(xf * xf, -1, keepdims=True) + 1e-5)
+        * layer["mlp_norm"]
+    ).astype(x.dtype)
+    gu = h @ qz.dequantize_int4(layer["w_gate_up"], x.dtype)
+    gate, up = jnp.split(gu, 2, -1)
+    act = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
+    want = x1 + act @ qz.dequantize_int4(layer["w_down"], x.dtype)
+    assert rel_rmse(got, want) < 1e-4
+
+
+CFG4 = llama.tiny(
+    hidden_size=256, intermediate_size=512, num_q_heads=4, num_kv_heads=2,
+    head_dim=128, attention_impl="sdpa", dtype=jnp.float32,
+)
+
+
+def test_int4_model_forward_and_routing():
+    params = qz.fuse_projections(
+        qz.init_quantized_params(jax.random.PRNGKey(0), CFG4, int4=True)
+    )
+    layer = params["layers"][0]
+    assert "q4" in layer["w_gate_up"] and "q4" in layer["w_qkv"]
+    assert "q" in params["lm_head"]  # head/embed stay int8
+    tokens = jnp.array([[3, 1, 4, 1]], jnp.int32)
+    base = llama.forward(params, tokens, CFG4)
+    with config.patch({"kernel.qmlp": "force"}):
+        assert qmlp.tail_supported(CFG4, layer, jnp.zeros((1, 1, 256)))
+        fused = llama.forward(params, tokens, CFG4)
+    assert rel_rmse(fused, base) < 2e-2
+    # int4 tree sharding specs mirror the structure
+    from quantumattention_tpu.parallel import mesh as qmesh
+
+    unfused = qz.init_quantized_params(jax.random.PRNGKey(0), CFG4, int4=True)
+    specs = qmesh.param_specs_for(unfused, CFG4)
+    wq = specs["layers"][0]["wq"]
+    assert set(wq) == {"q4", "s"} and wq["q4"] == wq["s"]
+
+
+def test_int4_engine_serves():
+    params = qz.fuse_projections(
+        qz.init_quantized_params(jax.random.PRNGKey(0), CFG4, int4=True)
+    )
+    from quantumattention_tpu.serving.engine import Engine
+
+    eng = Engine(params, CFG4, num_slots=2, max_len=64,
+                 cache_dtype=jnp.bfloat16)
+    reqs = [
+        eng.submit([3, 1, 4, 1, 5], max_new_tokens=4),
+        eng.submit([2, 7], max_new_tokens=4),
+    ]
+    eng.run_to_completion(decode_burst=4)
+    assert all(r.done and len(r.output) == 4 for r in reqs)
