@@ -176,7 +176,7 @@ def load_hf_model(model: Any, dtype=None) -> tuple:
 
 
 def load_hf_checkpoint(
-    path: str, dtype=None, quantize_weights: bool = False, **config_overrides
+    path: str, dtype=None, quantize_weights=False, **config_overrides
 ) -> tuple:
     """(params, cfg) from an on-disk HF checkpoint directory
     (``config.json`` + ``*.safetensors``, sharded or single-file).
@@ -203,9 +203,19 @@ def load_hf_checkpoint(
     cfg = _cfg_with_detected_bias(cfg, sd)
     params = params_from_hf(sd, cfg, dtype=dtype)
     if quantize_weights:
-        # w8a16: int8 per-output-channel weights (models/quantized.py) —
-        # what lets an 8B-class model fit one 16 GB chip beside its cache.
+        # w8a16 (True or "int8"): int8 per-output-channel weights — what
+        # lets an 8B-class model fit one 16 GB chip beside its cache.
+        # "int4": group-wise w4a16 decoder projections (half the bytes
+        # again; embedding/lm_head stay int8) — models/quantized.py.
         from . import quantized
 
-        params = quantized.quantize_params(params)
+        if quantize_weights == "int4":
+            params = quantized.quantize_params_int4(params)
+        elif quantize_weights in (True, "int8"):
+            params = quantized.quantize_params(params)
+        else:
+            raise ValueError(
+                f"quantize_weights must be False/True/'int8'/'int4', "
+                f"got {quantize_weights!r}"
+            )
     return params, cfg

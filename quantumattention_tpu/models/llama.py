@@ -300,6 +300,16 @@ def _attend(cfg: LlamaConfig, q, k, v, *, is_causal: bool):
     raise ValueError(f"unknown attention_impl: {cfg.attention_impl!r}")
 
 
+def _split_qkv(cfg: LlamaConfig, layer: Params, qkv: jax.Array):
+    """Split a fused [q|k|v] projection and add biases (Qwen2 style)."""
+    q, k, v = jnp.split(qkv, [cfg.q_dim, cfg.q_dim + cfg.kv_dim], axis=-1)
+    if cfg.qkv_bias:
+        q = q + layer["bq"]
+        k = k + layer["bk"]
+        v = v + layer["bv"]
+    return q, k, v
+
+
 def _qkv_proj(cfg: LlamaConfig, layer: Params, h: jax.Array):
     """Q/K/V projections with optional biases (Qwen2 style).
 
@@ -308,14 +318,12 @@ def _qkv_proj(cfg: LlamaConfig, layer: Params, h: jax.Array):
     per-op fixed dispatch cost dominates decode steps; see
     quantized.fuse_projections)."""
     if "w_qkv" in layer:
-        qkv = quantized.matmul("bse,ef->bsf", h, layer["w_qkv"])
-        q, k, v = jnp.split(
-            qkv, [cfg.q_dim, cfg.q_dim + cfg.kv_dim], axis=-1
+        return _split_qkv(
+            cfg, layer, quantized.matmul("bse,ef->bsf", h, layer["w_qkv"])
         )
-    else:
-        q = quantized.matmul("bse,eq->bsq", h, layer["wq"])
-        k = quantized.matmul("bse,ek->bsk", h, layer["wk"])
-        v = quantized.matmul("bse,ek->bsk", h, layer["wv"])
+    q = quantized.matmul("bse,eq->bsq", h, layer["wq"])
+    k = quantized.matmul("bse,ek->bsk", h, layer["wk"])
+    v = quantized.matmul("bse,ek->bsk", h, layer["wv"])
     if cfg.qkv_bias:
         q = q + layer["bq"]
         k = k + layer["bk"]
@@ -331,6 +339,7 @@ def _layer_attention(
     cos: jax.Array,
     sin: jax.Array,
     attend_fn,
+    qkv: Optional[jax.Array] = None,
 ):
     """One attention sublayer over (B, T, E): norm -> QKV -> RoPE ->
     ``attend_fn(idx, q, k, v)`` on (B, H, T, D) tensors.
@@ -338,11 +347,16 @@ def _layer_attention(
     Returns (attn_out, k, v): attn_out is (B, T, q_dim) BEFORE the output
     projection (wo + residual live in ``_layer_tail`` so the decode regime
     can fuse them into the MLP kernel); k/v are the post-RoPE tensors
-    (for KV caching).
+    (for KV caching).  ``qkv``: the pre-computed (bias-free) fused QKV
+    projection from the previous layer's tail kernel — norm and matmul
+    are skipped.
     """
     batch, t, _ = x.shape
-    h = rms_norm(x, layer["attn_norm"], cfg.rms_norm_eps)
-    q, k, v = _qkv_proj(cfg, layer, h)
+    if qkv is not None:
+        q, k, v = _split_qkv(cfg, layer, qkv)
+    else:
+        h = rms_norm(x, layer["attn_norm"], cfg.rms_norm_eps)
+        q, k, v = _qkv_proj(cfg, layer, h)
     q = q.reshape(batch, t, cfg.num_q_heads, cfg.head_dim).transpose(0, 2, 1, 3)
     k = k.reshape(batch, t, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
     v = v.reshape(batch, t, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
@@ -354,24 +368,41 @@ def _layer_attention(
 
 
 def _layer_tail(
-    cfg: LlamaConfig, layer: Params, x: jax.Array, attn_out: jax.Array
-) -> jax.Array:
+    cfg: LlamaConfig,
+    layer: Params,
+    x: jax.Array,
+    attn_out: jax.Array,
+    next_layer: Optional[Params] = None,
+):
     """Output projection + residual + MLP sublayer.
 
-    In the decode regime on a ``quantized.fuse_projections`` w8a16 tree
-    this is ONE Pallas call (``ops/qmlp.fused_layer_tail``): the measured
-    op-cost model (docs/ARCHITECTURE.md) makes a 32-layer decode step
-    op-count-bound, so wo + residual + rms_norm + gate/up + silu + down +
-    residual collapse into a single kernel that streams all three weight
-    matrices at the marginal DMA rate.  Everywhere else (prefill, training,
-    full-precision or unfused trees, MoE, interpret mode) the unfused path
-    runs.
+    In the decode regime on a ``quantized.fuse_projections`` w8a16/w4a16
+    tree this is ONE Pallas call (``ops/qmlp.fused_layer_tail``): the
+    measured op-cost model (docs/ARCHITECTURE.md) makes a 32-layer decode
+    step op-count-bound, so wo + residual + rms_norm + gate/up + silu +
+    down + residual collapse into a single kernel that streams all three
+    weight matrices at the marginal DMA rate — and, when ``next_layer``
+    has a fused quantized ``w_qkv``, the kernel ALSO emits the next
+    layer's attn-norm + QKV projection (one fewer dispatch per layer).
+    Everywhere else (prefill, training, full-precision or unfused trees,
+    MoE, interpret mode) the unfused path runs.
+
+    Returns ``(new_x, qkv_next_or_None)``.
     """
     from ..ops import qmlp
 
     if qmlp.tail_supported(cfg, layer, x):
         lead = x.shape[:-1]
-        y = qmlp.fused_layer_tail(
+        fold = next_layer is not None and qmlp.qkv_fold_supported(
+            cfg, layer, next_layer, x
+        )
+        kw = {}
+        if fold:
+            kw = dict(
+                next_attn_norm=next_layer["attn_norm"],
+                next_w_qkv=next_layer["w_qkv"],
+            )
+        res = qmlp.fused_layer_tail(
             x.reshape(-1, x.shape[-1]),
             layer["mlp_norm"],
             layer["w_gate_up"],
@@ -379,10 +410,17 @@ def _layer_tail(
             eps=cfg.rms_norm_eps,
             attn_out=attn_out.reshape(-1, attn_out.shape[-1]),
             wo=layer["wo"],
+            **kw,
         )
-        return y.reshape(*lead, x.shape[-1])
+        if fold:
+            y, qkv = res
+            return (
+                y.reshape(*lead, x.shape[-1]),
+                qkv.reshape(*lead, qkv.shape[-1]),
+            )
+        return res.reshape(*lead, x.shape[-1]), None
     x = x + quantized.matmul("bsq,qe->bse", attn_out, layer["wo"])
-    return mlp_block(cfg, layer, x)
+    return mlp_block(cfg, layer, x), None
 
 
 def attention_block(
@@ -450,13 +488,16 @@ def _decoder(
     cos, sin = rope_table(positions, cfg.head_dim, cfg.rope_theta)
     x = quantized.embed_lookup(params["embed"], tokens, cfg.dtype)
     kv = []
-    for idx, layer in enumerate(params["layers"]):
+    layers = params["layers"]
+    qkv_pre = None
+    for idx, layer in enumerate(layers):
         attn_out, k, v = _layer_attention(
-            cfg, idx, layer, x, cos, sin, attend_fn
+            cfg, idx, layer, x, cos, sin, attend_fn, qkv=qkv_pre
         )
         if collect_kv:
             kv.append((k, v))
-        x = _layer_tail(cfg, layer, x, attn_out)
+        nxt = layers[idx + 1] if idx + 1 < len(layers) else None
+        x, qkv_pre = _layer_tail(cfg, layer, x, attn_out, next_layer=nxt)
     if last_pos is not None:
         x = x[jnp.arange(x.shape[0]), last_pos][:, None, :]  # (B, 1, E)
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)

@@ -383,6 +383,40 @@ def fuse_projections(params: Params) -> Params:
     return out
 
 
+def quantize_params_int4(params: Params) -> Params:
+    """Quantize a full-precision tree's decoder projections to group-wise
+    int4 (``quantize_matrix_int4``); embedding stays per-row int8 (lookup
+    path), lm_head int8 (qmm int8 path), MoE expert stacks int8 (3-D
+    einsum path).  Matrices whose input dim is not a multiple of 256
+    (packing blocks) fall back to int8."""
+
+    def qmat4(w: jax.Array) -> Dict[str, jax.Array]:
+        if w.ndim == 2 and w.shape[0] % _PACK_BLOCK == 0:
+            return quantize_matrix_int4(w)
+        return quantize_matrix(w)
+
+    def one_layer(layer: Params) -> Params:
+        out = dict(layer)
+        for k in _MATRIX_KEYS:
+            if k in out and not (is_quantized(out[k]) or is_quantized4(out[k])):
+                out[k] = qmat4(out[k])
+        if "moe" in out:
+            moe = dict(out["moe"])
+            for k in ("w_gate", "w_up", "w_down"):
+                moe[k] = quantize_matrix(moe[k])
+            out["moe"] = moe
+        return out
+
+    out: Params = {
+        "embed": quantize_embed(params["embed"]),
+        "final_norm": params["final_norm"],
+        "layers": [one_layer(l) for l in params["layers"]],
+    }
+    if "lm_head" in params:
+        out["lm_head"] = quantize_matrix(params["lm_head"])
+    return out
+
+
 def quantize_params(params: Params) -> Params:
     """Quantize every projection matrix in a ``models/llama.init_params``
     tree (embed per-row; norms/biases/router untouched)."""

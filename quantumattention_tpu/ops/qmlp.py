@@ -82,24 +82,41 @@ def _mm(x, w_ref, s_ref, dt, int4):
     ) * s_ref[...].astype(jnp.float32)
 
 
+def _rmsnorm(x, norm_ref, eps, dt):
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (
+        xf * jax.lax.rsqrt(var + eps) * norm_ref[...].astype(jnp.float32)
+    ).astype(dt)
+
+
 def _tail_kernel(
     *refs,
     has_wo: bool,
+    has_qkv: bool,
     n_j: int,
     eps: float,
     wo4: bool = False,
     gu4: bool = False,
     d4: bool = False,
+    qkv4: bool = False,
 ):
+    refs = list(refs)
+    x_ref = refs.pop(0)
     if has_wo:
-        (x_ref, attn_ref, wo_ref, wos_ref, norm_ref,
-         wg_ref, wu_ref, gs_ref, us_ref, wd_ref, ds_ref,
-         o_ref, x1_s, h_s, acc) = refs
+        attn_ref, wo_ref, wos_ref = refs[:3]
+        refs = refs[3:]
     else:
-        (x_ref, norm_ref,
-         wg_ref, wu_ref, gs_ref, us_ref, wd_ref, ds_ref,
-         o_ref, x1_s, h_s, acc) = refs
         attn_ref = wo_ref = wos_ref = None
+    (norm_ref, wg_ref, wu_ref, gs_ref, us_ref, wd_ref, ds_ref) = refs[:7]
+    refs = refs[7:]
+    if has_qkv:
+        anorm_ref, wqkv_ref, qs_ref, o_ref, oq_ref = refs[:5]
+        x1_s, h_s, acc = refs[5:]
+    else:
+        o_ref = refs[0]
+        x1_s, h_s, acc = refs[1:]
+        anorm_ref = wqkv_ref = qs_ref = oq_ref = None
     j = pl.program_id(0)
     dt = x_ref.dtype
 
@@ -111,11 +128,7 @@ def _tail_kernel(
         else:
             x1 = x_ref[...]
         x1_s[...] = x1
-        xf = x1.astype(jnp.float32)
-        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
-        h_s[...] = (
-            xf * jax.lax.rsqrt(var + eps) * norm_ref[...].astype(jnp.float32)
-        ).astype(dt)
+        h_s[...] = _rmsnorm(x1, norm_ref, eps, dt)
         acc[...] = jnp.zeros_like(acc)
 
     h = h_s[...]
@@ -129,13 +142,23 @@ def _tail_kernel(
 
     @pl.when(j == n_j - 1)
     def _store():
-        o_ref[...] = x1_s[...] + acc[...].astype(dt)
+        xn = x1_s[...] + acc[...].astype(dt)
+        o_ref[...] = xn
+        if has_qkv:
+            # Next layer's attention input: its RMSNorm + QKV projection
+            # computed here (the weights sat resident all along), so the
+            # next decode layer starts straight at RoPE — one fewer
+            # dispatch per layer.
+            hn = _rmsnorm(xn, anorm_ref, eps, dt)
+            oq_ref[...] = _mm(hn, wqkv_ref, qs_ref, dt, qkv4).astype(dt)
 
 
 def _resident_bytes(
-    m_pad: int, e_dim: int, q_dim: int, itemsize: int, wo4: bool = False
+    m_pad: int, e_dim: int, q_dim: int, itemsize: int, wo4: bool = False,
+    qkv_out: int = 0, qkv4: bool = False,
 ) -> int:
     """VMEM held for the kernel's whole lifetime: the wo matrix (+ scale),
+    the optional next-layer QKV matrix (+ scale + output block),
     x/attn_out/out blocks, x1/h scratch, the fp32 accumulator, and the
     broadcast scale/norm rows."""
     if q_dim:
@@ -143,8 +166,13 @@ def _resident_bytes(
         wo += (q_dim // 128 if wo4 else 1) * 4 * e_dim
     else:
         wo = 0
+    qkv = 0
+    if qkv_out:
+        qkv = e_dim * qkv_out // (2 if qkv4 else 1)
+        qkv += (e_dim // 128 if qkv4 else 1) * 4 * qkv_out
+        qkv += m_pad * qkv_out * itemsize  # the qkv output block
     acts = m_pad * (5 * e_dim + q_dim) * itemsize  # x, out, x1, h (+attn)
-    return wo + acts + m_pad * e_dim * 4 + 3 * 4 * e_dim
+    return wo + qkv + acts + m_pad * e_dim * 4 + 3 * 4 * e_dim
 
 
 def _stream_bytes(e_dim: int, bi: int, gu4: bool, d4: bool) -> int:
@@ -233,6 +261,36 @@ def tail_supported(cfg, layer, x: jax.Array) -> bool:
     return _pick_block_i(inter, e_dim, resident, gu4, d4) is not None
 
 
+def qkv_fold_supported(cfg, layer, next_layer, x: jax.Array) -> bool:
+    """May this layer's fused tail also emit the NEXT layer's QKV?
+
+    Requires a fused quantized ``w_qkv`` on the next layer, kernel-legal
+    shapes, and enough VMEM headroom for the resident QKV matrix next to
+    everything ``tail_supported`` already accounted for."""
+    if next_layer is None or "w_qkv" not in next_layer:
+        return False
+    if not _is_q(next_layer["w_qkv"]) or "attn_norm" not in next_layer:
+        return False
+    qkv4, e_in, f_out = _minfo(next_layer["w_qkv"])
+    e_dim = x.shape[-1]
+    if e_in != e_dim or f_out % 128:
+        return False
+    if qkv4 and e_dim % 256:
+        return False
+    rows = 1
+    for d in x.shape[:-1]:
+        rows *= d
+    _, q_dim, _ = _minfo(layer["wo"])
+    gu4, _, _ = _minfo(layer["w_gate_up"])
+    d4, inter, _ = _minfo(layer["w_down"])
+    wo4 = "q4" in layer["wo"]
+    resident = _resident_bytes(
+        round_up(rows, 16), e_dim, q_dim, x.dtype.itemsize, wo4,
+        qkv_out=f_out, qkv4=qkv4,
+    )
+    return _pick_block_i(inter, e_dim, resident, gu4, d4) is not None
+
+
 def fused_layer_tail(
     x: jax.Array,
     norm_w: jax.Array,
@@ -242,15 +300,27 @@ def fused_layer_tail(
     eps: float,
     attn_out: Optional[jax.Array] = None,
     wo: Optional[dict] = None,
+    next_attn_norm: Optional[jax.Array] = None,
+    next_w_qkv: Optional[dict] = None,
     block_i: Optional[int] = None,
     interpret: Optional[bool] = None,
-) -> jax.Array:
+):
     """One-call decoder-layer tail (see module docstring for the math).
     Each weight may be int8 ({"q", "s"}) or group-wise int4 ({"q4", "s"},
     models/quantized.quantize_matrix_int4) — int4 tiles carry half the
-    bytes and fold their group scales into the in-VMEM unpack."""
+    bytes and fold their group scales into the in-VMEM unpack.
+
+    With ``next_attn_norm``/``next_w_qkv`` the kernel ALSO emits the next
+    layer's QKV projection (rms_norm(out) @ w_qkv, bias added by the
+    caller) from the same call — gate with ``qkv_fold_supported`` — and
+    returns ``(out, qkv)`` instead of ``out``."""
     if (attn_out is None) != (wo is None):
         raise ValueError("attn_out and wo must be given together")
+    if (next_attn_norm is None) != (next_w_qkv is None):
+        raise ValueError(
+            "next_attn_norm and next_w_qkv must be given together"
+        )
+    has_qkv = next_w_qkv is not None
     m, e_dim = x.shape
     gu4, e3, i2 = _minfo(w_gate_up)
     d4, inter, e4 = _minfo(w_down)
@@ -264,12 +334,21 @@ def fused_layer_tail(
     if interpret is None:
         interpret = checks.resolve_interpret(config.interpret)
     row_tile = 16 if x.dtype == jnp.bfloat16 else 8
+    qkv4, f_out = False, 0
+    if has_qkv:
+        qkv4, e_q, f_out = _minfo(next_w_qkv)
+        if e_q != e_dim or f_out % 128 or (qkv4 and e_dim % 256):
+            raise ValueError(
+                f"next_w_qkv in={e_q} out={f_out} is not kernel-legal for "
+                f"E={e_dim}"
+            )
     if block_i is None:
         block_i = _pick_block_i(
             inter, e_dim,
             _resident_bytes(
                 round_up(m, row_tile), e_dim,
                 attn_out.shape[1] if has_wo else 0, x.dtype.itemsize, wo4,
+                qkv_out=f_out, qkv4=qkv4,
             ),
             gu4, d4,
         )
@@ -337,25 +416,53 @@ def fused_layer_tail(
             whole((1, e_dim)),
         ]
         args += [w_down["q"], w_down["s"].reshape(1, e_dim).astype(jnp.float32)]
+    if has_qkv:
+        in_specs.append(whole((1, e_dim)))  # next layer's attn norm
+        args.append(next_attn_norm.reshape(1, e_dim).astype(jnp.float32))
+        if qkv4:
+            in_specs += [
+                whole((e_dim // 2, f_out)),
+                whole((e_dim // 128, f_out)),
+            ]
+            args += [next_w_qkv["q4"], next_w_qkv["s"].astype(jnp.float32)]
+        else:
+            in_specs += [whole((e_dim, f_out)), whole((1, f_out))]
+            args += [
+                next_w_qkv["q"],
+                next_w_qkv["s"].reshape(1, f_out).astype(jnp.float32),
+            ]
 
     wgu_bytes = e_dim * 2 * inter // (2 if gu4 else 1)
     wd_bytes = inter * e_dim // (2 if d4 else 1)
     wo_bytes = (
         attn_out.shape[1] * e_dim // (2 if wo4 else 1) if has_wo else 0
     )
+    qkv_bytes = e_dim * f_out // (2 if qkv4 else 1) if has_qkv else 0
     flops = 2 * m_pad * e_dim * 2 * inter + 2 * m_pad * inter * e_dim
     if has_wo:
         flops += 2 * m_pad * attn_out.shape[1] * e_dim
+    if has_qkv:
+        flops += 2 * m_pad * e_dim * f_out
+
+    if has_qkv:
+        out_specs = (whole((m_pad, e_dim)), whole((m_pad, f_out)))
+        out_shape = (
+            jax.ShapeDtypeStruct((m_pad, e_dim), dt),
+            jax.ShapeDtypeStruct((m_pad, f_out), dt),
+        )
+    else:
+        out_specs = whole((m_pad, e_dim))
+        out_shape = jax.ShapeDtypeStruct((m_pad, e_dim), dt)
 
     out = pl.pallas_call(
         functools.partial(
-            _tail_kernel, has_wo=has_wo, n_j=n_j, eps=eps,
-            wo4=wo4, gu4=gu4, d4=d4,
+            _tail_kernel, has_wo=has_wo, has_qkv=has_qkv, n_j=n_j, eps=eps,
+            wo4=wo4, gu4=gu4, d4=d4, qkv4=qkv4,
         ),
         grid=(n_j,),
         in_specs=in_specs,
-        out_specs=whole((m_pad, e_dim)),
-        out_shape=jax.ShapeDtypeStruct((m_pad, e_dim), dt),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((m_pad, e_dim), dt),           # x1 (post-residual)
             pltpu.VMEM((m_pad, e_dim), dt),           # h (normed)
@@ -370,11 +477,16 @@ def fused_layer_tail(
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=(
-                wgu_bytes + wd_bytes + wo_bytes
+                wgu_bytes + wd_bytes + wo_bytes + qkv_bytes
                 + 2 * m_pad * e_dim * dt.itemsize
             ),
             transcendentals=m_pad * inter,
         ),
         interpret=interpret,
     )(*args)
+    if has_qkv:
+        y, qkv = out
+        if m_pad != m:
+            return y[:m, :], qkv[:m, :]
+        return y, qkv
     return out[:m, :] if m_pad != m else out

@@ -342,15 +342,18 @@ class Engine:
         checkpoint_path: str,
         *,
         dtype=None,
-        quantize_weights: bool = False,
+        quantize_weights=False,
         fuse_projections: bool = False,
         **engine_kwargs,
     ):
         """Engine over an on-disk HuggingFace checkpoint directory
         (``config.json`` + safetensors — ``models/hf.load_hf_checkpoint``;
         cross-framework logit parity tested in tests/test_hf.py).
-        ``quantize_weights=True`` stores projections int8 per-output-
-        channel (w8a16) — required to fit 8B-class weights on one chip.
+        ``quantize_weights=True`` (or "int8") stores projections int8
+        per-output-channel (w8a16) — required to fit 8B-class weights on
+        one chip; "int4" stores decoder projections group-wise w4a16
+        (half the bytes again, +11%% decode tok/s measured — see
+        models/quantized.quantize_params_int4).
         ``fuse_projections=True`` (single-chip serving only, requires
         quantized weights) fuses [wq|wk|wv] and [gate|up] to cut per-layer
         matmul op count — see models/quantized.fuse_projections."""

@@ -122,7 +122,8 @@ def test_layer_tail_routing_force():
     assert not qmlp.tail_supported(cfg, layer, x)  # interpret mode: off
     with config.patch({"kernel.qmlp": "force"}):
         assert qmlp.tail_supported(cfg, layer, x)
-        got = llama._layer_tail(cfg, layer, x, attn)
+        got, qkv_next = llama._layer_tail(cfg, layer, x, attn)
+    assert qkv_next is None  # no next layer given -> no fold
     want = _unfused(cfg, layer, x, attn)
     assert got.shape == want.shape
     assert _rel_rmse(got, want) < 5e-3
@@ -196,3 +197,40 @@ def test_engine_runs_with_fused_tail_forced():
         eng.run_to_completion()
     assert all(r.done and len(r.output) == 4 for r in reqs)
     assert all(0 <= t < cfg.vocab_size for r in reqs for t in r.output)
+
+
+def test_fused_tail_qkv_fold():
+    """The tail kernel's folded next-layer QKV output equals
+    rms_norm(out) @ w_qkv of the unfused composition."""
+    cfg = llama.tiny()
+    key = jax.random.PRNGKey(5)
+    kx, ka, kl, kq = jax.random.split(key, 4)
+    e, q_dim, f = cfg.hidden_size, cfg.q_dim, cfg.q_dim + 2 * cfg.kv_dim
+    layer = _mk_layer(kl, e, cfg.intermediate_size, q_dim)
+    w_qkv = quantized.quantize_matrix(
+        jax.random.normal(kq, (e, f)) / e**0.5
+    )
+    anorm = jnp.abs(jax.random.normal(kq, (e,))) + 0.5
+    x = jax.random.normal(kx, (1, 8, e), jnp.float32)
+    attn = jax.random.normal(ka, (1, 8, q_dim), jnp.float32)
+
+    from quantumattention_tpu.ops import qmlp as qmlp_mod
+
+    y, qkv = qmlp_mod.fused_layer_tail(
+        x[0], layer["mlp_norm"], layer["w_gate_up"], layer["w_down"],
+        eps=cfg.rms_norm_eps, attn_out=attn[0], wo=layer["wo"],
+        next_attn_norm=anorm, next_w_qkv=w_qkv, interpret=True,
+    )
+    want_y = _unfused(cfg, layer, x, attn)[0]
+    h = llama.rms_norm(want_y, anorm, cfg.rms_norm_eps)
+    want_qkv = quantized.matmul("me,ef->mf", h, w_qkv)
+    assert _rel_rmse(y, want_y) < 5e-3
+    assert _rel_rmse(qkv, want_qkv) < 5e-3
+    # gate helper
+    nxt = {"attn_norm": anorm, "w_qkv": w_qkv}
+    with config.patch({"kernel.qmlp": "force"}):
+        assert qmlp_mod.qkv_fold_supported(cfg, layer, nxt, x)
+        assert not qmlp_mod.qkv_fold_supported(cfg, layer, None, x)
+        assert not qmlp_mod.qkv_fold_supported(
+            cfg, layer, {"attn_norm": anorm}, x
+        )
