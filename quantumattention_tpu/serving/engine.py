@@ -41,7 +41,7 @@ from ..ops.decode import decode_attention
 from . import kv_cache as kvc
 from ..utils import checks
 from ..utils.shapes import round_up
-from .sampling import SamplingParams, sample
+from .sampling import SamplingParams, sample, sample_with_logprob
 
 
 def _chunk_prefix_attend(
@@ -101,8 +101,15 @@ class Request:
     #: Streaming callback: called as ``on_token(token_id, request)`` for
     #: every generated token, in order, as soon as it is sampled.
     on_token: Optional[Callable[[int, "Request"], None]] = None
+    #: Record a log-probability for every generated token in
+    #: ``logprob_output`` (sampling.sample_with_logprob convention: raw
+    #: softmax for greedy, the post-filter distribution otherwise).
+    #: Requests with logprobs are excluded from speculative rounds (the
+    #: engine decodes them per-token/burst instead).
+    logprobs: bool = False
     # Filled by the engine:
     output: List[int] = dataclasses.field(default_factory=list)
+    logprob_output: List[float] = dataclasses.field(default_factory=list)
     slot: Optional[int] = None
     done: bool = False
     #: Number of prompt tokens already prefilled (chunked prefill state).
@@ -380,6 +387,7 @@ class Engine:
         eos_id: Optional[int] = None,
         sampling: Optional[SamplingParams] = None,
         on_token: Optional[Callable[[int, Request], None]] = None,
+        logprobs: bool = False,
     ) -> Request:
         if len(prompt) < 1:
             raise ValueError("prompt must contain at least one token")
@@ -395,6 +403,7 @@ class Engine:
             eos_id=eos_id,
             sampling=sampling or SamplingParams(),
             on_token=on_token,
+            logprobs=logprobs,
         )
         if self.cache_backend == "paged":
             # Reject requests that could NEVER be admitted: waiting cannot
@@ -680,11 +689,23 @@ class Engine:
         # One fetch for the whole batch when every request is greedy (the
         # common case) — per-request int() fetches each pay the fixed
         # device->host roundtrip.
+        want_lp = any(r.logprobs for r in reqs)
+        flps = None
         if len({r.sampling for r in reqs}) == 1:
             # One batched sample + ONE fetch (greedy included: _sample at
             # temperature 0 is a batched argmax) — per-request int()
             # fetches pay the fixed ~38 ms tunnel roundtrip k times.
-            firsts = np.asarray(self._sample(logits, reqs[0].sampling))
+            if want_lp:
+                firsts, flps = self._sample_lp(logits, reqs[0].sampling)
+            else:
+                firsts = np.asarray(self._sample(logits, reqs[0].sampling))
+        elif want_lp:
+            pairs = [
+                self._sample_lp(logits[i : i + 1], r.sampling)
+                for i, r in enumerate(reqs)
+            ]
+            firsts = [int(t[0]) for t, _ in pairs]
+            flps = [float(l[0]) for _, l in pairs]
         else:
             firsts = [
                 int(self._sample(logits[i : i + 1], r.sampling)[0])
@@ -694,7 +715,8 @@ class Engine:
             self.prefilling.remove(r)
             r.prefill_pos = len(r.prompt)
             self.stats["prefill_tokens"] += len(r.prompt)
-            if not self._emit(r, int(firsts[i])):
+            lp = float(flps[i]) if flps is not None else None
+            if not self._emit(r, int(firsts[i]), lp=lp):
                 self.active[r.slot] = r
 
     def _prefill_advance(self, req: Request) -> None:
@@ -709,8 +731,12 @@ class Engine:
         self.prefilling.remove(req)
         if self.cache_backend == "paged":
             self._register_prefix(req)
-        first = self._sample(logits_last, req.sampling)
-        finished_now = self._emit(req, int(first[0]))
+        if req.logprobs:
+            t, l = self._sample_lp(logits_last, req.sampling)
+            finished_now = self._emit(req, int(t[0]), lp=float(l[0]))
+        else:
+            first = self._sample(logits_last, req.sampling)
+            finished_now = self._emit(req, int(first[0]))
         if not finished_now:  # may finish at prefill (max_new_tokens == 1)
             self.active[req.slot] = req
 
@@ -1001,6 +1027,11 @@ class Engine:
             return False
         if len({r.sampling for r in self.active.values()}) != 1:
             return False
+        if any(r.logprobs for r in self.active.values()):
+            # Per-token logprob reporting needs the target distribution at
+            # every position; the speculative acceptance path does not
+            # retain it — such requests decode per-token/burst instead.
+            return False
         room = self.spec_tokens + 1
         return all(
             len(r.prompt) + len(r.output) - 1 + room <= self.max_len
@@ -1258,12 +1289,13 @@ class Engine:
 
     def _decode_burst_impl(
         self, params, caches, tokens, active, remaining, eos_ids, key,
-        *, n_steps: int, sp: SamplingParams,
+        *, n_steps: int, sp: SamplingParams, want_lp: bool = False,
     ):
         """Jitted: ``n_steps`` decode steps in one ``lax.scan`` (slots
         backend).  Sampling, EOS detection, and per-slot new-token budgets
         all run on device; the host gets back the token and emitted-mask
-        traces — one dispatch per burst instead of per token."""
+        traces (plus a logprob trace when ``want_lp``) — one dispatch per
+        burst instead of per token."""
 
         def one(carry, _):
             caches, tokens, active, remaining, key = carry
@@ -1271,10 +1303,12 @@ class Engine:
                 params, caches, tokens, active
             )
             key, sub = jax.random.split(key)
-            if sp.temperature == 0.0:
-                nxt = sample(logits, sp)
+            skey = None if sp.temperature == 0.0 else sub
+            if want_lp:
+                nxt, lp = sample_with_logprob(logits, sp, skey)
             else:
-                nxt = sample(logits, sp, sub)
+                nxt = sample(logits, sp, skey)
+                lp = jnp.zeros(nxt.shape, jnp.float32)
             emitted = active
             nxt = jnp.where(active, nxt, tokens)
             remaining = remaining - active.astype(jnp.int32)
@@ -1282,30 +1316,40 @@ class Engine:
             active = jnp.logical_and(
                 active, jnp.logical_and(~hit_eos, remaining > 0)
             )
-            return (caches, nxt, active, remaining, key), (nxt, emitted)
+            return (caches, nxt, active, remaining, key), (nxt, emitted, lp)
 
-        (caches, *_), (toks, emits) = jax.lax.scan(
+        (caches, *_), (toks, emits, lps) = jax.lax.scan(
             one, (caches, tokens, active, remaining, key), None,
             length=n_steps,
         )
         # ONE fetchable array: each host->device fetch pays a fixed ~38 ms
         # tunnel roundtrip (traced in benchmarks/decode_ladder.py), so the
-        # token and emitted-mask traces ship together.
-        packed = jnp.stack([toks, emits.astype(jnp.int32)])
+        # token and emitted-mask (and logprob) traces ship together.
+        # Token ids round-trip exactly through float32 (vocab < 2^24).
+        if want_lp:
+            packed = jnp.stack(
+                [toks.astype(jnp.float32), emits.astype(jnp.float32), lps]
+            )
+        else:
+            packed = jnp.stack([toks, emits.astype(jnp.int32)])
         return caches, packed
 
     def _decode_burst(self, n: int) -> List[Request]:
         sp = next(iter(self.active.values())).sampling
+        want_lp = any(r.logprobs for r in self.active.values())
         if not hasattr(self, "_burst_jits"):
             self._burst_jits = {}
-        jitted = self._burst_jits.get((n, sp))
+        jitted = self._burst_jits.get((n, sp, want_lp))
         if jitted is None:
             donate = (1,) if jax.default_backend() != "cpu" else ()
             jitted = jax.jit(
-                functools.partial(self._decode_burst_impl, n_steps=n, sp=sp),
+                functools.partial(
+                    self._decode_burst_impl, n_steps=n, sp=sp,
+                    want_lp=want_lp,
+                ),
                 donate_argnums=donate,
             )
-            self._burst_jits[(n, sp)] = jitted
+            self._burst_jits[(n, sp, want_lp)] = jitted
         active_mask = np.zeros((self.num_slots,), bool)
         eos = np.full((self.num_slots,), -1, np.int32)
         remaining = np.zeros((self.num_slots,), np.int32)
@@ -1320,13 +1364,19 @@ class Engine:
             jnp.asarray(eos), sub,
         )
         packed = np.asarray(packed)  # one fixed-cost fetch per burst
-        toks, emits = packed[0], packed[1].astype(bool)
+        if want_lp:
+            toks = packed[0].astype(np.int32)
+            emits = packed[1] != 0.0
+            lps = packed[2]
+        else:
+            toks, emits, lps = packed[0], packed[1].astype(bool), None
         self.stats["decode_steps"] += n
         finished: List[Request] = []
         for t in range(n):
             for slot, req in list(self.active.items()):
                 if emits[t, slot]:
-                    if self._emit(req, int(toks[t, slot])):
+                    lp = float(lps[t, slot]) if lps is not None else None
+                    if self._emit(req, int(toks[t, slot]), lp=lp):
                         finished.append(req)
         return finished
 
@@ -1365,6 +1415,7 @@ class Engine:
 
         finished: List[Request] = []
         items = list(self.active.items())
+        want_lp = any(req.logprobs for _, req in items)
         if len({req.sampling for _, req in items}) == 1:
             # One device op + ONE host fetch for all slots: every
             # np.asarray/int() fetch through the tunnel costs a fixed
@@ -1372,15 +1423,27 @@ class Engine:
             # times — measured 3.0 s engine steps at 16 slots vs ~0.5 s
             # of actual compute (benchmarks/engine_prefill_probe.py).
             # Rows of inactive slots are sampled too (same op) and ignored.
-            toks = np.asarray(self._sample(logits, items[0][1].sampling))
+            sp = items[0][1].sampling
+            if want_lp:
+                toks, lps = self._sample_lp(logits, sp)
+            else:
+                toks, lps = np.asarray(self._sample(logits, sp)), None
             for slot, req in items:
-                if self._emit(req, int(toks[slot])):
+                lp = float(lps[slot]) if lps is not None else None
+                if self._emit(req, int(toks[slot]), lp=lp):
                     finished.append(req)
             return finished
         # Mixed per-request sampling params: sample per request.
         for slot, req in items:
-            tok = int(self._sample(logits[slot : slot + 1], req.sampling)[0])
-            if self._emit(req, tok):
+            if req.logprobs:
+                t, l = self._sample_lp(logits[slot : slot + 1], req.sampling)
+                tok, lp = int(t[0]), float(l[0])
+            else:
+                tok = int(
+                    self._sample(logits[slot : slot + 1], req.sampling)[0]
+                )
+                lp = None
+            if self._emit(req, tok, lp=lp):
                 finished.append(req)
         return finished
 
@@ -1388,11 +1451,17 @@ class Engine:
     # Helpers
     # ------------------------------------------------------------------
 
-    def _emit(self, req: Request, tok: int) -> bool:
+    def _emit(
+        self, req: Request, tok: int, lp: Optional[float] = None
+    ) -> bool:
         """Record a newly sampled token: append, remember it as the slot's
         next decode input, stream it to the request's callback, and check
         termination.  Returns True when the request finished."""
         req.output.append(tok)
+        if req.logprobs:
+            req.logprob_output.append(
+                float(lp) if lp is not None else float("nan")
+            )
         self.stats["generated_tokens"] += 1
         if req.slot is not None:
             self.last_token[req.slot] = tok
@@ -1405,6 +1474,17 @@ class Engine:
             return sample(logits, sp)
         self._key, sub = jax.random.split(self._key)
         return sample(logits, sp, sub)
+
+    def _sample_lp(self, logits: jax.Array, sp: SamplingParams):
+        """Sample rows AND their logprobs; ships both to the host in ONE
+        packed fetch (each fetch pays the fixed ~38 ms tunnel roundtrip).
+        Token ids round-trip exactly through float32 (vocab < 2^24)."""
+        key = None
+        if sp.temperature > 0.0:
+            self._key, key = jax.random.split(self._key)
+        toks, lps = sample_with_logprob(logits, sp, key)
+        packed = np.asarray(jnp.stack([toks.astype(jnp.float32), lps]))
+        return packed[0].astype(np.int32), packed[1]
 
     def _maybe_finish(self, req: Request, tok: int) -> bool:
         hit_eos = req.eos_id is not None and tok == req.eos_id

@@ -67,3 +67,22 @@ def sample(
     return jax.random.categorical(
         key, filtered_logits(logits, params), axis=-1
     ).astype(jnp.int32)
+
+
+def sample_with_logprob(
+    logits: jax.Array, params: SamplingParams, key: Optional[jax.Array] = None
+) -> tuple:
+    """(B, V) fp32 logits -> ((B,) int32 tokens, (B,) fp32 logprobs).
+
+    The logprob is taken under the SAME distribution the token was drawn
+    from: the raw softmax for greedy decoding, the post-filter
+    (temperature / top-k / top-p) distribution otherwise — the number a
+    serving API reports next to each generated token.
+    """
+    toks = sample(logits, params, key)
+    if params.temperature == 0.0:
+        dist = jax.nn.log_softmax(logits, axis=-1)
+    else:
+        dist = jax.nn.log_softmax(filtered_logits(logits, params), axis=-1)
+    lps = jnp.take_along_axis(dist, toks[:, None], axis=-1)[:, 0]
+    return toks, lps

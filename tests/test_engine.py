@@ -661,3 +661,84 @@ def test_engine_cancel_mid_chunked_prefill(params):
     assert other.done and len(other.output) == 2
     # the cancelled prompt's remaining chunks never prefilled
     assert eng.stats["prefill_forwards"] == forwards_before + 1
+
+
+def test_sample_with_logprob_unit():
+    """sample_with_logprob: greedy returns argmax + its raw log-softmax;
+    stochastic returns the logprob under the SAME filtered distribution
+    the token was drawn from (top-k here)."""
+    from quantumattention_tpu.serving.sampling import (
+        filtered_logits, sample_with_logprob,
+    )
+
+    logits = jax.random.normal(jax.random.PRNGKey(1), (3, 31), jnp.float32)
+    toks, lps = sample_with_logprob(logits, SamplingParams())
+    assert toks.shape == (3,) and lps.shape == (3,)
+    ref = jax.nn.log_softmax(logits, axis=-1)
+    for i in range(3):
+        assert int(toks[i]) == int(jnp.argmax(logits[i]))
+        assert abs(float(lps[i]) - float(ref[i, toks[i]])) < 1e-6
+
+    sp = SamplingParams(temperature=0.7, top_k=5)
+    toks, lps = sample_with_logprob(logits, sp, jax.random.PRNGKey(2))
+    fref = jax.nn.log_softmax(filtered_logits(logits, sp), axis=-1)
+    for i in range(3):
+        # drawn token must be inside the top-k support
+        topk = jnp.argsort(logits[i])[-5:]
+        assert int(toks[i]) in [int(t) for t in topk]
+        assert abs(float(lps[i]) - float(fref[i, toks[i]])) < 1e-6
+
+
+def test_engine_logprobs_greedy_matches_teacher_forcing(params):
+    """logprobs=True records one logprob per generated token; for greedy
+    decode each must match the log-softmax of the teacher-forced forward
+    at the emitted token (bf16-cache decode matches the exact forward)."""
+    prompt = [3, 17, 42, 99, 7]
+    n_new = 4
+    eng = Engine(params, CFG, num_slots=2, max_len=256,
+                 cache_dtype=jnp.bfloat16)
+    req = eng.submit(prompt, max_new_tokens=n_new, logprobs=True)
+    eng.run_to_completion()
+    assert req.done
+    assert len(req.logprob_output) == len(req.output) == n_new
+    toks = list(prompt)
+    for tok, lp in zip(req.output, req.logprob_output):
+        logits = llama.forward(params, jnp.asarray([toks], jnp.int32), CFG)
+        ref_lp = float(jax.nn.log_softmax(logits[0, -1])[tok])
+        assert lp <= 1e-6
+        assert abs(lp - ref_lp) < 5e-2, (lp, ref_lp)
+        toks.append(tok)
+    # A request that did not opt in records nothing.
+    eng2 = Engine(params, CFG, num_slots=2, max_len=256,
+                  cache_dtype=jnp.bfloat16)
+    req2 = eng2.submit(prompt, max_new_tokens=2)
+    eng2.run_to_completion()
+    assert req2.logprob_output == []
+
+
+def test_engine_logprobs_burst_and_stochastic(params):
+    """Burst decode ships a logprob trace in the same packed fetch; the
+    values must agree with the per-step engine's (same greedy tokens).
+    Stochastic logprobs are finite and <= 0."""
+    prompt = [3, 17, 42, 99, 7]
+    ref_eng = Engine(params, CFG, num_slots=2, max_len=256,
+                     cache_dtype=jnp.bfloat16)
+    r_ref = ref_eng.submit(prompt, max_new_tokens=9, logprobs=True)
+    ref_eng.run_to_completion()
+
+    eng = Engine(params, CFG, num_slots=2, max_len=256,
+                 cache_dtype=jnp.bfloat16)
+    r = eng.submit(prompt, max_new_tokens=9, logprobs=True)
+    eng.run_to_completion(decode_burst=4)
+    assert r.done and r.output == r_ref.output
+    assert len(r.logprob_output) == 9
+    for a, b in zip(r.logprob_output, r_ref.logprob_output):
+        assert abs(a - b) < 5e-2, (r.logprob_output, r_ref.logprob_output)
+
+    eng2 = Engine(params, CFG, num_slots=2, max_len=256,
+                  cache_dtype=jnp.bfloat16)
+    sp = SamplingParams(temperature=0.8, top_k=7)
+    r2 = eng2.submit(prompt, max_new_tokens=5, sampling=sp, logprobs=True)
+    eng2.run_to_completion(decode_burst=4)
+    assert len(r2.logprob_output) == len(r2.output) == 5
+    assert all(np.isfinite(v) and v <= 1e-6 for v in r2.logprob_output)
