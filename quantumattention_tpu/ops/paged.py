@@ -109,6 +109,7 @@ def _paged_kernel(
     pipelined: bool,
     window_left: Optional[int] = None,
     int4: bool = False,
+    q_tokens: int = 1,
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -234,10 +235,21 @@ def _paged_kernel(
             jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             + i * block_tokens
         )
+        if q_tokens > 1:
+            # Multi-query verification (speculative decoding): the M dim
+            # packs (group, token) pairs t-fastest and ``length`` already
+            # INCLUDES the T appended candidates; candidate t must not see
+            # candidates t+1..T-1, i.e. col + (T-1-t) < length — same
+            # intra-chunk causal mask as ops/decode._decode_kernel.
+            t_of_row = (
+                jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) % q_tokens
+            )
+            col = col + (q_tokens - 1 - t_of_row)
         keep = col < length
         if window_left is not None:
-            # Sliding window: the decode query sits at position length-1
-            # and may only see cols >= length - 1 - left.
+            # Sliding window: query t sits at position length-T+t and may
+            # only see cols >= p - left; with the token-adjusted col this
+            # is col >= length - 1 - left uniformly over t.
             keep = jnp.logical_and(keep, col >= length - 1 - window_left)
         s = jnp.where(keep, s, MASK_VALUE)
 
@@ -323,7 +335,11 @@ def paged_decode_attention(
     """Decode attention over paged KV; returns (B, Hq, D) bf16.
 
     Args:
-      q: (B, Hq, D) float (bf16/fp16/fp32).
+      q: (B, Hq, D) float (bf16/fp16/fp32) — or (B, Hq, T, D) for
+        multi-query verification (speculative decoding): ``lengths`` must
+        already INCLUDE the T appended candidates and token t attends to
+        everything before the candidates plus candidates 0..t
+        (intra-chunk causal; same contract as ops/decode.decode_attention).
       k_pages/v_pages: (Hkv, num_pages, page_size, D).
       lengths: (B,) int32 valid token counts.
       page_indices: (B, pages_per_seq) int32 page table (entries beyond the
@@ -331,7 +347,11 @@ def paged_decode_attention(
       k_scale_pages/v_scale_pages: (Hkv, num_pages, page_size) fp32
         per-token scales for 8-bit pages.
     """
-    batch, num_q_heads, head_dim = q.shape
+    if q.ndim == 4:
+        batch, num_q_heads, q_tokens, head_dim = q.shape
+    else:
+        batch, num_q_heads, head_dim = q.shape
+        q_tokens = 1
     num_kv_heads, _, page_rows, _ = k_pages.shape
     pages_per_seq = page_indices.shape[1]
     if num_q_heads % num_kv_heads != 0:
@@ -412,10 +432,14 @@ def paged_decode_attention(
             int4=int4,
         )
 
-    group_pad = max(8, cdiv(group, 8) * 8)
-    qg = q.reshape(batch, num_kv_heads, group, head_dim)
-    if group_pad != group:
-        qg = jnp.pad(qg, [(0, 0), (0, 0), (0, group_pad - group), (0, 0)])
+    # The GQA group (x candidate tokens) is the matmul M dim; pad to the
+    # fp32 sublane width.  (group, T) rows pack t-fastest, matching the
+    # kernel's `row % T` intra-chunk causal mask.
+    m_rows = group * q_tokens
+    group_pad = max(8, cdiv(m_rows, 8) * 8)
+    qg = q.reshape(batch, num_kv_heads, m_rows, head_dim)
+    if group_pad != m_rows:
+        qg = jnp.pad(qg, [(0, 0), (0, 0), (0, group_pad - m_rows), (0, 0)])
 
     max_blocks = pages_per_seq // pages_per_block
     grid = (batch, num_kv_heads, max_blocks)
@@ -433,6 +457,7 @@ def paged_decode_attention(
         pipelined=not interpret,
         window_left=window_left,
         int4=int4,
+        q_tokens=q_tokens,
     )
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
@@ -504,4 +529,9 @@ def paged_decode_attention(
         ksp,
         vsp,
     )
-    return out[:, :, :group, :].reshape(batch, num_q_heads, head_dim)
+    out = out[:, :, :m_rows, :]
+    if q_tokens > 1:
+        return out.reshape(
+            batch, num_kv_heads, group, q_tokens, head_dim
+        ).reshape(batch, num_q_heads, q_tokens, head_dim)
+    return out.reshape(batch, num_q_heads, head_dim)

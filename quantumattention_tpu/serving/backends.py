@@ -1,0 +1,1009 @@
+"""Cache backends for the continuous-batching engine.
+
+The reference stops at the kernel boundary (SURVEY.md §0 — no KV cache,
+no serving); this module is the storage half of the TPU build's serving
+extension.  ``serving/engine.Engine`` does scheduling only (queues,
+admission order, sampling, emission); everything that touches cache
+STATE — reservation, appends, attention, bursts, speculative
+verification, release — lives behind one of two interchangeable
+backends:
+
+  * ``SlotsBackend`` — contiguous per-slot rows (num_slots, Hkv, max_len,
+    D), the fast path: burst decode scans entirely on device and the
+    ragged decode kernel (ops/decode.py) streams each slot's valid prefix.
+  * ``PagedBackend``  — vLLM-style page pool + per-slot page tables
+    (serving/paged_cache.py) with refcounted prefix caching; attention is
+    the async-DMA paged kernel (ops/paged.py).
+
+Both backends implement the same protocol (duck-typed; the engine holds
+exactly one):
+
+  check_submit(reservation)            raise if it could NEVER fit
+  try_admit(req, slot, reservation)    reserve; None = backpressure,
+                                       else prefix-matched token count
+  register_prefix(req)                 publish prompt pages (paged only)
+  write_prefill_batch(kv, slots, n_valid, padded)
+  prefill_chunk(params, tokens, req, off, tc) -> last logits
+  decode(params, tokens, active_mask, active_slots) -> logits
+  burst(params, tokens, active, remaining, eos, key, n, sp, want_lp)
+                                       -> packed trace array
+  verify(params, cand, positions, active_mask) -> (T+1)-token logits
+  rollback(rollback_mask, new_lengths) shrink lengths after speculation
+  host_lengths() -> np.ndarray         current per-slot valid lengths
+  release(slot)                        return the slot's storage
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import llama
+from ..ops import quant
+from ..ops.decode import decode_attention
+from ..utils.shapes import round_up
+from . import kv_cache as kvc
+from .sampling import SamplingParams, sample, sample_with_logprob
+
+
+def window_of(cfg) -> Optional[tuple]:
+    """HF convention: sliding_window=w attends to exactly w keys including
+    self, i.e. left extent w-1 (models/llama._attend)."""
+    return (cfg.window - 1, 0) if cfg.window is not None else None
+
+
+def _donate_args(*idx) -> tuple:
+    """Cache donation is a TPU-memory optimization only: the CPU runtime
+    corrupts retained aliases of donated buffers (see kv_cache.append's
+    note), so on CPU (the test runtime) donation is disabled outright."""
+    return idx if jax.default_backend() != "cpu" else ()
+
+
+def _chunk_prefix_attend(
+    q, k_new, v_new, ck, cv, ks, vs, slot, off, *, head_dim, window
+):
+    """Cache-prefix + chunk fused attention for one slot (B == 1).
+
+    Gathers the slot's first ``off`` cached tokens (dequantized;
+    packed-int4 containers are detected by the value minor dim), concats
+    the chunk's post-RoPE K/V, and runs the causal fused kernel with
+    ``q_offset = off``.  Pure head-local math, so it is also the body
+    ``serving/tp.chunk_attention_tp`` shard-maps over the KV-head axis.
+    """
+    from ..ops.flash import flash_attention
+
+    if off > 0:
+        hkv = ck.shape[1]
+
+        def prefix(values, scales):
+            dc = values.shape[-1]  # head_dim, or head_dim/2 packed
+            p = jax.lax.dynamic_slice(
+                values, (slot, 0, 0, 0), (1, hkv, off, dc)
+            )
+            if dc * 2 == head_dim:  # packed int4 (kv_int4=True)
+                p = quant.unpack_int4(p, jnp.float32)
+            else:
+                p = p.astype(jnp.float32)
+            if scales is not None:
+                s = jax.lax.dynamic_slice(scales, (slot, 0, 0), (1, hkv, off))
+                p = p * s[..., None]
+            return p.astype(jnp.bfloat16)
+
+        k_all = jnp.concatenate(
+            [prefix(ck, ks), k_new.astype(jnp.bfloat16)], axis=2
+        )
+        v_all = jnp.concatenate(
+            [prefix(cv, vs), v_new.astype(jnp.bfloat16)], axis=2
+        )
+    else:
+        k_all = k_new
+        v_all = v_new
+    return flash_attention(
+        q, k_all, v_all, is_causal=True, q_offset=jnp.int32(off),
+        window=window,
+    )
+
+
+class SlotsBackend:
+    """Contiguous slot cache: one (Hkv, max_len, D) row region per slot.
+
+    Owns the per-layer ``kv_cache.KVCache`` list and every jitted device
+    function that reads or writes it.  Supports single-chip serving and
+    tensor-parallel serving (``mesh``: Megatron-sharded params outside,
+    KV-head-sharded caches + shard_mapped kernels here — serving/tp.py).
+    """
+
+    name = "slots"
+
+    def __init__(
+        self,
+        cfg: llama.LlamaConfig,
+        *,
+        num_slots: int,
+        max_len: int,
+        cache_dtype,
+        kv_int4: bool = False,
+        decode_block_kv: int = 2048,
+        mesh=None,
+        tp_axis: str = "tp",
+    ) -> None:
+        self.cfg = cfg
+        self.num_slots = num_slots
+        self.max_len = max_len
+        self.kv_int4 = kv_int4
+        self.decode_block_kv = decode_block_kv
+        self.mesh = mesh
+        self.tp_axis = tp_axis
+        self.caches = [
+            kvc.init_cache(
+                num_slots, cfg.num_kv_heads, max_len, cfg.head_dim,
+                cache_dtype, int4=kv_int4,
+            )
+            for _ in range(cfg.num_layers)
+        ]
+        if mesh is not None:
+            from . import tp as tp_lib
+
+            self.caches = [
+                tp_lib.shard_cache(c, mesh, tp_axis) for c in self.caches
+            ]
+        self._decode_jit = jax.jit(
+            self._decode_step_impl, donate_argnums=_donate_args(1)
+        )
+        self._verify_jit = jax.jit(
+            self._verify_impl, donate_argnums=_donate_args(1)
+        )
+        self._burst_jits = {}
+
+    # -- admission ---------------------------------------------------------
+
+    def check_submit(self, reservation: int) -> None:
+        pass  # slot rows are pre-sized to max_len; submit() bounds-checks
+
+    def try_admit(self, req, slot: int, reservation: int) -> Optional[int]:
+        return 0  # storage pre-exists; no reservation, no prefix reuse
+
+    def register_prefix(self, req) -> None:
+        pass
+
+    def can_speculate(self, active_slots, t_width: int) -> bool:
+        return True  # slot rows are pre-sized to max_len
+
+    # -- prefill -----------------------------------------------------------
+
+    def write_prefill_batch(
+        self, kv, slots: Sequence[int], n_valid: Sequence[int], padded: int
+    ) -> None:
+        """Scatter a batched prefill's per-layer K/V into the slots: all
+        layers' cache appends go in ONE jitted dispatch (a per-layer loop
+        is num_layers host dispatches per prefill round)."""
+        slot_arr = jnp.asarray(list(slots), jnp.int32)
+        zeros = jnp.zeros((len(slots),), jnp.int32)
+        nvals = jnp.asarray(list(n_valid), jnp.int32)
+        if not hasattr(self, "_append_all_jit"):
+
+            def _append_all(caches, kv, slots, offs, nv):
+                return [
+                    kvc.append(
+                        c, slots, kl.astype(jnp.float32),
+                        vl.astype(jnp.float32), offs, nv,
+                    )
+                    for c, (kl, vl) in zip(caches, kv)
+                ]
+
+            self._append_all_jit = jax.jit(
+                _append_all, donate_argnums=_donate_args(0)
+            )
+        self.caches = self._append_all_jit(
+            self.caches, kv, slot_arr, zeros, nvals
+        )
+
+    def _prefill_chunk_impl(self, params, caches, chunk_tokens, slot, off, tc):
+        """Jitted (off static): one prefill chunk attending to cache prefix
+        + itself, then appended to the cache (mixed prefill/decode building
+        block — BASELINE config 4).  Under a mesh the attention runs
+        shard-mapped on the KV-head axis (serving/tp.chunk_attention_tp)."""
+        cfg = self.cfg
+        width = chunk_tokens.shape[1]  # padded chunk width; tc <= width valid
+        positions = off + jnp.arange(width, dtype=jnp.int32)
+        recorded = {}
+
+        def attend(idx, q, k_new, v_new):
+            recorded[idx] = (k_new, v_new)
+            c = caches[idx]
+            if self.mesh is not None:
+                from . import tp as tp_lib
+
+                return tp_lib.chunk_attention_tp(
+                    q, k_new, v_new, c, slot, off,
+                    mesh=self.mesh, axis=self.tp_axis,
+                    head_dim=cfg.head_dim, window=window_of(cfg),
+                )
+            return _chunk_prefix_attend(
+                q, k_new, v_new, c.k, c.v, c.k_scale, c.v_scale, slot, off,
+                head_dim=cfg.head_dim, window=window_of(cfg),
+            )
+
+        logits = llama.forward_chunk(params, chunk_tokens, positions, cfg, attend)
+        slot_arr = slot[None]
+        off_arr = jnp.full((1,), off, jnp.int32)
+        nval_arr = jnp.reshape(tc, (1,)).astype(jnp.int32)
+        for li in range(cfg.num_layers):
+            k_l, v_l = recorded[li]
+            # Full-width writes (tc stays traced -> one compile per chunk
+            # offset, max_len/chunk total).  Alignment is guaranteed by the
+            # max_len % prefill_chunk check at construction, so the write
+            # can never run past the cache; rows beyond tc hold garbage but
+            # lengths (off + tc) masks them and the next chunk overwrites.
+            caches[li] = kvc.append(
+                caches[li], slot_arr, k_l.astype(jnp.float32),
+                v_l.astype(jnp.float32), off_arr, nval_arr,
+            )
+        return caches, logits
+
+    def prefill_chunk(self, params, tokens, req, off: int, tc: int):
+        if not hasattr(self, "_chunk_jit"):
+            self._chunk_jit = jax.jit(
+                self._prefill_chunk_impl, static_argnames=("off",)
+            )
+        self.caches, logits = self._chunk_jit(
+            params, self.caches, tokens, jnp.int32(req.slot),
+            off=off, tc=jnp.int32(tc),
+        )
+        return logits
+
+    # -- decode ------------------------------------------------------------
+
+    def _decode_step_impl(self, params, caches, tokens, active_mask):
+        """Jitted: one decode step over all slots.
+
+        Appends the current tokens' K/V, runs fused decode attention per
+        layer, returns (new_caches, logits)."""
+        cfg = self.cfg
+        positions = caches[0].lengths  # pre-append lengths == positions
+
+        def attend(idx, q, k_new, v_new):
+            cache = caches[idx]
+            slot_ids = jnp.arange(self.num_slots, dtype=jnp.int32)
+            # Only bump lengths for active slots (inactive write at pos 0
+            # with n_valid 0 — harmless, masked out by length).
+            nval = active_mask.astype(jnp.int32)
+            caches[idx] = kvc.append(
+                cache,
+                slot_ids,
+                k_new[:, :, None, :].astype(jnp.float32),
+                v_new[:, :, None, :].astype(jnp.float32),
+                positions,
+                nval,
+            )
+            c = caches[idx]
+            if self.mesh is not None:
+                from . import tp as tp_lib
+
+                return tp_lib.decode_attention_tp(
+                    q.astype(jnp.bfloat16),
+                    c.k, c.v, c.lengths,
+                    mesh=self.mesh, axis=self.tp_axis,
+                    k_scale=c.k_scale, v_scale=c.v_scale,
+                    block_kv=self.decode_block_kv,
+                    window=window_of(cfg),
+                )
+            return decode_attention(
+                q.astype(jnp.bfloat16),
+                c.k,
+                c.v,
+                c.lengths,
+                k_scale=c.k_scale,
+                v_scale=c.v_scale,
+                block_kv=self.decode_block_kv,
+                window=window_of(cfg),
+            )
+
+        logits = llama.forward_decode(params, tokens, positions, cfg, attend)
+        return caches, logits
+
+    def decode(self, params, tokens, active_mask, active_slots):
+        self.caches, logits = self._decode_jit(
+            params, self.caches, jnp.asarray(tokens), jnp.asarray(active_mask)
+        )
+        return logits
+
+    def _burst_impl(
+        self, params, caches, tokens, active, remaining, eos_ids, key,
+        *, n_steps: int, sp: SamplingParams, want_lp: bool = False,
+    ):
+        """Jitted: ``n_steps`` decode steps in one ``lax.scan``.  Sampling,
+        EOS detection, and per-slot new-token budgets all run on device;
+        the host gets back the token and emitted-mask traces (plus a
+        logprob trace when ``want_lp``) — one dispatch per burst instead
+        of per token."""
+
+        def one(carry, _):
+            caches, tokens, active, remaining, key = carry
+            caches, logits = self._decode_step_impl(
+                params, caches, tokens, active
+            )
+            key, sub = jax.random.split(key)
+            skey = None if sp.temperature == 0.0 else sub
+            if want_lp:
+                nxt, lp = sample_with_logprob(logits, sp, skey)
+            else:
+                nxt = sample(logits, sp, skey)
+                lp = jnp.zeros(nxt.shape, jnp.float32)
+            emitted = active
+            nxt = jnp.where(active, nxt, tokens)
+            remaining = remaining - active.astype(jnp.int32)
+            hit_eos = jnp.logical_and(nxt == eos_ids, eos_ids >= 0)
+            active = jnp.logical_and(
+                active, jnp.logical_and(~hit_eos, remaining > 0)
+            )
+            return (caches, nxt, active, remaining, key), (nxt, emitted, lp)
+
+        (caches, *_), (toks, emits, lps) = jax.lax.scan(
+            one, (caches, tokens, active, remaining, key), None,
+            length=n_steps,
+        )
+        # ONE fetchable array: each host->device fetch pays a fixed ~38 ms
+        # tunnel roundtrip (traced in benchmarks/decode_ladder.py), so the
+        # token and emitted-mask (and logprob) traces ship together.
+        # Token ids round-trip exactly through float32 (vocab < 2^24).
+        if want_lp:
+            packed = jnp.stack(
+                [toks.astype(jnp.float32), emits.astype(jnp.float32), lps]
+            )
+        else:
+            packed = jnp.stack([toks, emits.astype(jnp.int32)])
+        return caches, packed
+
+    def burst(
+        self, params, tokens, active, remaining, eos_ids, key,
+        n_steps: int, sp: SamplingParams, want_lp: bool,
+    ) -> np.ndarray:
+        jitted = self._burst_jits.get((n_steps, sp, want_lp))
+        if jitted is None:
+            jitted = jax.jit(
+                functools.partial(
+                    self._burst_impl, n_steps=n_steps, sp=sp, want_lp=want_lp
+                ),
+                donate_argnums=_donate_args(1),
+            )
+            self._burst_jits[(n_steps, sp, want_lp)] = jitted
+        self.caches, packed = jitted(
+            params, self.caches, jnp.asarray(tokens), jnp.asarray(active),
+            jnp.asarray(remaining), jnp.asarray(eos_ids), key,
+        )
+        return np.asarray(packed)  # one fixed-cost fetch per burst
+
+    # -- speculative decoding ------------------------------------------------
+
+    def _verify_impl(self, params, caches, tokens, positions, active_mask):
+        """Jitted: multi-token target verification (speculative decoding).
+
+        Appends the T candidate tokens to every active slot's cache, then
+        computes logits for ALL T positions in ONE forward — this parallel
+        pass is where speculative decoding's speedup comes from (the
+        target touches its KV stream once per round instead of once per
+        token).  Attention is the fused decode kernel's multi-query mode
+        (4-D q: the kernel's M dim packs (group, token) pairs and masks
+        each token's intra-chunk causality per row — no cache
+        dequantization pass).
+
+        Rollback of rejected tokens is just a lengths reset afterwards:
+        the ragged-cache contract says rows beyond ``lengths`` are garbage
+        and every append overwrites from its offset.
+        """
+        cfg = self.cfg
+        t_width = tokens.shape[1]
+        pos2d = positions[:, None] + jnp.arange(t_width, dtype=jnp.int32)
+
+        def attend(idx, q, k_new, v_new):
+            cache = caches[idx]
+            slot_ids = jnp.arange(self.num_slots, dtype=jnp.int32)
+            nval = active_mask.astype(jnp.int32) * t_width
+            caches[idx] = kvc.append(
+                cache, slot_ids,
+                k_new.astype(jnp.float32), v_new.astype(jnp.float32),
+                positions, nval,
+            )
+            c = caches[idx]
+            return decode_attention(
+                q.astype(jnp.bfloat16), c.k, c.v, c.lengths,
+                k_scale=c.k_scale, v_scale=c.v_scale,
+                block_kv=self.decode_block_kv,
+                window=window_of(cfg),
+            )
+
+        logits = llama.forward_chunk(params, tokens, pos2d, cfg, attend)
+        return caches, logits
+
+    def verify(self, params, cand, positions, active_mask):
+        self.caches, logits = self._verify_jit(
+            params, self.caches, cand, jnp.asarray(positions),
+            jnp.asarray(active_mask),
+        )
+        return logits
+
+    def rollback(self, rollback_mask, new_lengths) -> None:
+        import dataclasses
+
+        rb = jnp.asarray(rollback_mask)
+        nl = jnp.asarray(new_lengths)
+        for li in range(self.cfg.num_layers):
+            self.caches[li] = dataclasses.replace(
+                self.caches[li],
+                lengths=jnp.where(rb, nl, self.caches[li].lengths),
+            )
+
+    # -- bookkeeping ---------------------------------------------------------
+
+    def host_lengths(self) -> np.ndarray:
+        return np.asarray(self.caches[0].lengths)
+
+    def release(self, slot: int) -> None:
+        """Return the slot's rows (lengths 0); all layers' slot-frees go in
+        ONE jitted dispatch — a per-layer loop is num_layers host
+        dispatches per finished request."""
+        if not hasattr(self, "_free_all_jit"):
+            self._free_all_jit = jax.jit(
+                lambda caches, s: [kvc.free_slots(c, s) for c in caches]
+            )
+        self.caches = self._free_all_jit(
+            self.caches, jnp.array([slot], jnp.int32)
+        )
+
+
+class PagedBackend:
+    """vLLM-style paged cache: global page pool + per-slot page tables.
+
+    Owns the per-layer ``LayerPages``, the host-side ``PageAllocator``
+    (free list, tables, refcounted prefix cache), and the jitted paged
+    decode/burst/verify paths built on ``ops/paged.paged_decode_attention``.
+
+    Admission makes a FULL reservation (prompt padding AND max_new_tokens)
+    before a request leaves the waiting queue — so neither prefill nor any
+    later decode/burst/verify step can run out of pages mid-stream, and
+    the burst scan needs no in-flight page-table growth.
+    """
+
+    name = "paged"
+
+    def __init__(
+        self,
+        cfg: llama.LlamaConfig,
+        *,
+        num_slots: int,
+        max_len: int,
+        cache_dtype,
+        kv_int4: bool = False,
+        page_size: int = 128,
+        num_pages: Optional[int] = None,
+        decode_block_kv: int = 2048,
+        prefix_cache: bool = False,
+    ) -> None:
+        from . import paged_cache as pgc
+
+        self.cfg = cfg
+        self.num_slots = num_slots
+        self.max_len = max_len
+        self.kv_int4 = kv_int4
+        self.page_size = page_size
+        self.decode_block_kv = decode_block_kv
+        self.prefix_cache = prefix_cache
+        self._pgc = pgc
+        pages_per_seq = -(-max_len // page_size)
+        if num_pages is None:
+            # Default pool: enough for every slot at max_len (same
+            # capacity as the slot backend; shrink for oversubscription).
+            num_pages = num_slots * pages_per_seq + 1
+        self.pages = [
+            pgc.init_layer_pages(
+                cfg.num_kv_heads, num_pages, page_size, cfg.head_dim,
+                cache_dtype, int4=kv_int4,
+            )
+            for _ in range(cfg.num_layers)
+        ]
+        self.alloc = pgc.PageAllocator(num_pages, num_slots, pages_per_seq)
+        self.alloc.page_size_hint = page_size
+        # Largest pages-per-block that divides the table width.
+        self._pages_per_block = next(
+            n for n in (4, 2, 1) if pages_per_seq % n == 0
+        )
+        self._decode_jit = jax.jit(
+            self._decode_step_impl, donate_argnums=_donate_args(1)
+        )
+        self._verify_jit = jax.jit(
+            self._verify_impl, donate_argnums=_donate_args(1)
+        )
+        self._burst_jits = {}
+
+    # -- admission ---------------------------------------------------------
+
+    def check_submit(self, reservation: int) -> None:
+        """Reject requests that could NEVER be admitted: waiting cannot
+        help when the request's full reservation exceeds the whole pool
+        (run_to_completion would otherwise spin forever on an
+        oversubscribed pool)."""
+        need = self.alloc.pages_for(reservation, self.page_size)
+        if need > self.alloc.num_pages:
+            raise ValueError(
+                f"request needs {need} pages but the pool only has "
+                f"{self.alloc.num_pages}; raise num_pages or shrink "
+                "the request"
+            )
+
+    def _prompt_hashes(self, req) -> List[bytes]:
+        return self._pgc.hash_pages(req.prompt, self.page_size)
+
+    def try_admit(self, req, slot: int, reservation: int) -> Optional[int]:
+        """Reserve the request's full paged footprint; ``None`` applies
+        FIFO backpressure.  With the prefix cache on, cached prompt pages
+        are adopted (shared, refcounted) and the return value is the
+        matched token count — prefill resumes at the first un-cached
+        page."""
+        matched: List[int] = []
+        if self.prefix_cache:
+            # Cap the match so >= 1 prompt token always prefills (the
+            # first sampled token needs fresh last-position logits — a
+            # fully cached prompt would leave nothing to run).
+            usable = (len(req.prompt) - 1) // self.page_size
+            matched = self.alloc.match_prefix(
+                self._prompt_hashes(req)[:usable]
+            )
+        need = self.alloc.pages_for(reservation, self.page_size) - len(matched)
+        # Matched idle pages leave the evictable pool on adoption — count
+        # them out so they are not double-counted as both "ours" and
+        # "evictable".
+        avail = self.alloc.free_pages + max(
+            0, self.alloc.evictable_pages - len(matched)
+        )
+        if need > avail:
+            return None
+        if matched:
+            self.alloc.adopt(slot, matched)
+        self.alloc.allocate(slot, reservation, self.page_size)
+        n_matched = len(matched) * self.page_size
+        if matched:
+            self.alloc.lengths[slot] = n_matched
+        return n_matched
+
+    def register_prefix(self, req) -> None:
+        """Publish a fully prefilled prompt's whole pages to the prefix
+        cache (pages holding any garbage tail rows past the prompt are
+        never whole, so never published)."""
+        hashes = self._prompt_hashes(req)
+        if hashes:
+            self.alloc.register(req.slot, hashes)
+
+    def can_speculate(self, active_slots, t_width: int) -> bool:
+        """Verification appends ``t_width`` rows to every active slot
+        BEFORE acceptance — possibly past the admission reservation when a
+        request's new-token budget is nearly spent.  Only run a round when
+        the pool can cover every slot's growth (else the engine falls back
+        to per-token decoding for this step)."""
+        need = 0
+        for s in active_slots:
+            want = self.alloc.pages_for(
+                int(self.alloc.lengths[s]) + t_width, self.page_size
+            )
+            need += max(0, want - int(self.alloc.allocated[s]))
+        return need <= self.alloc.free_pages + self.alloc.evictable_pages
+
+    # -- prefill -----------------------------------------------------------
+
+    def write_prefill_batch(
+        self, kv, slots: Sequence[int], n_valid: Sequence[int], padded: int
+    ) -> None:
+        n_pages = -(-padded // self.page_size)
+        for i, (slot, n) in enumerate(zip(slots, n_valid)):
+            page_ids = jnp.asarray(
+                self.alloc.tables[slot, :n_pages], jnp.int32
+            )
+            for li in range(self.cfg.num_layers):
+                k_l, v_l = kv[li]
+                self.pages[li] = self._pgc.write_tokens(
+                    self.pages[li], page_ids, 0, k_l[i], v_l[i]
+                )
+            self.alloc.lengths[slot] = n
+
+    def _prefill_chunk_impl(
+        self, params, pages, chunk_tokens, table_row, off, tc
+    ):
+        """Jitted (off static): one paged prefill chunk — attends to the
+        page-gathered cache prefix + itself, then writes itself into this
+        slot's reserved pages (mixed prefill/decode on the paged backend;
+        BASELINE config 4)."""
+        from ..ops.flash import flash_attention
+
+        cfg = self.cfg
+        psize = self.page_size
+        width = chunk_tokens.shape[1]  # padded chunk width; tc <= width
+        positions = off + jnp.arange(width, dtype=jnp.int32)
+        recorded = {}
+
+        def attend(idx, q, k_new, v_new):
+            recorded[idx] = (k_new, v_new)
+            lp = pages[idx]
+            if off > 0:
+                # off is chunk-aligned and chunks are page multiples, so
+                # the prefix covers whole pages exactly.
+                n_pg = off // psize
+                pids = table_row[:n_pg]
+
+                def prefix(vals, scales):
+                    p = jnp.take(vals, pids, axis=1)  # (Hkv, n_pg, psize, D)
+                    if self.kv_int4:
+                        # Token-packed pages: (Hkv, n_pg, psize/2, D) bytes
+                        # -> per-page natural token order via the axis-2
+                        # split-halves unpack.
+                        p = quant.unpack_int4(p, jnp.float32, axis=2)
+                    else:
+                        p = p.astype(jnp.float32)
+                    p = p.reshape(cfg.num_kv_heads, off, cfg.head_dim)
+                    if scales is not None:
+                        s = jnp.take(scales, pids, axis=1).reshape(
+                            cfg.num_kv_heads, off
+                        )
+                        p = p * s[..., None]
+                    return p[None].astype(jnp.bfloat16)
+
+                k_all = jnp.concatenate(
+                    [prefix(lp.k, lp.k_scale), k_new.astype(jnp.bfloat16)],
+                    axis=2,
+                )
+                v_all = jnp.concatenate(
+                    [prefix(lp.v, lp.v_scale), v_new.astype(jnp.bfloat16)],
+                    axis=2,
+                )
+            else:
+                k_all, v_all = k_new, v_new
+            return flash_attention(
+                q, k_all, v_all, is_causal=True, q_offset=jnp.int32(off),
+                window=window_of(cfg),
+            )
+
+        logits = llama.forward_chunk(params, chunk_tokens, positions, cfg, attend)
+        first_pg = off // psize
+        n_pg_chunk = width // psize
+        pids_chunk = table_row[first_pg : first_pg + n_pg_chunk]
+        for li in range(cfg.num_layers):
+            k_l, v_l = recorded[li]
+            # Full-width writes into this slot's own reserved pages; rows
+            # beyond tc hold garbage that lengths mask and the next chunk
+            # (or the first decode append) overwrites.
+            pages[li] = self._pgc.write_tokens(
+                pages[li], pids_chunk, 0,
+                k_l[0].astype(jnp.float32), v_l[0].astype(jnp.float32),
+            )
+        del tc  # traced; only threaded through for jit-cache keying parity
+        return pages, logits
+
+    def prefill_chunk(self, params, tokens, req, off: int, tc: int):
+        if not hasattr(self, "_chunk_jit"):
+            self._chunk_jit = jax.jit(
+                self._prefill_chunk_impl, static_argnames=("off",)
+            )
+        table_row = jnp.asarray(self.alloc.tables[req.slot], jnp.int32)
+        self.pages, logits = self._chunk_jit(
+            params, self.pages, tokens, table_row, off=off, tc=jnp.int32(tc)
+        )
+        self.alloc.lengths[req.slot] = off + tc
+        return logits
+
+    # -- decode ------------------------------------------------------------
+
+    def _write_tokens_step(
+        self, pages_arrays, tables, positions, active_mask, kq, vq, ks, vs,
+        t_width: int = 1,
+    ):
+        """In-jit write of ``t_width`` already-quantized tokens per slot at
+        dynamic (non page-aligned) offsets: per-slot fori_loop of
+        dynamic_update_slices into the page arrays.  Token t of slot i
+        lands at position positions[i] + t in page
+        tables[i, (positions[i]+t) // page_size]."""
+        psize = self.page_size
+        quantized = ks is not None
+        int4 = self.kv_int4
+
+        def body(idx, carry):
+            kpg, vpg, kspg, vspg = carry
+            i = idx // t_width
+            t = idx % t_width
+            pos = positions[i] + t
+            page = tables[i, pos // psize]
+            off = pos % psize
+
+            def write(c):
+                kpg, vpg, kspg, vspg = c
+                kt = kq[i, :, t, :] if t_width > 1 else kq[i]
+                vt = vq[i, :, t, :] if t_width > 1 else vq[i]
+                if int4:
+                    # Token-packed pages: token ``off`` lives in byte row
+                    # off % (psize/2) — low nibble for the first half of
+                    # the page, high nibble for the second.  RMW the one
+                    # byte row; int32 math avoids int8 shift-overflow
+                    # pitfalls.
+                    half = psize // 2
+                    low = off < half
+                    row = jnp.where(low, off, off - half)
+
+                    def nib(dst, val):
+                        hkv, d = val.shape
+                        old = jax.lax.dynamic_slice(
+                            dst, (0, page, row, 0), (hkv, 1, 1, d)
+                        ).astype(jnp.int32)
+                        v32 = (
+                            val[:, None, None, :].astype(jnp.int32) & 0xF
+                        )
+                        new = jnp.where(
+                            low,
+                            (old & ~0xF) | v32,
+                            (old & 0xF) | (v32 << 4),
+                        )
+                        return jax.lax.dynamic_update_slice(
+                            dst, new.astype(jnp.int8), (0, page, row, 0)
+                        )
+
+                    kpg = nib(kpg, kt)
+                    vpg = nib(vpg, vt)
+                else:
+                    kpg = jax.lax.dynamic_update_slice(
+                        kpg, kt[:, None, None, :], (0, page, off, 0)
+                    )
+                    vpg = jax.lax.dynamic_update_slice(
+                        vpg, vt[:, None, None, :], (0, page, off, 0)
+                    )
+                if quantized:
+                    kst = ks[i, :, t] if t_width > 1 else ks[i]
+                    vst = vs[i, :, t] if t_width > 1 else vs[i]
+                    kspg = jax.lax.dynamic_update_slice(
+                        kspg, kst[:, None, None], (0, page, off)
+                    )
+                    vspg = jax.lax.dynamic_update_slice(
+                        vspg, vst[:, None, None], (0, page, off)
+                    )
+                return kpg, vpg, kspg, vspg
+
+            return jax.lax.cond(active_mask[i], write, lambda c: c, carry)
+
+        return jax.lax.fori_loop(
+            0, self.num_slots * t_width, body, pages_arrays
+        )
+
+    def _quantize_new(self, x, dtype):
+        """(B, Hkv, [T,] D) float -> (values, scales) in the page container."""
+        from ..utils import checks
+
+        if not checks.is_8bit_dtype(dtype):
+            return x.astype(dtype), None
+        if self.kv_int4:
+            fn = quant.quantize_int4_values
+        elif dtype == jnp.int8:
+            fn = quant.dynamically_quantize_int8
+        else:
+            fn = quant.dynamically_quantize_fp8
+        return fn(x.astype(jnp.float32), reduction_dim=-1)
+
+    def _attend_step(self, pages, idx, q, k_new, v_new, tables, positions,
+                     active_mask, t_width: int = 1):
+        """Shared decode/verify attend: quantize + write the new tokens of
+        layer ``idx`` into its pages, then run the async-DMA paged kernel.
+        ``k_new``/``v_new`` are (B, Hkv, D) for decode or (B, Hkv, T, D)
+        for verification."""
+        from ..ops.paged import paged_decode_attention
+        from .paged_cache import LayerPages
+
+        lp = pages[idx]
+        quantized = lp.k_scale is not None
+        kq, ks = self._quantize_new(k_new, lp.k.dtype)
+        vq, vs = self._quantize_new(v_new, lp.k.dtype)
+        kspg = lp.k_scale if quantized else jnp.zeros((0,), jnp.float32)
+        vspg = lp.v_scale if quantized else jnp.zeros((0,), jnp.float32)
+        kpg, vpg, kspg, vspg = self._write_tokens_step(
+            (lp.k, lp.v, kspg, vspg), tables, positions, active_mask,
+            kq, vq, ks, vs, t_width=t_width,
+        )
+        pages[idx] = LayerPages(
+            k=kpg,
+            v=vpg,
+            k_scale=kspg if quantized else None,
+            v_scale=vspg if quantized else None,
+        )
+        new_lengths = positions + active_mask.astype(jnp.int32) * t_width
+        return paged_decode_attention(
+            q.astype(jnp.bfloat16),
+            kpg,
+            vpg,
+            new_lengths,
+            tables,
+            k_scale_pages=kspg if quantized else None,
+            v_scale_pages=vspg if quantized else None,
+            pages_per_block=self._pages_per_block,
+            window=window_of(self.cfg),
+        )
+
+    def _decode_step_impl(
+        self, params, pages, tokens, tables, positions, active_mask
+    ):
+        """Jitted: one decode step over all slots, paged backend.
+
+        Writes each active slot's new K/V token into its current page, then
+        runs the async-DMA paged attention kernel per layer."""
+
+        def attend(idx, q, k_new, v_new):
+            return self._attend_step(
+                pages, idx, q, k_new, v_new, tables, positions, active_mask
+            )
+
+        logits = llama.forward_decode(
+            params, tokens, positions, self.cfg, attend
+        )
+        return pages, logits
+
+    def decode(self, params, tokens, active_mask, active_slots):
+        # Admission reserved every slot's full footprint, so allocate() is
+        # a no-op growth here — kept as a guard for the invariant.
+        for slot in active_slots:
+            self.alloc.allocate(
+                slot, int(self.alloc.lengths[slot]) + 1, self.page_size
+            )
+        positions = jnp.asarray(self.alloc.lengths)
+        tables = jnp.asarray(self.alloc.tables)
+        self.pages, logits = self._decode_jit(
+            params, self.pages, jnp.asarray(tokens), tables, positions,
+            jnp.asarray(active_mask),
+        )
+        for slot in active_slots:
+            self.alloc.lengths[slot] += 1
+        return logits
+
+    def _burst_impl(
+        self, params, pages, tables, tokens, positions, active, remaining,
+        eos_ids, key, *, n_steps: int, sp: SamplingParams,
+        want_lp: bool = False,
+    ):
+        """Jitted: ``n_steps`` paged decode steps in one ``lax.scan``.
+
+        The page tables are FIXED across the burst (admission reserved the
+        full horizon), so only positions/active advance in the carry —
+        page-table growth never blocks the scan.  Same trace contract as
+        the slots burst: one packed (tokens, emitted[, logprob]) array per
+        burst, one host fetch."""
+
+        def one(carry, _):
+            pages, tokens, positions, active, remaining, key = carry
+
+            def attend(idx, q, k_new, v_new):
+                return self._attend_step(
+                    pages, idx, q, k_new, v_new, tables, positions, active
+                )
+
+            logits = llama.forward_decode(
+                params, tokens, positions, self.cfg, attend
+            )
+            positions = positions + active.astype(jnp.int32)
+            key, sub = jax.random.split(key)
+            skey = None if sp.temperature == 0.0 else sub
+            if want_lp:
+                nxt, lp = sample_with_logprob(logits, sp, skey)
+            else:
+                nxt = sample(logits, sp, skey)
+                lp = jnp.zeros(nxt.shape, jnp.float32)
+            emitted = active
+            nxt = jnp.where(active, nxt, tokens)
+            remaining = remaining - active.astype(jnp.int32)
+            hit_eos = jnp.logical_and(nxt == eos_ids, eos_ids >= 0)
+            active = jnp.logical_and(
+                active, jnp.logical_and(~hit_eos, remaining > 0)
+            )
+            return (
+                (pages, nxt, positions, active, remaining, key),
+                (nxt, emitted, lp),
+            )
+
+        (pages, *_), (toks, emits, lps) = jax.lax.scan(
+            one, (pages, tokens, positions, active, remaining, key), None,
+            length=n_steps,
+        )
+        if want_lp:
+            packed = jnp.stack(
+                [toks.astype(jnp.float32), emits.astype(jnp.float32), lps]
+            )
+        else:
+            packed = jnp.stack([toks, emits.astype(jnp.int32)])
+        return pages, packed
+
+    def burst(
+        self, params, tokens, active, remaining, eos_ids, key,
+        n_steps: int, sp: SamplingParams, want_lp: bool,
+    ) -> np.ndarray:
+        # Pre-reserve the burst horizon (no-op growth: admission already
+        # reserved prompt + max_new_tokens, and the engine clamps n_steps
+        # to every request's remaining budget).
+        for slot in range(self.num_slots):
+            if active[slot]:
+                self.alloc.allocate(
+                    slot, int(self.alloc.lengths[slot]) + n_steps,
+                    self.page_size,
+                )
+        jitted = self._burst_jits.get((n_steps, sp, want_lp))
+        if jitted is None:
+            jitted = jax.jit(
+                functools.partial(
+                    self._burst_impl, n_steps=n_steps, sp=sp, want_lp=want_lp
+                ),
+                donate_argnums=_donate_args(1),
+            )
+            self._burst_jits[(n_steps, sp, want_lp)] = jitted
+        self.pages, packed = jitted(
+            params, self.pages, jnp.asarray(self.alloc.tables),
+            jnp.asarray(tokens), jnp.asarray(self.alloc.lengths),
+            jnp.asarray(active), jnp.asarray(remaining),
+            jnp.asarray(eos_ids), key,
+        )
+        packed = np.asarray(packed)  # one fixed-cost fetch per burst
+        # Reconcile host lengths: a slot advanced once per step it was
+        # active at step start (== its emitted count).
+        emits = (
+            (packed[1] != 0.0) if want_lp else packed[1].astype(bool)
+        )
+        self.alloc.lengths += emits.sum(axis=0).astype(np.int32)
+        return packed
+
+    # -- speculative decoding ------------------------------------------------
+
+    def _verify_impl(self, params, pages, tokens, tables, positions,
+                     active_mask):
+        """Jitted: multi-token target verification on the paged backend.
+
+        Appends the T candidate tokens of every active slot into its pages
+        (dynamic in-page offsets), then scores all T positions in one
+        forward via the paged kernel's multi-query mode (ops/paged.py
+        q_tokens — the M dim packs (group, token) pairs with per-row
+        intra-chunk causal masking).  Rollback is a host lengths reset:
+        rows past ``lengths`` are garbage by contract and the next write
+        overwrites them."""
+        cfg = self.cfg
+        t_width = tokens.shape[1]
+        pos2d = positions[:, None] + jnp.arange(t_width, dtype=jnp.int32)
+
+        def attend(idx, q, k_new, v_new):
+            return self._attend_step(
+                pages, idx, q, k_new, v_new, tables, positions, active_mask,
+                t_width=t_width,
+            )
+
+        logits = llama.forward_chunk(params, tokens, pos2d, cfg, attend)
+        return pages, logits
+
+    def verify(self, params, cand, positions, active_mask):
+        t_width = int(cand.shape[1])
+        for slot in range(self.num_slots):
+            if active_mask[slot]:
+                self.alloc.allocate(
+                    slot, int(self.alloc.lengths[slot]) + t_width,
+                    self.page_size,
+                )
+        tables = jnp.asarray(self.alloc.tables)
+        self.pages, logits = self._verify_jit(
+            params, self.pages, cand, tables, jnp.asarray(positions),
+            jnp.asarray(active_mask),
+        )
+        return logits
+
+    def rollback(self, rollback_mask, new_lengths) -> None:
+        self.alloc.lengths = np.where(
+            np.asarray(rollback_mask), np.asarray(new_lengths, np.int32),
+            self.alloc.lengths,
+        ).astype(np.int32)
+
+    # -- bookkeeping ---------------------------------------------------------
+
+    def host_lengths(self) -> np.ndarray:
+        return np.asarray(self.alloc.lengths)
+
+    def release(self, slot: int) -> None:
+        self.alloc.release(slot)

@@ -1,4 +1,4 @@
-"""Continuous-batching inference engine.
+"""Continuous-batching inference engine (scheduling layer).
 
 The reference stops at the kernel boundary; this engine is the TPU build's
 serving extension (BASELINE.md decode config): slot-based continuous
@@ -6,7 +6,12 @@ batching over a quantized ragged KV cache, with mixed prefill/decode
 scheduling and a fully-jitted decode step.
 
 Architecture (jit-stability first):
-  * the KV cache has a fixed number of slots (max concurrent sequences) and
+  * cache STATE lives behind one of two backends (``serving/backends.py``):
+    ``SlotsBackend`` (contiguous per-slot rows) or ``PagedBackend``
+    (vLLM-style page pool + tables + refcounted prefix cache).  This
+    module never touches arrays directly — it does admission, scheduling,
+    sampling, and emission only;
+  * the cache has a fixed number of slots (max concurrent sequences) and
     a fixed max length — all jitted functions see static shapes;
   * prefill is chunked (both backends): every engine ``step()`` advances at
     most ONE prefill chunk and then runs ONE decode step over all active
@@ -36,59 +41,10 @@ import numpy as np
 
 from .. import config
 from ..models import llama
-from ..ops import quant
-from ..ops.decode import decode_attention
-from . import kv_cache as kvc
 from ..utils import checks
 from ..utils.shapes import round_up
+from .backends import PagedBackend, SlotsBackend, _chunk_prefix_attend  # noqa: F401  (re-export: serving/tp.py shard-maps _chunk_prefix_attend)
 from .sampling import SamplingParams, sample, sample_with_logprob
-
-
-def _chunk_prefix_attend(
-    q, k_new, v_new, ck, cv, ks, vs, slot, off, *, head_dim, window
-):
-    """Cache-prefix + chunk fused attention for one slot (B == 1).
-
-    Gathers the slot's first ``off`` cached tokens (dequantized;
-    packed-int4 containers are detected by the value minor dim), concats
-    the chunk's post-RoPE K/V, and runs the causal fused kernel with
-    ``q_offset = off``.  Pure head-local math, so it is also the body
-    ``serving/tp.chunk_attention_tp`` shard-maps over the KV-head axis.
-    """
-    from ..ops.flash import flash_attention
-
-    if off > 0:
-        hkv = ck.shape[1]
-
-        def prefix(values, scales):
-            dc = values.shape[-1]  # head_dim, or head_dim/2 packed
-            p = jax.lax.dynamic_slice(
-                values, (slot, 0, 0, 0), (1, hkv, off, dc)
-            )
-            if dc * 2 == head_dim:  # packed int4 (kv_int4=True)
-                from ..ops.quant import unpack_int4
-
-                p = unpack_int4(p, jnp.float32)
-            else:
-                p = p.astype(jnp.float32)
-            if scales is not None:
-                s = jax.lax.dynamic_slice(scales, (slot, 0, 0), (1, hkv, off))
-                p = p * s[..., None]
-            return p.astype(jnp.bfloat16)
-
-        k_all = jnp.concatenate(
-            [prefix(ck, ks), k_new.astype(jnp.bfloat16)], axis=2
-        )
-        v_all = jnp.concatenate(
-            [prefix(cv, vs), v_new.astype(jnp.bfloat16)], axis=2
-        )
-    else:
-        k_all = k_new
-        v_all = v_new
-    return flash_attention(
-        q, k_all, v_all, is_causal=True, q_offset=jnp.int32(off),
-        window=window,
-    )
 
 
 @dataclasses.dataclass
@@ -215,15 +171,6 @@ class Engine:
             raise ValueError("kv_int4 requires an 8-bit cache_dtype")
         self.kv_int4 = kv_int4
         if draft is not None:
-            if cache_backend != "slots":
-                raise ValueError(
-                    "speculative decoding requires the slots backend"
-                )
-            if kv_int4:
-                raise ValueError(
-                    "speculative decoding does not support kv_int4 (the "
-                    "verification pass dequantizes the cache directly)"
-                )
             draft_params, draft_cfg = draft
             if draft_cfg.vocab_size != cfg.vocab_size:
                 raise ValueError(
@@ -238,33 +185,18 @@ class Engine:
         else:
             self.draft_params = None
         if cache_backend == "slots":
-            self.caches = [
-                kvc.init_cache(
-                    num_slots, cfg.num_kv_heads, max_len, cfg.head_dim,
-                    cache_dtype, int4=kv_int4,
-                )
-                for _ in range(cfg.num_layers)
-            ]
+            self._backend = SlotsBackend(
+                cfg, num_slots=num_slots, max_len=max_len,
+                cache_dtype=cache_dtype, kv_int4=kv_int4,
+                decode_block_kv=decode_block_kv, mesh=mesh, tp_axis=tp_axis,
+            )
         else:
-            from . import paged_cache as pgc
-
-            pages_per_seq = -(-max_len // page_size)
-            if num_pages is None:
-                # Default pool: enough for every slot at max_len (same
-                # capacity as the slot backend; shrink for oversubscription).
-                num_pages = num_slots * pages_per_seq + 1
-            self.pages = [
-                pgc.init_layer_pages(
-                    cfg.num_kv_heads, num_pages, page_size, cfg.head_dim,
-                    cache_dtype, int4=kv_int4,
-                )
-                for _ in range(cfg.num_layers)
-            ]
-            self.alloc = pgc.PageAllocator(num_pages, num_slots, pages_per_seq)
-            self.alloc.page_size_hint = page_size
-            # Largest pages-per-block that divides the table width.
-            self._pages_per_block = next(
-                n for n in (4, 2, 1) if pages_per_seq % n == 0
+            self._backend = PagedBackend(
+                cfg, num_slots=num_slots, max_len=max_len,
+                cache_dtype=cache_dtype, kv_int4=kv_int4,
+                page_size=page_size, num_pages=num_pages,
+                decode_block_kv=decode_block_kv,
+                prefix_cache=prefix_cache,
             )
         self.free_slots = list(range(num_slots))
         self.active: Dict[int, Request] = {}  # slot -> request
@@ -292,9 +224,6 @@ class Engine:
             from . import tp as tp_lib
 
             self.params = tp_lib.shard_serving_params(self.params, cfg, mesh)
-            self.caches = [
-                tp_lib.shard_cache(c, mesh, tp_axis) for c in self.caches
-            ]
             self._prefill_jit = jax.jit(
                 functools.partial(
                     tp_lib.forward_prefill_tp, cfg=cfg, mesh=mesh,
@@ -306,38 +235,41 @@ class Engine:
                 functools.partial(llama.forward_prefill, cfg=cfg),
                 static_argnames=(),
             )
-        # Cache donation is a TPU-memory optimization only: the CPU runtime
-        # corrupts retained aliases of donated buffers (see kv_cache.append's
-        # note), and a jit that returns an input unchanged can alias it — so
-        # on CPU (the test runtime) donation is disabled outright.
-        donate = (1,) if jax.default_backend() != "cpu" else ()
-        self._decode_jit = jax.jit(
-            self._decode_step_impl, donate_argnums=donate
-        )
-        if cache_backend == "paged":
-            self._decode_paged_jit = jax.jit(
-                self._decode_paged_impl, donate_argnums=donate
-            )
         if self.draft_params is not None:
-            self.draft_caches = [
-                kvc.init_cache(
-                    num_slots, self.draft_cfg.num_kv_heads, max_len,
-                    self.draft_cfg.head_dim, cache_dtype,
-                )
-                for _ in range(self.draft_cfg.num_layers)
-            ]
+            # The draft model always runs on a private slot cache (small,
+            # single-chip) regardless of the target's backend.
+            self._draft_backend = SlotsBackend(
+                self.draft_cfg, num_slots=num_slots, max_len=max_len,
+                cache_dtype=cache_dtype,
+                decode_block_kv=decode_block_kv,
+            )
             self._draft_prefill_jit = jax.jit(
                 functools.partial(llama.forward_prefill, cfg=self.draft_cfg)
             )
-            self._draft_decode_jit = jax.jit(
-                functools.partial(
-                    self._decode_step_impl, cfg=self.draft_cfg
-                ),
-                donate_argnums=donate,
-            )
-            self._verify_jit = jax.jit(
-                self._verify_impl, donate_argnums=donate
-            )
+
+    # ------------------------------------------------------------------
+    # Backend state views (benchmarks and tests read these)
+    # ------------------------------------------------------------------
+
+    @property
+    def caches(self):
+        return self._backend.caches
+
+    @caches.setter
+    def caches(self, value):
+        self._backend.caches = value
+
+    @property
+    def pages(self):
+        return self._backend.pages
+
+    @property
+    def alloc(self):
+        return self._backend.alloc
+
+    @property
+    def draft_caches(self):
+        return self._draft_backend.caches
 
     # ------------------------------------------------------------------
     # Public API
@@ -405,20 +337,7 @@ class Engine:
             on_token=on_token,
             logprobs=logprobs,
         )
-        if self.cache_backend == "paged":
-            # Reject requests that could NEVER be admitted: waiting cannot
-            # help when the request's full reservation exceeds the whole
-            # pool (run_to_completion would otherwise spin forever on an
-            # oversubscribed pool).
-            need = self.alloc.pages_for(
-                self._reservation_tokens(req), self.page_size
-            )
-            if need > self.alloc.num_pages:
-                raise ValueError(
-                    f"request needs {need} pages but the pool only has "
-                    f"{self.alloc.num_pages}; raise num_pages or shrink "
-                    "the request"
-                )
+        self._backend.check_submit(self._reservation_tokens(req))
         self.waiting.append(req)
         return req
 
@@ -463,10 +382,11 @@ class Engine:
         """Drive step() until every submitted request is done.
 
         ``decode_burst``: when > 1 and the engine is in a pure-decode phase
-        (nothing waiting or prefilling, slots backend, identical sampling
-        params), run up to that many decode steps inside ONE jitted scan —
-        one host dispatch per burst instead of per token (sampling, EOS
-        detection, and per-request budgets all happen on device).
+        (nothing waiting or prefilling, identical sampling params), run up
+        to that many decode steps inside ONE jitted scan — one host
+        dispatch per burst instead of per token (sampling, EOS detection,
+        and per-request budgets all happen on device; the paged backend
+        scans over its pre-reserved page tables).
         """
         out: List[Request] = []
         with self._trace_cfg():
@@ -486,8 +406,6 @@ class Engine:
             return 1  # speculative rounds already batch tokens per dispatch
         if self.waiting or self.prefilling or not self.active:
             return 1  # mixed prefill/decode must interleave per step
-        if self.cache_backend != "slots":
-            return 1  # paged page-table growth is host-side per token
         reqs = list(self.active.values())
         if len({r.sampling for r in reqs}) != 1:
             return 1  # on-device sampling is shared across the burst
@@ -530,11 +448,6 @@ class Engine:
             padded = min(round_up(n, self.prefill_bucket), self.max_len)
         return max(padded, n + req.max_new_tokens)
 
-    def _prompt_hashes(self, req: Request) -> List[bytes]:
-        from . import paged_cache as pgc
-
-        return pgc.hash_pages(req.prompt, self.page_size)
-
     def _admit(self) -> None:
         """Move waiting requests into the prefill queue, reserving their
         full paged footprint up front (FIFO backpressure: the head of the
@@ -543,53 +456,24 @@ class Engine:
         refcounted) and prefill resumes at the first un-cached page."""
         while self.waiting and self.free_slots:
             req = self.waiting[0]
-            matched: List[int] = []
-            if self.cache_backend == "paged":
-                reserve = self._reservation_tokens(req)
-                if self.prefix_cache:
-                    # Cap the match so >= 1 prompt token always prefills
-                    # (the first sampled token needs fresh last-position
-                    # logits — a fully cached prompt would leave nothing
-                    # to run).
-                    usable = (len(req.prompt) - 1) // self.page_size
-                    matched = self.alloc.match_prefix(
-                        self._prompt_hashes(req)[:usable]
-                    )
-                need = self.alloc.pages_for(reserve, self.page_size) - len(
-                    matched
-                )
-                # Matched idle pages leave the evictable pool on adoption —
-                # count them out so they are not double-counted as both
-                # "ours" and "evictable".
-                avail = self.alloc.free_pages + max(
-                    0, self.alloc.evictable_pages - len(matched)
-                )
-                if need > avail:
-                    break
+            slot = self.free_slots[0]
+            matched = self._backend.try_admit(
+                req, slot, self._reservation_tokens(req)
+            )
+            if matched is None:
+                break
             self.waiting.pop(0)
-            slot = self.free_slots.pop(0)
+            self.free_slots.pop(0)
             req.slot = slot
-            if self.cache_backend == "paged":
-                if matched:
-                    self.alloc.adopt(slot, matched)
-                self.alloc.allocate(slot, reserve, self.page_size)
-                if matched:
-                    n_matched = len(matched) * self.page_size
-                    req.prefill_pos = n_matched
-                    self.alloc.lengths[slot] = n_matched
-                    self.stats["prefix_hits"] += 1
-                    self.stats["prefix_tokens_reused"] += n_matched
+            if matched:
+                req.prefill_pos = matched
+                self.stats["prefix_hits"] += 1
+                self.stats["prefix_tokens_reused"] += matched
             self.prefilling.append(req)
 
     def _register_prefix(self, req: Request) -> None:
-        """Publish a fully prefilled prompt's whole pages to the prefix
-        cache (pages holding any garbage tail rows past the prompt are
-        never whole, so never published)."""
-        if not self.prefix_cache:
-            return
-        hashes = self._prompt_hashes(req)
-        if hashes:
-            self.alloc.register(req.slot, hashes)
+        if self.prefix_cache:
+            self._backend.register_prefix(req)
 
     def _prefill_advance_group(self) -> None:
         """Advance prefill this step: the head request's next chunk, or —
@@ -646,45 +530,11 @@ class Engine:
         logits, kv = self._prefill_jit(
             self.params, jnp.asarray(tokens), last_pos=last_pos
         )
-        if self.cache_backend == "slots":
-            slot_arr = jnp.asarray([r.slot for r in reqs], jnp.int32)
-            zeros = jnp.zeros((k,), jnp.int32)
-            nvals = jnp.asarray(
-                [len(r.prompt) for r in reqs], jnp.int32
-            )
-            if not hasattr(self, "_append_all_jit"):
-
-                def _append_all(caches, kv, slots, offs, nv):
-                    return [
-                        kvc.append(
-                            c, slots, kl.astype(jnp.float32),
-                            vl.astype(jnp.float32), offs, nv,
-                        )
-                        for c, (kl, vl) in zip(caches, kv)
-                    ]
-
-                donate = (0,) if jax.default_backend() != "cpu" else ()
-                self._append_all_jit = jax.jit(
-                    _append_all, donate_argnums=donate
-                )
-            self.caches = self._append_all_jit(
-                self.caches, kv, slot_arr, zeros, nvals
-            )
-        else:
-            from . import paged_cache as pgc
-
-            n_pages = -(-padded // self.page_size)
-            for i, r in enumerate(reqs):
-                page_ids = jnp.asarray(
-                    self.alloc.tables[r.slot, :n_pages], jnp.int32
-                )
-                for li in range(self.cfg.num_layers):
-                    k_l, v_l = kv[li]
-                    self.pages[li] = pgc.write_tokens(
-                        self.pages[li], page_ids, 0, k_l[i], v_l[i]
-                    )
-                self.alloc.lengths[r.slot] = len(r.prompt)
-                self._register_prefix(r)
+        self._backend.write_prefill_batch(
+            kv, [r.slot for r in reqs], [len(r.prompt) for r in reqs], padded
+        )
+        for r in reqs:
+            self._register_prefix(r)
         self.stats["prefill_forwards"] += 1
         # One fetch for the whole batch when every request is greedy (the
         # common case) — per-request int() fetches each pay the fixed
@@ -729,8 +579,7 @@ class Engine:
         if req.prefill_pos < n:
             return  # more chunks to go; decode still runs this step
         self.prefilling.remove(req)
-        if self.cache_backend == "paged":
-            self._register_prefix(req)
+        self._register_prefix(req)
         if req.logprobs:
             t, l = self._sample_lp(logits_last, req.sampling)
             finished_now = self._emit(req, int(t[0]), lp=float(l[0]))
@@ -739,124 +588,6 @@ class Engine:
             finished_now = self._emit(req, int(first[0]))
         if not finished_now:  # may finish at prefill (max_new_tokens == 1)
             self.active[req.slot] = req
-
-    def _prefill_chunk_impl(self, params, caches, chunk_tokens, slot, off, tc):
-        """Jitted (off static): one prefill chunk attending to cache prefix
-        + itself, then appended to the cache (mixed prefill/decode building
-        block — BASELINE config 4).  Under a mesh the attention runs
-        shard-mapped on the KV-head axis (serving/tp.chunk_attention_tp)."""
-        cfg = self.cfg
-        width = chunk_tokens.shape[1]  # padded chunk width; tc <= width valid
-        positions = off + jnp.arange(width, dtype=jnp.int32)
-        recorded = {}
-
-        def attend(idx, q, k_new, v_new):
-            recorded[idx] = (k_new, v_new)
-            c = caches[idx]
-            if self.mesh is not None:
-                from . import tp as tp_lib
-
-                return tp_lib.chunk_attention_tp(
-                    q, k_new, v_new, c, slot, off,
-                    mesh=self.mesh, axis=self.tp_axis,
-                    head_dim=cfg.head_dim, window=self._window(cfg),
-                )
-            return _chunk_prefix_attend(
-                q, k_new, v_new, c.k, c.v, c.k_scale, c.v_scale, slot, off,
-                head_dim=cfg.head_dim, window=self._window(cfg),
-            )
-
-        logits = llama.forward_chunk(params, chunk_tokens, positions, cfg, attend)
-        slot_arr = slot[None]
-        off_arr = jnp.full((1,), off, jnp.int32)
-        nval_arr = jnp.reshape(tc, (1,)).astype(jnp.int32)
-        for li in range(cfg.num_layers):
-            k_l, v_l = recorded[li]
-            # Full-width writes (tc stays traced -> one compile per chunk
-            # offset, max_len/chunk total).  Alignment is guaranteed by the
-            # max_len % prefill_chunk check at construction, so the write
-            # can never run past the cache; rows beyond tc hold garbage but
-            # lengths (off + tc) masks them and the next chunk overwrites.
-            caches[li] = kvc.append(
-                caches[li], slot_arr, k_l.astype(jnp.float32),
-                v_l.astype(jnp.float32), off_arr, nval_arr,
-            )
-        return caches, logits
-
-    def _prefill_chunk_paged_impl(
-        self, params, pages, chunk_tokens, table_row, off, tc
-    ):
-        """Jitted (off static): one paged prefill chunk — attends to the
-        page-gathered cache prefix + itself, then writes itself into this
-        slot's reserved pages (mixed prefill/decode on the paged backend;
-        BASELINE config 4)."""
-        from ..ops.flash import flash_attention
-        from .paged_cache import write_tokens as pgc_write
-
-        cfg = self.cfg
-        psize = self.page_size
-        width = chunk_tokens.shape[1]  # padded chunk width; tc <= width
-        positions = off + jnp.arange(width, dtype=jnp.int32)
-        recorded = {}
-
-        def attend(idx, q, k_new, v_new):
-            recorded[idx] = (k_new, v_new)
-            lp = pages[idx]
-            if off > 0:
-                # off is chunk-aligned and chunks are page multiples, so
-                # the prefix covers whole pages exactly.
-                n_pg = off // psize
-                pids = table_row[:n_pg]
-
-                def prefix(vals, scales):
-                    p = jnp.take(vals, pids, axis=1)  # (Hkv, n_pg, psize, D)
-                    if self.kv_int4:
-                        # Token-packed pages: (Hkv, n_pg, psize/2, D) bytes
-                        # -> per-page natural token order via the axis-2
-                        # split-halves unpack.
-                        from ..ops.quant import unpack_int4
-
-                        p = unpack_int4(p, jnp.float32, axis=2)
-                    else:
-                        p = p.astype(jnp.float32)
-                    p = p.reshape(cfg.num_kv_heads, off, cfg.head_dim)
-                    if scales is not None:
-                        s = jnp.take(scales, pids, axis=1).reshape(
-                            cfg.num_kv_heads, off
-                        )
-                        p = p * s[..., None]
-                    return p[None].astype(jnp.bfloat16)
-
-                k_all = jnp.concatenate(
-                    [prefix(lp.k, lp.k_scale), k_new.astype(jnp.bfloat16)],
-                    axis=2,
-                )
-                v_all = jnp.concatenate(
-                    [prefix(lp.v, lp.v_scale), v_new.astype(jnp.bfloat16)],
-                    axis=2,
-                )
-            else:
-                k_all, v_all = k_new, v_new
-            return flash_attention(
-                q, k_all, v_all, is_causal=True, q_offset=jnp.int32(off),
-                window=self._window(cfg),
-            )
-
-        logits = llama.forward_chunk(params, chunk_tokens, positions, cfg, attend)
-        first_pg = off // psize
-        n_pg_chunk = width // psize
-        pids_chunk = table_row[first_pg : first_pg + n_pg_chunk]
-        for li in range(cfg.num_layers):
-            k_l, v_l = recorded[li]
-            # Full-width writes into this slot's own reserved pages; rows
-            # beyond tc hold garbage that lengths mask and the next chunk
-            # (or the first decode append) overwrites.
-            pages[li] = pgc_write(
-                pages[li], pids_chunk, 0,
-                k_l[0].astype(jnp.float32), v_l[0].astype(jnp.float32),
-            )
-        del tc  # traced; only threaded through for jit-cache keying parity
-        return pages, logits
 
     def _prefill_one_chunk(self, req: Request) -> jax.Array:
         """Run exactly one prefill chunk for ``req``; returns the chunk's
@@ -867,130 +598,105 @@ class Engine:
         tc = min(chunk, n - off)
         tokens = np.zeros((1, chunk), np.int32)
         tokens[0, :tc] = req.prompt[off : off + tc]
-        if self.cache_backend == "slots":
-            if not hasattr(self, "_chunk_jit"):
-                self._chunk_jit = jax.jit(
-                    self._prefill_chunk_impl, static_argnames=("off",)
-                )
-            self.caches, logits = self._chunk_jit(
-                self.params, self.caches, jnp.asarray(tokens),
-                jnp.int32(req.slot), off=off, tc=jnp.int32(tc),
-            )
-        else:
-            if not hasattr(self, "_chunk_paged_jit"):
-                self._chunk_paged_jit = jax.jit(
-                    self._prefill_chunk_paged_impl, static_argnames=("off",)
-                )
-            table_row = jnp.asarray(self.alloc.tables[req.slot], jnp.int32)
-            self.pages, logits = self._chunk_paged_jit(
-                self.params, self.pages, jnp.asarray(tokens), table_row,
-                off=off, tc=jnp.int32(tc),
-            )
-            self.alloc.lengths[req.slot] = off + tc
+        logits = self._backend.prefill_chunk(
+            self.params, jnp.asarray(tokens), req, off, tc
+        )
         req.prefill_pos = off + tc
         self.stats["prefill_tokens"] += tc
         self.stats["prefill_forwards"] += 1
         return logits[:, tc - 1, :]
 
-
     # ------------------------------------------------------------------
     # Decode
     # ------------------------------------------------------------------
 
-    def _decode_step_impl(self, params, caches, tokens, active_mask, cfg=None):
-        """Jitted: one decode step over all slots.
+    def _active_mask(self) -> np.ndarray:
+        mask = np.zeros((self.num_slots,), bool)
+        for slot in self.active:
+            mask[slot] = True
+        return mask
 
-        Appends the current tokens' K/V, runs fused decode attention per
-        layer, returns (new_caches, logits).  ``cfg`` overrides self.cfg
-        (the speculative DRAFT model decodes through the same impl)."""
-        cfg = cfg or self.cfg
-        positions = caches[0].lengths  # pre-append lengths == positions
+    def _decode_burst(self, n: int) -> List[Request]:
+        sp = next(iter(self.active.values())).sampling
+        want_lp = any(r.logprobs for r in self.active.values())
+        active_mask = self._active_mask()
+        eos = np.full((self.num_slots,), -1, np.int32)
+        remaining = np.zeros((self.num_slots,), np.int32)
+        for slot, req in self.active.items():
+            eos[slot] = -1 if req.eos_id is None else req.eos_id
+            remaining[slot] = req.max_new_tokens - len(req.output)
+        self._key, sub = jax.random.split(self._key)
+        packed = self._backend.burst(
+            self.params, self.last_token, active_mask, remaining, eos, sub,
+            n, sp, want_lp,
+        )
+        if want_lp:
+            toks = packed[0].astype(np.int32)
+            emits = packed[1] != 0.0
+            lps = packed[2]
+        else:
+            toks, emits, lps = packed[0], packed[1].astype(bool), None
+        self.stats["decode_steps"] += n
+        finished: List[Request] = []
+        for t in range(n):
+            for slot, req in list(self.active.items()):
+                if emits[t, slot]:
+                    lp = float(lps[t, slot]) if lps is not None else None
+                    if self._emit(req, int(toks[t, slot]), lp=lp):
+                        finished.append(req)
+        return finished
 
-        def attend(idx, q, k_new, v_new):
-            cache = caches[idx]
-            slot_ids = jnp.arange(self.num_slots, dtype=jnp.int32)
-            # Only bump lengths for active slots (inactive write at pos 0
-            # with n_valid 0 — harmless, masked out by length).
-            nval = active_mask.astype(jnp.int32)
-            caches[idx] = kvc.append(
-                cache,
-                slot_ids,
-                k_new[:, :, None, :].astype(jnp.float32),
-                v_new[:, :, None, :].astype(jnp.float32),
-                positions,
-                nval,
-            )
-            c = caches[idx]
-            if self.mesh is not None:
-                from . import tp as tp_lib
+    def _decode(self) -> List[Request]:
+        self.stats["decode_steps"] += 1
+        if self.draft_params is not None:
+            # A per-token step advances the TARGET cache only — any slot
+            # it touches has a stale draft cache afterwards, and a later
+            # speculative round must mirror-prefill it again (otherwise
+            # rollback would mark never-written draft rows as valid).
+            for slot in self.active:
+                self._draft_prefilled.discard(slot)
+        logits = self._backend.decode(
+            self.params, self.last_token, self._active_mask(),
+            list(self.active),
+        )
 
-                return tp_lib.decode_attention_tp(
-                    q.astype(jnp.bfloat16),
-                    c.k, c.v, c.lengths,
-                    mesh=self.mesh, axis=self.tp_axis,
-                    k_scale=c.k_scale, v_scale=c.v_scale,
-                    block_kv=self.decode_block_kv,
-                    window=self._window(cfg),
+        finished: List[Request] = []
+        items = list(self.active.items())
+        want_lp = any(req.logprobs for _, req in items)
+        if len({req.sampling for _, req in items}) == 1:
+            # One device op + ONE host fetch for all slots: every
+            # np.asarray/int() fetch through the tunnel costs a fixed
+            # ~38 ms, and the old per-slot sampling loop paid it |active|
+            # times — measured 3.0 s engine steps at 16 slots vs ~0.5 s
+            # of actual compute (benchmarks/engine_prefill_probe.py).
+            # Rows of inactive slots are sampled too (same op) and ignored.
+            sp = items[0][1].sampling
+            if want_lp:
+                toks, lps = self._sample_lp(logits, sp)
+            else:
+                toks, lps = np.asarray(self._sample(logits, sp)), None
+            for slot, req in items:
+                lp = float(lps[slot]) if lps is not None else None
+                if self._emit(req, int(toks[slot]), lp=lp):
+                    finished.append(req)
+            return finished
+        # Mixed per-request sampling params: sample per request.
+        for slot, req in items:
+            if req.logprobs:
+                t, l = self._sample_lp(logits[slot : slot + 1], req.sampling)
+                tok, lp = int(t[0]), float(l[0])
+            else:
+                tok = int(
+                    self._sample(logits[slot : slot + 1], req.sampling)[0]
                 )
-            return decode_attention(
-                q.astype(jnp.bfloat16),
-                c.k,
-                c.v,
-                c.lengths,
-                k_scale=c.k_scale,
-                v_scale=c.v_scale,
-                block_kv=self.decode_block_kv,
-                window=self._window(cfg),
-            )
+                lp = None
+            if self._emit(req, tok, lp=lp):
+                finished.append(req)
+        return finished
 
-        logits = llama.forward_decode(params, tokens, positions, cfg, attend)
-        return caches, logits
-
-    @staticmethod
-    def _window(cfg):
-        """HF convention: sliding_window=w attends to exactly w keys
-        including self, i.e. left extent w-1 (models/llama._attend)."""
-        return (cfg.window - 1, 0) if cfg.window is not None else None
-
-    def _verify_impl(self, params, caches, tokens, positions, active_mask):
-        """Jitted: multi-token target verification (speculative decoding).
-
-        Appends the T candidate tokens to every active slot's cache, then
-        computes logits for ALL T positions in ONE forward — this parallel
-        pass is where speculative decoding's speedup comes from (the
-        target touches its KV stream once per round instead of once per
-        token).  Attention is the fused decode kernel's multi-query mode
-        (4-D q: the kernel's M dim packs (group, token) pairs and masks
-        each token's intra-chunk causality per row — no cache
-        dequantization pass).
-
-        Rollback of rejected tokens is just a lengths reset afterwards:
-        the ragged-cache contract says rows beyond ``lengths`` are garbage
-        and every append overwrites from its offset.
-        """
-        cfg = self.cfg
-        t_width = tokens.shape[1]
-        pos2d = positions[:, None] + jnp.arange(t_width, dtype=jnp.int32)
-
-        def attend(idx, q, k_new, v_new):
-            cache = caches[idx]
-            slot_ids = jnp.arange(self.num_slots, dtype=jnp.int32)
-            nval = active_mask.astype(jnp.int32) * t_width
-            caches[idx] = kvc.append(
-                cache, slot_ids,
-                k_new.astype(jnp.float32), v_new.astype(jnp.float32),
-                positions, nval,
-            )
-            c = caches[idx]
-            return decode_attention(
-                q.astype(jnp.bfloat16), c.k, c.v, c.lengths,
-                k_scale=c.k_scale, v_scale=c.v_scale,
-                block_kv=self.decode_block_kv,
-                window=self._window(cfg),
-            )
-
-        logits = llama.forward_chunk(params, tokens, pos2d, cfg, attend)
-        return caches, logits
+    # ------------------------------------------------------------------
+    # Speculative decoding
+    # ------------------------------------------------------------------
 
     def _draft_prefill(self, req: Request) -> None:
         """Mirror-prefill a request's context into the draft caches.
@@ -1004,15 +710,7 @@ class Engine:
         tokens = np.zeros((1, padded), np.int32)
         tokens[0, :n] = ctx
         _, kv = self._draft_prefill_jit(self.draft_params, jnp.asarray(tokens))
-        slot_arr = jnp.array([req.slot], jnp.int32)
-        zero = jnp.zeros((1,), jnp.int32)
-        nval = jnp.array([n], jnp.int32)
-        for li in range(self.draft_cfg.num_layers):
-            k_l, v_l = kv[li]
-            self.draft_caches[li] = kvc.append(
-                self.draft_caches[li], slot_arr, k_l.astype(jnp.float32),
-                v_l.astype(jnp.float32), zero, nval,
-            )
+        self._draft_backend.write_prefill_batch(kv, [req.slot], [n], padded)
 
     def _spec_applicable(self) -> bool:
         """Speculative rounds need a draft, a SINGLE shared SamplingParams
@@ -1033,10 +731,15 @@ class Engine:
             # retain it — such requests decode per-token/burst instead.
             return False
         room = self.spec_tokens + 1
-        return all(
+        if not all(
             len(r.prompt) + len(r.output) - 1 + room <= self.max_len
             for r in self.active.values()
-        )
+        ):
+            return False
+        # The paged backend must also be able to GROW every active slot by
+        # the candidate block (verification may write past the admission
+        # reservation when most of the new-token budget is already spent).
+        return self._backend.can_speculate(list(self.active), room)
 
     def _speculative_round(self) -> List[Request]:
         """One speculative-decoding round over all active slots.
@@ -1060,9 +763,7 @@ class Engine:
         self.stats["spec_rounds"] += 1
         sp0 = next(iter(self.active.values())).sampling  # shared (checked)
         greedy = sp0.temperature == 0.0
-        active_np = np.zeros((self.num_slots,), bool)
-        for slot in self.active:
-            active_np[slot] = True
+        active_np = self._active_mask()
         amask = jnp.asarray(active_np)
 
         # Draft proposes gamma tokens; one EXTRA step appends the last
@@ -1075,8 +776,8 @@ class Engine:
         proposals = [cur]
         q_probs_steps = []
         for g in range(gamma + 1):
-            self.draft_caches, dlogits = self._draft_decode_jit(
-                self.draft_params, self.draft_caches, cur, amask
+            dlogits = self._draft_backend.decode(
+                self.draft_params, cur, active_np, list(self.active)
             )
             if g < gamma:
                 if greedy:
@@ -1097,10 +798,9 @@ class Engine:
 
         # Target scores [last_token, d_1..d_gamma] in one parallel pass.
         cand_dev = jnp.stack(proposals, axis=1)  # (num_slots, gamma+1)
-        positions = np.asarray(self.caches[0].lengths)
-        self.caches, vlogits = self._verify_jit(
-            self.params, self.caches, cand_dev,
-            jnp.asarray(positions), amask,
+        positions = self._backend.host_lengths()
+        vlogits = self._backend.verify(
+            self.params, cand_dev, positions, active_np
         )
 
         if greedy:
@@ -1158,293 +858,8 @@ class Engine:
             # don't resurrect them.
             rollback[slot] = not done
 
-        rb = jnp.asarray(rollback)
-        nl = jnp.asarray(new_len)
-        for li in range(self.cfg.num_layers):
-            self.caches[li] = dataclasses.replace(
-                self.caches[li],
-                lengths=jnp.where(rb, nl, self.caches[li].lengths),
-            )
-        for li in range(self.draft_cfg.num_layers):
-            self.draft_caches[li] = dataclasses.replace(
-                self.draft_caches[li],
-                lengths=jnp.where(rb, nl, self.draft_caches[li].lengths),
-            )
-        return finished
-
-    def _decode_paged_impl(
-        self, params, pages, tokens, tables, positions, active_mask
-    ):
-        """Jitted: one decode step over all slots, paged backend.
-
-        Writes each active slot's new K/V token into its current page, then
-        runs the async-DMA paged attention kernel per layer."""
-        from ..ops.paged import paged_decode_attention
-        from .paged_cache import LayerPages
-
-        cfg = self.cfg
-        psize = self.page_size
-        quantized = pages[0].k_scale is not None
-        int8 = pages[0].k.dtype == jnp.int8
-        int4 = self.kv_int4
-        new_lengths = positions + active_mask.astype(jnp.int32)
-
-        def attend(idx, q, k_new, v_new):
-            lp = pages[idx]
-
-            def qz(x):  # (B, Hkv, D) float -> values (+ (B, Hkv) scales)
-                if not quantized:
-                    return x.astype(lp.k.dtype), None
-                if int4:
-                    fn = quant.quantize_int4_values
-                elif int8:
-                    fn = quant.dynamically_quantize_int8
-                else:
-                    fn = quant.dynamically_quantize_fp8
-                return fn(x.astype(jnp.float32), reduction_dim=-1)
-
-            kq, ks = qz(k_new)
-            vq, vs = qz(v_new)
-
-            def body(i, carry):
-                kpg, vpg, kspg, vspg = carry
-                pos = positions[i]
-                page = tables[i, pos // psize]
-                off = pos % psize
-
-                def write(c):
-                    kpg, vpg, kspg, vspg = c
-                    if int4:
-                        # Token-packed pages: token ``off`` lives in byte
-                        # row off % (psize/2) — low nibble for the first
-                        # half of the page, high nibble for the second.
-                        # RMW the one byte row; int32 math avoids int8
-                        # shift-overflow pitfalls.
-                        half = psize // 2
-                        low = off < half
-                        row = jnp.where(low, off, off - half)
-
-                        def nib(dst, val):
-                            hkv, d = val.shape
-                            old = jax.lax.dynamic_slice(
-                                dst, (0, page, row, 0), (hkv, 1, 1, d)
-                            ).astype(jnp.int32)
-                            v32 = (
-                                val[:, None, None, :].astype(jnp.int32) & 0xF
-                            )
-                            new = jnp.where(
-                                low,
-                                (old & ~0xF) | v32,
-                                (old & 0xF) | (v32 << 4),
-                            )
-                            return jax.lax.dynamic_update_slice(
-                                dst, new.astype(jnp.int8), (0, page, row, 0)
-                            )
-
-                        kpg = nib(kpg, kq[i])
-                        vpg = nib(vpg, vq[i])
-                    else:
-                        kpg = jax.lax.dynamic_update_slice(
-                            kpg, kq[i][:, None, None, :], (0, page, off, 0)
-                        )
-                        vpg = jax.lax.dynamic_update_slice(
-                            vpg, vq[i][:, None, None, :], (0, page, off, 0)
-                        )
-                    if quantized:
-                        kspg = jax.lax.dynamic_update_slice(
-                            kspg, ks[i][:, None, None], (0, page, off)
-                        )
-                        vspg = jax.lax.dynamic_update_slice(
-                            vspg, vs[i][:, None, None], (0, page, off)
-                        )
-                    return kpg, vpg, kspg, vspg
-
-                return jax.lax.cond(active_mask[i], write, lambda c: c, carry)
-
-            kspg = lp.k_scale if quantized else jnp.zeros((0,), jnp.float32)
-            vspg = lp.v_scale if quantized else jnp.zeros((0,), jnp.float32)
-            kpg, vpg, kspg, vspg = jax.lax.fori_loop(
-                0, self.num_slots, body, (lp.k, lp.v, kspg, vspg)
-            )
-            pages[idx] = LayerPages(
-                k=kpg,
-                v=vpg,
-                k_scale=kspg if quantized else None,
-                v_scale=vspg if quantized else None,
-            )
-            return paged_decode_attention(
-                q.astype(jnp.bfloat16),
-                kpg,
-                vpg,
-                new_lengths,
-                tables,
-                k_scale_pages=kspg if quantized else None,
-                v_scale_pages=vspg if quantized else None,
-                pages_per_block=self._pages_per_block,
-                window=self._window(cfg),
-            )
-
-        logits = llama.forward_decode(params, tokens, positions, cfg, attend)
-        return pages, logits
-
-    def _decode_burst_impl(
-        self, params, caches, tokens, active, remaining, eos_ids, key,
-        *, n_steps: int, sp: SamplingParams, want_lp: bool = False,
-    ):
-        """Jitted: ``n_steps`` decode steps in one ``lax.scan`` (slots
-        backend).  Sampling, EOS detection, and per-slot new-token budgets
-        all run on device; the host gets back the token and emitted-mask
-        traces (plus a logprob trace when ``want_lp``) — one dispatch per
-        burst instead of per token."""
-
-        def one(carry, _):
-            caches, tokens, active, remaining, key = carry
-            caches, logits = self._decode_step_impl(
-                params, caches, tokens, active
-            )
-            key, sub = jax.random.split(key)
-            skey = None if sp.temperature == 0.0 else sub
-            if want_lp:
-                nxt, lp = sample_with_logprob(logits, sp, skey)
-            else:
-                nxt = sample(logits, sp, skey)
-                lp = jnp.zeros(nxt.shape, jnp.float32)
-            emitted = active
-            nxt = jnp.where(active, nxt, tokens)
-            remaining = remaining - active.astype(jnp.int32)
-            hit_eos = jnp.logical_and(nxt == eos_ids, eos_ids >= 0)
-            active = jnp.logical_and(
-                active, jnp.logical_and(~hit_eos, remaining > 0)
-            )
-            return (caches, nxt, active, remaining, key), (nxt, emitted, lp)
-
-        (caches, *_), (toks, emits, lps) = jax.lax.scan(
-            one, (caches, tokens, active, remaining, key), None,
-            length=n_steps,
-        )
-        # ONE fetchable array: each host->device fetch pays a fixed ~38 ms
-        # tunnel roundtrip (traced in benchmarks/decode_ladder.py), so the
-        # token and emitted-mask (and logprob) traces ship together.
-        # Token ids round-trip exactly through float32 (vocab < 2^24).
-        if want_lp:
-            packed = jnp.stack(
-                [toks.astype(jnp.float32), emits.astype(jnp.float32), lps]
-            )
-        else:
-            packed = jnp.stack([toks, emits.astype(jnp.int32)])
-        return caches, packed
-
-    def _decode_burst(self, n: int) -> List[Request]:
-        sp = next(iter(self.active.values())).sampling
-        want_lp = any(r.logprobs for r in self.active.values())
-        if not hasattr(self, "_burst_jits"):
-            self._burst_jits = {}
-        jitted = self._burst_jits.get((n, sp, want_lp))
-        if jitted is None:
-            donate = (1,) if jax.default_backend() != "cpu" else ()
-            jitted = jax.jit(
-                functools.partial(
-                    self._decode_burst_impl, n_steps=n, sp=sp,
-                    want_lp=want_lp,
-                ),
-                donate_argnums=donate,
-            )
-            self._burst_jits[(n, sp, want_lp)] = jitted
-        active_mask = np.zeros((self.num_slots,), bool)
-        eos = np.full((self.num_slots,), -1, np.int32)
-        remaining = np.zeros((self.num_slots,), np.int32)
-        for slot, req in self.active.items():
-            active_mask[slot] = True
-            eos[slot] = -1 if req.eos_id is None else req.eos_id
-            remaining[slot] = req.max_new_tokens - len(req.output)
-        self._key, sub = jax.random.split(self._key)
-        self.caches, packed = jitted(
-            self.params, self.caches, jnp.asarray(self.last_token),
-            jnp.asarray(active_mask), jnp.asarray(remaining),
-            jnp.asarray(eos), sub,
-        )
-        packed = np.asarray(packed)  # one fixed-cost fetch per burst
-        if want_lp:
-            toks = packed[0].astype(np.int32)
-            emits = packed[1] != 0.0
-            lps = packed[2]
-        else:
-            toks, emits, lps = packed[0], packed[1].astype(bool), None
-        self.stats["decode_steps"] += n
-        finished: List[Request] = []
-        for t in range(n):
-            for slot, req in list(self.active.items()):
-                if emits[t, slot]:
-                    lp = float(lps[t, slot]) if lps is not None else None
-                    if self._emit(req, int(toks[t, slot]), lp=lp):
-                        finished.append(req)
-        return finished
-
-    def _decode(self) -> List[Request]:
-        self.stats["decode_steps"] += 1
-        if self.draft_params is not None:
-            # A per-token step advances the TARGET cache only — any slot
-            # it touches has a stale draft cache afterwards, and a later
-            # speculative round must mirror-prefill it again (otherwise
-            # rollback would mark never-written draft rows as valid).
-            for slot in self.active:
-                self._draft_prefilled.discard(slot)
-        active_mask = np.zeros((self.num_slots,), bool)
-        for slot in self.active:
-            active_mask[slot] = True
-        tokens = jnp.asarray(self.last_token)
-        if self.cache_backend == "paged":
-            # Host-side: make sure every active slot has a page for the
-            # incoming token, then run the jitted step.
-            for slot in self.active:
-                self.alloc.allocate(
-                    slot, int(self.alloc.lengths[slot]) + 1, self.page_size
-                )
-            positions = jnp.asarray(self.alloc.lengths)
-            tables = jnp.asarray(self.alloc.tables)
-            self.pages, logits = self._decode_paged_jit(
-                self.params, self.pages, tokens, tables, positions,
-                jnp.asarray(active_mask),
-            )
-            for slot in self.active:
-                self.alloc.lengths[slot] += 1
-        else:
-            self.caches, logits = self._decode_jit(
-                self.params, self.caches, tokens, jnp.asarray(active_mask)
-            )
-
-        finished: List[Request] = []
-        items = list(self.active.items())
-        want_lp = any(req.logprobs for _, req in items)
-        if len({req.sampling for _, req in items}) == 1:
-            # One device op + ONE host fetch for all slots: every
-            # np.asarray/int() fetch through the tunnel costs a fixed
-            # ~38 ms, and the old per-slot sampling loop paid it |active|
-            # times — measured 3.0 s engine steps at 16 slots vs ~0.5 s
-            # of actual compute (benchmarks/engine_prefill_probe.py).
-            # Rows of inactive slots are sampled too (same op) and ignored.
-            sp = items[0][1].sampling
-            if want_lp:
-                toks, lps = self._sample_lp(logits, sp)
-            else:
-                toks, lps = np.asarray(self._sample(logits, sp)), None
-            for slot, req in items:
-                lp = float(lps[slot]) if lps is not None else None
-                if self._emit(req, int(toks[slot]), lp=lp):
-                    finished.append(req)
-            return finished
-        # Mixed per-request sampling params: sample per request.
-        for slot, req in items:
-            if req.logprobs:
-                t, l = self._sample_lp(logits[slot : slot + 1], req.sampling)
-                tok, lp = int(t[0]), float(l[0])
-            else:
-                tok = int(
-                    self._sample(logits[slot : slot + 1], req.sampling)[0]
-                )
-                lp = None
-            if self._emit(req, tok, lp=lp):
-                finished.append(req)
+        self._backend.rollback(rollback, new_len)
+        self._draft_backend.rollback(rollback, new_len)
         return finished
 
     # ------------------------------------------------------------------
@@ -1497,26 +912,15 @@ class Engine:
 
     def _release(self, req: Request) -> None:
         """Mark ``req`` done and return its slot (cache rows, pages) to the
-        pool.  All layers' slot-frees go in ONE jitted dispatch — a
-        per-layer loop is 32 host dispatches per finished request."""
+        pool."""
         req.done = True
         if req.slot is not None and req.slot in self.active:
             del self.active[req.slot]
         if req.slot is not None:
-            if self.cache_backend == "slots":
-                if not hasattr(self, "_free_all_jit"):
-                    self._free_all_jit = jax.jit(
-                        lambda caches, s: [kvc.free_slots(c, s) for c in caches]
-                    )
-                sl = jnp.array([req.slot], jnp.int32)
-                self.caches = self._free_all_jit(self.caches, sl)
-                if self.draft_params is not None:
-                    self.draft_caches = self._free_all_jit(
-                        self.draft_caches, sl
-                    )
-                    self._draft_prefilled.discard(req.slot)
-            else:
-                self.alloc.release(req.slot)
+            self._backend.release(req.slot)
+            if self.draft_params is not None:
+                self._draft_backend.release(req.slot)
+                self._draft_prefilled.discard(req.slot)
             self.free_slots.append(req.slot)
         self.finished.append(req)
 

@@ -145,7 +145,7 @@ def chunk_attention_tp(
     and runs the fused causal kernel on its local Q-head groups; like
     ``decode_attention_tp``, attention itself is zero-communication (the
     psum lives in the row-sharded output projection that follows)."""
-    from .engine import _chunk_prefix_attend
+    from .backends import _chunk_prefix_attend
 
     n = mesh.shape[axis]
     if q.shape[1] % n or k_new.shape[1] % n:

@@ -373,3 +373,41 @@ def test_decode_sliding_window_quantized_and_ragged():
         ref[b] = np.asarray(o[0, :, 0], np.float32)
     assert rmse(out, ref) < RMSE_TOL
     assert np.all(np.asarray(out[3], np.float32) == 0.0)
+
+
+def test_decode_multi_token_verification_int4():
+    """Multi-query mode over the PACKED-INT4 cache (speculative
+    verification with kv_int4=True): in-kernel unpack + per-row
+    intra-chunk causality must track the float oracle within the int4
+    budget."""
+    from quantumattention_tpu.ops.quant import dynamically_quantize_int4
+
+    B, Hq, Hkv, D, S, T = 2, 8, 2, 128, 384, 4
+    G = Hq // Hkv
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(3), 3)
+    q = jax.random.normal(k1, (B, Hq, T, D), jnp.float32)
+    kraw = jax.random.normal(k2, (B, Hkv, S, D), jnp.float32)
+    vraw = jax.random.normal(k3, (B, Hkv, S, D), jnp.float32)
+    lengths = jnp.array([100 + T, 37 + T], jnp.int32)
+    kc4, ks = dynamically_quantize_int4(kraw)
+    vc4, vs = dynamically_quantize_int4(vraw)
+    assert kc4.shape[-1] == D // 2  # packed container
+
+    out = decode_attention(
+        q.astype(jnp.bfloat16), kc4, vc4, lengths,
+        k_scale=ks, v_scale=vs, block_kv=128, block_batch=1,
+    )
+    assert out.shape == (B, Hq, T, D)
+
+    ref = np.zeros((B, Hq, T, D), np.float32)
+    for b in range(B):
+        for t in range(T):
+            n = int(lengths[b]) - (T - 1 - t)
+            o = sdpa_reference(
+                q[b][None, :, t : t + 1, :],
+                jnp.repeat(kraw[b][None, :, :n], G, 1),
+                jnp.repeat(vraw[b][None, :, :n], G, 1),
+            )
+            ref[b, :, t] = np.asarray(o[0, :, 0], np.float32)
+    # int4 tolerance: ~4x the int8 budget (one fewer bit each for K and V).
+    assert rmse(out, ref) < 4e-2

@@ -742,3 +742,48 @@ def test_engine_logprobs_burst_and_stochastic(params):
     eng2.run_to_completion(decode_burst=4)
     assert len(r2.logprob_output) == len(r2.output) == 5
     assert all(np.isfinite(v) and v <= 1e-6 for v in r2.logprob_output)
+
+
+def test_engine_paged_decode_burst(params):
+    """Paged burst decode: admission pre-reserved every request's full
+    footprint, so the burst scan runs over FIXED page tables with
+    positions advancing on device.  CPU paged decode is nondeterministic
+    (CLAUDE.md), so assert schedule invariants + host/device length
+    reconciliation, not exact token equality (the chip smoke asserts
+    burst == per-step exactly)."""
+    prompt = [3, 17, 42, 99, 7]
+    n_new = 9
+    eng = Engine(params, CFG, num_slots=2, max_len=256,
+                 cache_dtype=jnp.bfloat16, cache_backend="paged",
+                 page_size=64)
+    ra = eng.submit(prompt, max_new_tokens=n_new)
+    eos_probe = Engine(params, CFG, num_slots=2, max_len=256,
+                       cache_dtype=jnp.bfloat16, cache_backend="paged",
+                       page_size=64)
+    r_probe = eos_probe.submit(prompt, max_new_tokens=1)
+    eos_probe.run_to_completion()
+    # Second request stops at its first generated token via EOS — the
+    # burst's on-device EOS detection must stop it (first token comes from
+    # prefill logits, which ARE deterministic on CPU).
+    rb = eng.submit(prompt, max_new_tokens=n_new, eos_id=r_probe.output[0])
+    eng.run_to_completion(decode_burst=4)
+    assert ra.done and len(ra.output) == n_new
+    assert rb.done and len(rb.output) == 1
+    assert eng.stats["decode_steps"] >= n_new - 1
+    # Pages fully returned; host lengths reconciled to zero on release.
+    assert int(eng.alloc.allocated.sum()) == 0
+    assert int(eng.alloc.lengths.sum()) == 0
+
+
+def test_engine_paged_burst_mixed_with_admission(params):
+    """Bursting only applies in pure-decode phases; with a waiting queue
+    longer than the slots the engine must interleave correctly and every
+    request must complete."""
+    prompts = [[(5 * i + j) % 250 + 1 for j in range(10)] for i in range(5)]
+    eng = Engine(params, CFG, num_slots=2, max_len=128,
+                 cache_dtype=jnp.int8, cache_backend="paged",
+                 page_size=64, num_pages=4)
+    reqs = [eng.submit(p, max_new_tokens=7) for p in prompts]
+    eng.run_to_completion(decode_burst=4)
+    assert all(r.done and len(r.output) == 7 for r in reqs)
+    assert int(eng.alloc.allocated.sum()) == 0

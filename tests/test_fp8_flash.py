@@ -367,3 +367,51 @@ def test_auto_rejects_scales_and_8bit():
             q, q, q, scaling_method="auto",
             scale_q=jnp.ones((1, 2)), scale_k=jnp.ones((1, 2)),
         )
+
+
+def test_fp8_native_dot_lowers_to_mosaic():
+    """Bit-rot guard for the fp8-native MXU path (VERDICT r3 item 5).
+
+    The fp8_dot kernel variant (flash.py `use_fp8_dot` — the analogue of
+    the reference's fp8 WGMMA, tk/attention.py:233) is gated to v6e+ and
+    cannot EXECUTE on the available v5e; this test runs the full
+    Pallas -> Mosaic MLIR lowering for the TPU platform (jax.export) so
+    any kernel-authoring regression in the fp8 branch fails here rather
+    than silently surviving behind the generation gate.  The remaining
+    untested step — the Mosaic binary compile on fp8-capable hardware —
+    is recorded in BASELINE.md's north-star disposition."""
+    from quantumattention_tpu import config
+    from quantumattention_tpu.ops.flash import flash_attention
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(21), 3)
+    q = jax.random.normal(k1, (1, 2, 256, 128), jnp.bfloat16)
+    k = jax.random.normal(k2, (1, 2, 256, 128), jnp.bfloat16)
+    v = jax.random.normal(k3, (1, 2, 256, 128), jnp.bfloat16)
+    q8, sq = quant.quantize_head_wise(q)
+    k8, sk = quant.quantize_head_wise(k)
+
+    def fn(a, b, c, d, e):
+        return flash_attention(
+            a, b, c, scale_q=d, scale_k=e, is_causal=True,
+            block_q=128, block_kv=128, interpret=False,
+        )
+
+    with config.patch({"attention.fp8_dot": True}):
+        exported = jax.export.export(jax.jit(fn), platforms=["tpu"])(
+            q8, k8, v.astype(jnp.bfloat16), sq, sk
+        )
+    assert len(exported.mlir_module_serialized) > 0
+    # The per-block in-kernel-quantization variant with the fp8 e4m3
+    # container (scaling="block" + fp8_native) must lower too.
+    import quantumattention_tpu as qa
+
+    def fn_pb(a, b, c):
+        return qa.fp8_attn_func(
+            a, b, c, is_causal=True, scaling_method="per-block"
+        )
+
+    with config.patch({"attention.fp8_dot": True, "interpret": False}):
+        exported_pb = jax.export.export(jax.jit(fn_pb), platforms=["tpu"])(
+            q, k, v
+        )
+    assert len(exported_pb.mlir_module_serialized) > 0

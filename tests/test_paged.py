@@ -267,3 +267,76 @@ def test_paged_int4_write_tokens_roundtrip():
     np.testing.assert_allclose(gs[:, 4], ws[:, 0:8], rtol=1e-5)
     np.testing.assert_allclose(gs[:, 2], ws[:, 8:16], rtol=1e-5)
     np.testing.assert_allclose(gs[:, 1, :4], ws[:, 16:20], rtol=1e-5)
+
+
+def test_paged_multi_query_matches_decode():
+    """4-D q (speculative verification): the paged DMA kernel's
+    multi-query mode must match the contiguous decode kernel's 4-D mode
+    (same (group, token) row packing, same intra-chunk causal mask) on a
+    gathered layout."""
+    from quantumattention_tpu.ops.decode import decode_attention
+
+    Hkv, P, ps, D, B, group, T = 2, 8, 64, 64, 2, 2, 3
+    Hq = Hkv * group
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(5), 3)
+    kp = jax.random.normal(k1, (Hkv, P, ps, D), jnp.bfloat16)
+    vp = jax.random.normal(k2, (Hkv, P, ps, D), jnp.bfloat16)
+    q = jax.random.normal(k3, (B, Hq, T, D), jnp.bfloat16)
+    tables = jnp.asarray([[0, 1, 2, 3], [4, 5, 6, 7]], jnp.int32)
+    # lengths INCLUDE the T appended candidates (decode_attention contract)
+    lengths = jnp.asarray([203, 33], jnp.int32)
+
+    o_p = paged_decode_attention(
+        q, kp, vp, lengths, tables, pages_per_block=4, use_dma=True
+    )
+    assert o_p.shape == (B, Hq, T, D)
+
+    def gather(pages, t):
+        g = jnp.take(pages, t, axis=1)
+        return g.reshape((g.shape[0], -1) + g.shape[3:])
+
+    ks = jax.vmap(lambda t: gather(kp, t))(tables)
+    vs = jax.vmap(lambda t: gather(vp, t))(tables)
+    o_d = decode_attention(q, ks, vs, lengths)
+    assert rmse(o_p, o_d) < 1e-6
+
+    # Cross-check one (b, t) row against the fp32 oracle: token t sees
+    # exactly lengths - (T-1-t) keys.
+    b, t = 0, 1
+    n = int(lengths[b]) - (T - 1 - t)
+    kc = gather_contiguous(np.asarray(kp, np.float32), tables, b)[:, :n]
+    vc = gather_contiguous(np.asarray(vp, np.float32), tables, b)[:, :n]
+    qrow = q[b, :, t, :].astype(jnp.float32)
+    ref = sdpa_reference(
+        qrow[None, :, None, :], jnp.asarray(kc)[None], jnp.asarray(vc)[None]
+    )[0, :, 0, :]
+    assert rmse(o_p[b, :, t, :], ref) < RMSE_TOL
+
+
+def test_paged_multi_query_window():
+    """Multi-query x sliding window on the paged kernel vs the contiguous
+    decode kernel."""
+    from quantumattention_tpu.ops.decode import decode_attention
+
+    Hkv, P, ps, D, B, group, T = 2, 8, 64, 64, 2, 4, 2
+    Hq = Hkv * group
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(6), 3)
+    kp = jax.random.normal(k1, (Hkv, P, ps, D), jnp.bfloat16)
+    vp = jax.random.normal(k2, (Hkv, P, ps, D), jnp.bfloat16)
+    q = jax.random.normal(k3, (B, Hq, T, D), jnp.bfloat16)
+    tables = jnp.asarray([[0, 1, 2, 3], [4, 5, 6, 7]], jnp.int32)
+    lengths = jnp.asarray([202, 34], jnp.int32)
+
+    o_p = paged_decode_attention(
+        q, kp, vp, lengths, tables, pages_per_block=4, use_dma=True,
+        window=(15, 0),
+    )
+
+    def gather(pages, t):
+        g = jnp.take(pages, t, axis=1)
+        return g.reshape((g.shape[0], -1) + g.shape[3:])
+
+    ks = jax.vmap(lambda t: gather(kp, t))(tables)
+    vs = jax.vmap(lambda t: gather(vp, t))(tables)
+    o_d = decode_attention(q, ks, vs, lengths, window=(15, 0))
+    assert rmse(o_p, o_d) < 1e-6

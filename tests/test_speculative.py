@@ -104,14 +104,68 @@ def test_speculative_eos_mid_round(params, draft_params):
     assert req.output == expect
 
 
-def test_speculative_rejects_paged_and_int4(params, draft_params):
-    with pytest.raises(ValueError, match="slots backend"):
-        Engine(params, CFG, num_slots=2, max_len=256,
-               cache_backend="paged",
-               draft=(draft_params, DRAFT_CFG))
-    with pytest.raises(ValueError, match="kv_int4"):
-        Engine(params, CFG, num_slots=2, max_len=256, kv_int4=True,
-               draft=(draft_params, DRAFT_CFG))
+def test_speculative_kv_int4_matches_plain_greedy(params, draft_params):
+    """Greedy speculative decoding over a packed-int4 slot cache must be
+    bit-identical to plain int4 greedy decoding (per-token quantization is
+    batch-invariant, and rollback only shrinks lengths)."""
+    prompt = [5, 9, 23, 51, 7]
+
+    def run(**kw):
+        eng = Engine(params, CFG, num_slots=2, max_len=256,
+                     cache_dtype=jnp.int8, kv_int4=True, **kw)
+        req = eng.submit(prompt, max_new_tokens=12)
+        eng.run_to_completion()
+        return req.output, eng
+
+    plain, _ = run()
+    spec, eng = run(draft=(draft_params, DRAFT_CFG), spec_tokens=3)
+    assert spec == plain
+    assert eng.stats["spec_rounds"] > 0
+
+
+def test_speculative_paged_backend(params, draft_params):
+    """Speculative decoding on the PAGED backend: multi-token page writes +
+    the paged kernel's multi-query verification.  CPU paged runs are
+    schedule-invariant only (CLAUDE.md: the CPU runtime's paged flow is
+    nondeterministic), so assert the speculative contract — rounds ran,
+    budgets respected, first token matches the slots path — not exact
+    token equality (chip runs assert that: benchmarks/
+    validate_paged_spec.py)."""
+    prompt = [5, 9, 23, 51, 7]
+    n_new = 12
+
+    slots_eng = Engine(params, CFG, num_slots=2, max_len=256,
+                       cache_dtype=jnp.bfloat16,
+                       draft=(draft_params, DRAFT_CFG), spec_tokens=3)
+    r_slots = slots_eng.submit(prompt, max_new_tokens=n_new)
+    slots_eng.run_to_completion()
+
+    eng = Engine(params, CFG, num_slots=2, max_len=256,
+                 cache_dtype=jnp.bfloat16, cache_backend="paged",
+                 page_size=64, draft=(draft_params, DRAFT_CFG),
+                 spec_tokens=3)
+    req = eng.submit(prompt, max_new_tokens=n_new)
+    eng.run_to_completion()
+    assert req.done
+    assert len(req.output) == n_new
+    assert req.output[0] == r_slots.output[0]
+    assert eng.stats["spec_rounds"] > 0
+    # All pages returned after completion.
+    assert int(eng.alloc.allocated.sum()) == 0
+
+
+def test_speculative_paged_pool_pressure_falls_back(params, draft_params):
+    """When the page pool cannot cover a verification round's growth the
+    engine must fall back to per-token decoding (and still complete)
+    rather than dying on an out-of-pages error mid-round."""
+    prompt = list(range(1, 60))  # ~1 page of prompt at page_size=64
+    eng = Engine(params, CFG, num_slots=2, max_len=256,
+                 cache_dtype=jnp.bfloat16, cache_backend="paged",
+                 page_size=64, num_pages=3,  # barely fits one request
+                 draft=(draft_params, DRAFT_CFG), spec_tokens=3)
+    req = eng.submit(prompt, max_new_tokens=6)
+    eng.run_to_completion()
+    assert req.done and len(req.output) == 6
 
 
 def test_speculative_stochastic_requests_complete(params, draft_params):
