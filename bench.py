@@ -67,6 +67,12 @@ def main() -> None:
     parser.add_argument("--verbose", action="store_true")
     parser.add_argument("--no-serving", action="store_true",
                         help="skip the model-level serving measurement")
+    parser.add_argument(
+        "--full", action="store_true",
+        help="also emit the full reference benchmark matrix "
+        "(D in {64,128,256} x causal x {bf16, fp8 head-wise, per-block}; "
+        "reference protocol tests/test_interface.py:141-156)",
+    )
     args = parser.parse_args()
 
     import quantumattention_tpu as qa
@@ -213,6 +219,34 @@ def main() -> None:
             gc.collect()
         except Exception as e:  # pragma: no cover - diagnostic passthrough
             serving = {"serving_error": f"{type(e).__name__}: {e}"}
+
+    # Full reference matrix (--full): D x causal x path at the pretuned
+    # winners (benchmarks/tune_matrix.py sweeps + ships them).
+    matrix = {}
+    if args.full:
+        for d_full in (64, 128, 256):
+            mk1, mk2, mk3 = jax.random.split(jax.random.PRNGKey(2), 3)
+            qf = jax.random.normal(mk1, (b, h, s, d_full), jnp.bfloat16)
+            kf = jax.random.normal(mk2, (b, h, s, d_full), jnp.bfloat16)
+            vf = jax.random.normal(mk3, (b, h, s, d_full), jnp.bfloat16)
+            fl_d = 4 * b * h * s * s * d_full
+            for name, mk in (
+                ("bf16", lambda c: lambda q, k, v: qa.attn_func(
+                    q, k, v, is_causal=c)),
+                ("fp8_headwise", lambda c: lambda q, k, v: qa.fp8_attn_func(
+                    q, k, v, is_causal=c)),
+                ("per_block", lambda c: lambda q, k, v: qa.fp8_attn_func(
+                    q, k, v, is_causal=c, scaling_method="per-block")),
+            ):
+                for causal_f in (False, True):
+                    t_m = bench_one(mk(causal_f), qf, kf, vf, args.iters)
+                    fl = fl_d // 2 if causal_f else fl_d
+                    key = (
+                        f"d{d_full}_{name}_"
+                        f"{'causal' if causal_f else 'full'}"
+                    )
+                    matrix[key] = round(fl / t_m / 1e12, 1)
+            del qf, kf, vf
 
     tflops_stock = flops / t_stock / 1e12
     tflops_bf16 = flops / t_bf16 / 1e12

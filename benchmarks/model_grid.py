@@ -67,6 +67,14 @@ def run_config(params, cfg, *, name, slots, max_len, prompt, new, burst,
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--round4", action="store_true",
+                    help="run the round-4 serving-roofline grid (64/128 "
+                    "slots, int8 vs int4 weights) instead of the round-3 "
+                    "base grid")
+    args = ap.parse_args()
     cfg = llama.llama3_8b()
     params = quantized.fuse_projections(
         quantized.init_quantized_params(jax.random.PRNGKey(0), cfg)
@@ -75,6 +83,34 @@ def main():
     print("weights ready", flush=True)
 
     base = dict(slots=16, max_len=1024, prompt=256, new=257, burst=64)
+    if args.round4:
+        # Serving-roofline grid (VERDICT r3 item 1).  Weight-stream floor:
+        # 8 GB int8 / ~810 GB/s = 9.8 ms/step; int4 tree halves it.
+        run_config(params, cfg, name="slots64_int8w", slots=64,
+                   max_len=512, prompt=128, new=257, burst=64)
+        run_config(params, cfg, name="slots64_int8w_burst128", slots=64,
+                   max_len=512, prompt=128, new=257, burst=128)
+        # 128 slots: cache 4.3 GB int8 + 8 GB weights fits the chip.
+        run_config(params, cfg, name="slots128_int8w", slots=128,
+                   max_len=512, prompt=128, new=257, burst=64)
+        del params
+        gc.collect()
+        params4 = quantized.fuse_projections(
+            quantized.init_quantized_params(
+                jax.random.PRNGKey(0), cfg, int4=True
+            )
+        )
+        jax.block_until_ready(params4)
+        print("int4 weights ready", flush=True)
+        run_config(params4, cfg, name="slots64_int4w", slots=64,
+                   max_len=512, prompt=128, new=257, burst=64)
+        run_config(params4, cfg, name="slots128_int4w", slots=128,
+                   max_len=512, prompt=128, new=257, burst=64)
+        run_config(params4, cfg, name="slots128_int4w_kvint4", slots=128,
+                   max_len=512, prompt=128, new=257, burst=64,
+                   kv_int4=True)
+        print("DONE", flush=True)
+        return
     run_config(params, cfg, name="base_int8", **base)
     run_config(params, cfg, name="burst128",
                slots=16, max_len=1024, prompt=256, new=257, burst=128)

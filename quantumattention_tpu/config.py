@@ -104,6 +104,13 @@ kernel = _Namespace(
     # (CPU differential tests).  Mesh engines patch it off alongside qmm
     # (a pallas_call is opaque to GSPMD).
     qmlp=_env_bool("QUANTUM_ATTN_QMLP", True),
+    # Causal two-stage decomposition inside the flash kernel (reference
+    # inductor/kernels/attention.py:592-641 expressed as predicated Mosaic
+    # regions instead of a grid split): interior (fully-below-diagonal)
+    # blocks run a softmax arm with NO mask code at all; only diagonal-
+    # crossing blocks pay the iota/compare/select passes.  Applies to
+    # clean causal calls (no window/segments/block-mask/ragged tail).
+    causal_two_stage=_env_bool("QUANTUM_ATTN_CAUSAL_TWO_STAGE", True),
     # Use the blockwise Pallas dq/dkv backward kernels (flash_bwd.py);
     # False falls back to the O(S^2) oracle-recompute VJP.
     pallas_bwd=_env_bool("QUANTUM_ATTN_PALLAS_BWD", True),

@@ -303,6 +303,15 @@ def fp8_attention(
                 query, key, value, attn_mask, dropout_p, is_causal,
                 scale=scale, window=window,
             )
+        if scaling_method == "sdpa":
+            # The XLA-native path won the timed sweep (it can at tiny
+            # shapes, where the fused kernel's fixed per-call cost
+            # dominates — the analogue of the reference's aten extern
+            # fallback choice, attention.py:1015-1031).
+            return sdpa_fallback(
+                query, key, value, attn_mask, dropout_p, is_causal,
+                scale=scale, window=window,
+            )
 
     if scaling_method == "per-block" and scale_q is not None:
         raise ValueError("per-block scaling quantizes in-kernel; "
@@ -412,11 +421,21 @@ def _sweep_paths(query, key, value, is_causal, scale, window, pkey, default):
                     window=window,
                 )
             )
+        if method == "sdpa":
+            # XLA-native fallback as a timed candidate (the reference lets
+            # autotune pick the aten extern kernel too,
+            # attention.py:1015-1031) — it wins at tiny shapes where the
+            # fused kernel's fixed per-call cost dominates.
+            return jax.jit(
+                lambda q, k, v: sdpa_fallback(
+                    q, k, v, is_causal=is_causal, scale=scale, window=window
+                )
+            )
         statics = _Fp8Statics(method, is_causal, scale, window)
         return jax.jit(lambda q, k, v: _fp8_forward(statics, q, k, v))
 
     best, best_t = default, float("inf")
-    for name in ("none", "head-wise", "per-block"):
+    for name in ("none", "head-wise", "per-block", "sdpa"):
         fn = _mk(name)
         try:
             # Buffers as jit parameters, not closures (HTTP 413 — see

@@ -570,6 +570,73 @@ def forward_chunk(
     return _decoder(params, tokens, positions, cfg, attend_fn)
 
 
+def _lean_decode_supported(cfg: LlamaConfig, params: Params) -> bool:
+    """May the decode step use the lean 2-D driver (`_forward_decode_lean`)?
+
+    Requires the fused-projection layout (every layer carries ``w_qkv`` so
+    the packed-RoPE split is a single reshape), no QKV biases, and a dense
+    (non-MoE) FFN.  Numerics are bit-identical to the generic path — same
+    fp32 RoPE formula, same op order — this gate is purely structural.
+    """
+    if cfg.qkv_bias or cfg.num_experts > 0:
+        return False
+    return all("w_qkv" in layer for layer in params["layers"])
+
+
+def _forward_decode_lean(params, tokens, positions, cfg, attend_fn):
+    """Decode forward specialized to T == 1 (measured: the generic
+    per-layer glue — 4-D reshapes/transposes + two separate RoPE
+    applications — cost ~3.6 ms of a 25 ms 64-slot step at 8B shapes,
+    benchmarks/decode_phase_probe.py).  Activations stay 2-D (B, E);
+    RoPE runs ONCE on the packed [q|k] block; no transposes exist at all.
+    """
+    batch = tokens.shape[0]
+    G, Hkv, D = cfg.num_q_heads, cfg.num_kv_heads, cfg.head_dim
+    cos, sin = rope_table(positions, D, cfg.rope_theta)  # (B, D/2) each
+    cosb = cos[:, None, :]  # (B, 1, D/2) — broadcasts over q+k heads
+    sinb = sin[:, None, :]
+    x = quantized.embed_lookup(params["embed"], tokens[:, None], cfg.dtype)[
+        :, 0
+    ]
+    layers = params["layers"]
+    qkv_pre = None
+    for idx, layer in enumerate(layers):
+        if qkv_pre is not None:
+            qkv = qkv_pre
+        else:
+            h = rms_norm(x, layer["attn_norm"], cfg.rms_norm_eps)
+            qkv = quantized.matmul("be,ef->bf", h, layer["w_qkv"])
+        # Packed rotate-half RoPE over q and k together (split-halves
+        # convention, identical formula/order to apply_rope — bit-exact).
+        qk = qkv[:, : (G + Hkv) * D].reshape(
+            batch, G + Hkv, 2, D // 2
+        ).astype(jnp.float32)
+        x1, x2 = qk[:, :, 0], qk[:, :, 1]
+        r1 = x1 * cosb - x2 * sinb
+        r2 = x2 * cosb + x1 * sinb
+        qk_rot = jnp.stack([r1, r2], axis=2).reshape(
+            batch, G + Hkv, D
+        ).astype(cfg.dtype)
+        q, k = qk_rot[:, :G], qk_rot[:, G:]
+        v = qkv[:, (G + Hkv) * D :].reshape(batch, Hkv, D)
+        attn = attend_fn(idx, q, k, v)  # (B, G, D)
+        attn_flat = attn.astype(x.dtype).reshape(batch, G * D)
+        nxt = layers[idx + 1] if idx + 1 < len(layers) else None
+        # 3-D views keep _layer_tail's unfused fallback path legal (its
+        # einsums are bse-shaped); the fused kernel flattens them anyway.
+        x3, qkv3 = _layer_tail(
+            cfg, layer, x[:, None, :], attn_flat[:, None, :], next_layer=nxt
+        )
+        x = x3[:, 0, :]
+        qkv_pre = qkv3[:, 0, :] if qkv3 is not None else None
+    x = rms_norm(x[:, None, :], params["final_norm"], cfg.rms_norm_eps)
+    if cfg.tie_embeddings:
+        logits = quantized.tied_head_matmul(x, params["embed"])
+    else:
+        logits = quantized.matmul("bse,ev->bsv", x, params["lm_head"])
+    return logits[:, 0, :].astype(jnp.float32)
+
+
 def forward_decode(
     params: Params,
     tokens: jax.Array,
@@ -589,6 +656,8 @@ def forward_decode(
 
     Returns (B, vocab) fp32 logits for the next token.
     """
+    if _lean_decode_supported(cfg, params):
+        return _forward_decode_lean(params, tokens, positions, cfg, attend_fn)
 
     def attend_t1(idx, q, k, v):  # (B, H, 1, D) <-> engine's (B, H, D)
         out = attend_fn(idx, q[:, :, 0, :], k[:, :, 0, :], v[:, :, 0, :])

@@ -148,6 +148,8 @@ def _flash_kernel(
     has_block_mask: bool = False,
     compact: bool = False,
     block_qdtype: Any = jnp.int8,
+    causal_two_stage: bool = False,
+    single_kv_block: bool = False,
 ):
     # With a block mask the call runs under PrefetchScalarGridSpec and the
     # kernel receives a scalar-prefetched KV block table as refs[0]:
@@ -447,64 +449,115 @@ def _flash_kernel(
                     mask = _and(mask, elem > 0.5)
                 return jnp.where(mask, s, MASK_VALUE)
 
+            pass  # apply_mask defined; application site depends on the split
+
+        # ---- online softmax + PV (fp32; reference tk/attention.py:274-313),
+        # factored so the causal two-stage split below can instantiate a
+        # masked and an unmasked arm from the same code ----
+        def _softmax_pv(s):
+            exp = jnp.exp2 if use_exp2 else jnp.exp
+            if single_kv_block:
+                # FAST_SOFTMAX (reference attention.py:419-425,859): one KV
+                # block covers the whole row — single-pass softmax, no
+                # running-state merge, no accumulator rescale.
+                m_curr = jnp.max(s, axis=-1, keepdims=True)
+                if softmax_bf16:
+                    p = exp((s - m_curr).astype(jnp.bfloat16))
+                    l_next = jnp.sum(
+                        p, axis=-1, keepdims=True, dtype=jnp.float32
+                    )
+                else:
+                    p = exp(s - m_curr)
+                    l_next = jnp.sum(p, axis=-1, keepdims=True)
+                m_scr[:] = m_curr + jnp.zeros_like(m_scr)
+                l_scr[:] = l_next + jnp.zeros_like(l_scr)
+                alpha = None
+            else:
+                m_prev = m_scr[:]  # (block_q, NUM_LANES), lane-replicated
+                l_prev = l_scr[:]
+                m_curr = jnp.max(s, axis=-1, keepdims=True)  # (block_q, 1)
+                m_next = jnp.maximum(m_prev, m_curr)  # -> lane-replicated
+                alpha = exp(m_prev - m_next)
+                if softmax_bf16:
+                    # Reduced-precision probability tile: the max-subtract
+                    # stays fp32, the exp2 + row-sum run on bf16 vectors
+                    # (the score-tile elementwise passes are the kernel's
+                    # VPU bottleneck once the matmuls run at the 8-bit MXU
+                    # rate).  exp2 outputs live in (0, 1], where bf16's
+                    # 8-bit mantissa keeps the attention output comfortably
+                    # inside the 1e-2 RMSE bar.
+                    p = exp((s - m_next[:, :1]).astype(jnp.bfloat16))
+                    l_next = alpha * l_prev + jnp.sum(
+                        p, axis=-1, keepdims=True, dtype=jnp.float32
+                    )
+                else:
+                    p = exp(s - m_next[:, :1])
+                    l_next = alpha * l_prev + jnp.sum(
+                        p, axis=-1, keepdims=True
+                    )
+                m_scr[:] = m_next
+                l_scr[:] = l_next
+
+            if use_int8_pv:
+                # P in (0, 1] has a known scale: round(p * 127) is exact
+                # int8.  V is per-channel quantized, so its scale factors
+                # out of the KV sum and both dequants collapse into one
+                # epilogue row-multiply (SageAttention-style 8-bit PV; the
+                # int8 MXU runs 2x bf16).
+                p8 = jnp.round(p * 127.0).astype(jnp.int8)
+                pv = jax.lax.dot_general(
+                    p8,
+                    v_blk,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32)
+            else:
+                v = _compute_cast(v_blk)  # (block_kv, D)
+                # NOTE on use_fast_accum: the reference maps it to a
+                # reduced-precision tl.dot accumulator (mm_common.py:79);
+                # the TPU MXU has no such mode — Mosaic rejects non-32-bit
+                # matmul accumulators outright ('Expected matmul acc to be
+                # 32-bit'), because fp32 accumulation is the hardware's
+                # only path.  The flag therefore maps to the epilogue's
+                # approximate reciprocal (see _epilogue), the TPU fast-math
+                # knob that actually exists.
+                pv = jax.lax.dot_general(
+                    p.astype(v.dtype),
+                    v,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            if single_kv_block:
+                acc_scr[:] = pv
+            else:
+                acc_scr[:] = acc_scr[:] * alpha[:, :1] + pv
+
+        if causal_two_stage:
+            # Causal two-stage decomposition (reference inductor/kernels/
+            # attention.py:592-641) as PREDICATED REGIONS: strictly-below-
+            # diagonal blocks execute an arm containing no mask code at
+            # all; only diagonal-crossing blocks pay the iota/compare/
+            # select VPU passes.  This differs from the measured-slower
+            # per-block lax.cond over the mask alone (note in git history):
+            # here the whole softmax+PV body is duplicated at trace time
+            # and Mosaic predicates entire regions, rather than inserting
+            # value-level control flow into one fused elementwise chain.
+            interior = kv_blk_max <= q_blk_min  # every col <= every row
+
+            @pl.when(interior)
+            def _off_band():
+                _softmax_pv(s)
+
+            @pl.when(jnp.logical_not(interior))
+            def _on_band():
+                _softmax_pv(apply_mask(s))
+        else:
             # Note: branching per block with lax.cond to spare interior
             # blocks the mask passes was measured SLOWER on v5e (85 -> 55
-            # TFLOP/s causal) — Mosaic control flow costs more than the
-            # VPU selects it avoids — so masking is unconditional.
-            s = apply_mask(s)
-
-        # ---- online softmax (fp32; reference tk/attention.py:274-313) ----
-        exp = jnp.exp2 if use_exp2 else jnp.exp
-        m_prev = m_scr[:]  # (block_q, NUM_LANES), lane-replicated
-        l_prev = l_scr[:]
-        m_curr = jnp.max(s, axis=-1, keepdims=True)  # (block_q, 1)
-        m_next = jnp.maximum(m_prev, m_curr)  # broadcast -> lane-replicated
-        alpha = exp(m_prev - m_next)
-        if softmax_bf16:
-            # Reduced-precision probability tile: the max-subtract stays
-            # fp32, the exp2 + row-sum run on bf16 vectors (the score-tile
-            # elementwise passes are the kernel's VPU bottleneck once the
-            # matmuls run at the 8-bit MXU rate).  exp2 outputs live in
-            # (0, 1], where bf16's 8-bit mantissa keeps the attention
-            # output comfortably inside the 1e-2 RMSE bar.
-            p = exp((s - m_next[:, :1]).astype(jnp.bfloat16))
-            l_next = alpha * l_prev + jnp.sum(
-                p, axis=-1, keepdims=True, dtype=jnp.float32
-            )
-        else:
-            p = exp(s - m_next[:, :1])
-            l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
-        m_scr[:] = m_next
-        l_scr[:] = l_next
-
-        if use_int8_pv:
-            # P in (0, 1] has a known scale: round(p * 127) is exact int8.
-            # V is per-channel quantized, so its scale factors out of the KV
-            # sum and both dequants collapse into one epilogue row-multiply
-            # (SageAttention-style 8-bit PV; the int8 MXU runs 2x bf16).
-            p8 = jnp.round(p * 127.0).astype(jnp.int8)
-            pv = jax.lax.dot_general(
-                p8,
-                v_blk,
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            ).astype(jnp.float32)
-        else:
-            v = _compute_cast(v_blk)  # (block_kv, D)
-            # NOTE on use_fast_accum: the reference maps it to a reduced-
-            # precision tl.dot accumulator (mm_common.py:79); the TPU MXU
-            # has no such mode — Mosaic rejects non-32-bit matmul
-            # accumulators outright ('Expected matmul acc to be 32-bit'),
-            # because fp32 accumulation is the hardware's only path.  The
-            # flag therefore maps to the epilogue's approximate reciprocal
-            # (see _epilogue), the TPU fast-math knob that actually exists.
-            pv = jax.lax.dot_general(
-                p.astype(v.dtype),
-                v,
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        acc_scr[:] = acc_scr[:] * alpha[:, :1] + pv
+            # TFLOP/s causal) — Mosaic value-level control flow costs more
+            # than the VPU selects it avoids — so masking is unconditional
+            # on this path.
+            _softmax_pv(apply_mask(s) if need_mask else s)
 
     @pl.when(j == num_kv_blocks - 1)
     def _epilogue():
@@ -1089,6 +1142,29 @@ def flash_attention(
         has_block_mask=block_mask is not None,
         compact=compact_mask,
         block_qdtype=block_qdtype,
+        # Two-stage split only when causal masking is the ONLY mask source
+        # (window/segments/block-mask/ragged tails keep the single-arm
+        # path, whose mask handles them all) AND the kernel runs the
+        # per-block VMEM-K-cache path.  Measured v5e @ B16/H16/S8192/D128
+        # (benchmarks/exp_causal_twostage.py + exp_causal_blocks.py):
+        # per-block 110.3 -> 117.6 TFLOP/s (+6.6%, best over 6 block
+        # configs), but bf16 REGRESSES 108.5 -> 99.8 at every block size —
+        # with K/V streaming fresh from HBM each Q row the predicated
+        # regions cost more than the skipped mask passes, while the
+        # VMEM-resident K cache decouples the DMA stream and lets the
+        # mask-free arm win.
+        causal_two_stage=(
+            bool(config.kernel.causal_two_stage)
+            and is_causal
+            and scaling == "block"
+            and window is None
+            and not has_segments
+            and block_mask is None
+            and kv_len == kv_len_p
+        ),
+        # FAST_SOFTMAX (reference attention.py:419-425,859): one KV block
+        # covers the whole row — single-pass softmax specialization.
+        single_kv_block=(kv_len_p == bkv and block_mask is None),
     )
 
     # FLOP estimate for XLA's latency-hiding scheduler.

@@ -202,6 +202,37 @@ class SlotsBackend:
             self.caches, kv, slot_arr, zeros, nvals
         )
 
+    def prefill_and_write(
+        self, prefill_fn, params, tokens, last_pos,
+        slots: Sequence[int], n_valid: Sequence[int], padded: int,
+    ):
+        """Whole-prompt prefill forward AND all layers' cache appends in
+        ONE jitted dispatch (VERDICT r3 item 6: the separate append
+        dispatch was ~20%% of the engine's prefill gap).  Returns the
+        last-position logits; the caches update internally."""
+        if not hasattr(self, "_pw_jit"):
+
+            def _impl(params, caches, tokens, last_pos, slot_arr, nvals):
+                logits, kv = prefill_fn(params, tokens, last_pos=last_pos)
+                zeros = jnp.zeros_like(nvals)
+                caches = [
+                    kvc.append(
+                        c, slot_arr, kl.astype(jnp.float32),
+                        vl.astype(jnp.float32), zeros, nvals,
+                    )
+                    for c, (kl, vl) in zip(caches, kv)
+                ]
+                return caches, logits
+
+            self._pw_jit = jax.jit(_impl, donate_argnums=_donate_args(1))
+        self.caches, logits = self._pw_jit(
+            params, self.caches, tokens,
+            jnp.asarray(list(last_pos), jnp.int32),
+            jnp.asarray(list(slots), jnp.int32),
+            jnp.asarray(list(n_valid), jnp.int32),
+        )
+        return logits
+
     def _prefill_chunk_impl(self, params, caches, chunk_tokens, slot, off, tc):
         """Jitted (off static): one prefill chunk attending to cache prefix
         + itself, then appended to the cache (mixed prefill/decode building
@@ -594,20 +625,94 @@ class PagedBackend:
 
     # -- prefill -----------------------------------------------------------
 
+    def _batched_page_write(self, pages, kv, page_tbl):
+        """Every request's x every layer's prefill page writes as ONE
+        scatter per page array (inside one jit).  The old per-(request,
+        layer) ``write_tokens`` loop dispatched k x L jits per prefill
+        round; requests own disjoint page sets, so a single indexed
+        ``.at[:, pids].set`` is exact."""
+        from .paged_cache import LayerPages
+
+        psize = self.page_size
+        kreq, n_pg = page_tbl.shape
+        pids = page_tbl.reshape(-1)
+
+        def put(dst, x):
+            hkv, d = x.shape[1], x.shape[3]
+            xb = x.reshape(kreq, hkv, n_pg, psize, d)
+            if self.kv_int4:
+                # Token-packed pages: split-halves within each page along
+                # the token axis (init_layer_pages layout).
+                xb = quant.pack_int4(xb, axis=3)
+            xb = xb.transpose(1, 0, 2, 3, 4).reshape(
+                hkv, kreq * n_pg, xb.shape[3], d
+            )
+            return dst.at[:, pids].set(xb)
+
+        def put_scale(dst, s):
+            hkv = s.shape[1]
+            sb = s.reshape(kreq, hkv, n_pg, psize).transpose(
+                1, 0, 2, 3
+            ).reshape(hkv, kreq * n_pg, psize)
+            return dst.at[:, pids].set(sb)
+
+        out = []
+        for li, (k_l, v_l) in enumerate(kv):
+            lp = pages[li]
+            kq, ks = self._quantize_new(k_l.astype(jnp.float32), lp.k.dtype)
+            vq, vs = self._quantize_new(v_l.astype(jnp.float32), lp.k.dtype)
+            out.append(
+                LayerPages(
+                    k=put(lp.k, kq),
+                    v=put(lp.v, vq),
+                    k_scale=(
+                        put_scale(lp.k_scale, ks) if ks is not None else None
+                    ),
+                    v_scale=(
+                        put_scale(lp.v_scale, vs) if vs is not None else None
+                    ),
+                )
+            )
+        return out
+
+    def _table_rows(self, slots: Sequence[int], padded: int) -> jax.Array:
+        n_pages = -(-padded // self.page_size)
+        rows = np.stack([self.alloc.tables[s, :n_pages] for s in slots])
+        return jnp.asarray(rows, jnp.int32)
+
     def write_prefill_batch(
         self, kv, slots: Sequence[int], n_valid: Sequence[int], padded: int
     ) -> None:
-        n_pages = -(-padded // self.page_size)
-        for i, (slot, n) in enumerate(zip(slots, n_valid)):
-            page_ids = jnp.asarray(
-                self.alloc.tables[slot, :n_pages], jnp.int32
+        tbl = self._table_rows(slots, padded)
+        if not hasattr(self, "_bw_jit"):
+            self._bw_jit = jax.jit(
+                self._batched_page_write, donate_argnums=_donate_args(0)
             )
-            for li in range(self.cfg.num_layers):
-                k_l, v_l = kv[li]
-                self.pages[li] = self._pgc.write_tokens(
-                    self.pages[li], page_ids, 0, k_l[i], v_l[i]
-                )
+        self.pages = self._bw_jit(self.pages, kv, tbl)
+        for slot, n in zip(slots, n_valid):
             self.alloc.lengths[slot] = n
+
+    def prefill_and_write(
+        self, prefill_fn, params, tokens, last_pos,
+        slots: Sequence[int], n_valid: Sequence[int], padded: int,
+    ):
+        """Prefill forward + every page write in ONE jitted dispatch
+        (VERDICT r3 item 6); returns last-position logits."""
+        tbl = self._table_rows(slots, padded)
+        if not hasattr(self, "_pw_jit"):
+
+            def _impl(params, pages, tokens, last_pos, tbl):
+                logits, kv = prefill_fn(params, tokens, last_pos=last_pos)
+                return self._batched_page_write(pages, kv, tbl), logits
+
+            self._pw_jit = jax.jit(_impl, donate_argnums=_donate_args(1))
+        self.pages, logits = self._pw_jit(
+            params, self.pages, tokens,
+            jnp.asarray(list(last_pos), jnp.int32), tbl,
+        )
+        for slot, n in zip(slots, n_valid):
+            self.alloc.lengths[slot] = n
+        return logits
 
     def _prefill_chunk_impl(
         self, params, pages, chunk_tokens, table_row, off, tc

@@ -224,17 +224,14 @@ class Engine:
             from . import tp as tp_lib
 
             self.params = tp_lib.shard_serving_params(self.params, cfg, mesh)
-            self._prefill_jit = jax.jit(
-                functools.partial(
-                    tp_lib.forward_prefill_tp, cfg=cfg, mesh=mesh,
-                    axis=tp_axis,
-                )
+            self._prefill_fn = functools.partial(
+                tp_lib.forward_prefill_tp, cfg=cfg, mesh=mesh, axis=tp_axis
             )
         else:
-            self._prefill_jit = jax.jit(
-                functools.partial(llama.forward_prefill, cfg=cfg),
-                static_argnames=(),
+            self._prefill_fn = functools.partial(
+                llama.forward_prefill, cfg=cfg
             )
+        self._prefill_jit = jax.jit(self._prefill_fn)
         if self.draft_params is not None:
             # The draft model always runs on a private slot cache (small,
             # single-chip) regardless of the target's backend.
@@ -243,8 +240,8 @@ class Engine:
                 cache_dtype=cache_dtype,
                 decode_block_kv=decode_block_kv,
             )
-            self._draft_prefill_jit = jax.jit(
-                functools.partial(llama.forward_prefill, cfg=self.draft_cfg)
+            self._draft_prefill_fn = functools.partial(
+                llama.forward_prefill, cfg=self.draft_cfg
             )
 
     # ------------------------------------------------------------------
@@ -524,14 +521,13 @@ class Engine:
         tokens = np.zeros((k, padded), np.int32)
         for i, r in enumerate(reqs):
             tokens[i, : len(r.prompt)] = r.prompt
-        last_pos = jnp.asarray(
-            [len(r.prompt) - 1 for r in reqs], jnp.int32
-        )
-        logits, kv = self._prefill_jit(
-            self.params, jnp.asarray(tokens), last_pos=last_pos
-        )
-        self._backend.write_prefill_batch(
-            kv, [r.slot for r in reqs], [len(r.prompt) for r in reqs], padded
+        # Forward + every cache write in ONE jitted dispatch (the separate
+        # append dispatch was part of the measured engine prefill gap —
+        # benchmarks/engine_prefill_probe.py).
+        logits = self._backend.prefill_and_write(
+            self._prefill_fn, self.params, jnp.asarray(tokens),
+            [len(r.prompt) - 1 for r in reqs],
+            [r.slot for r in reqs], [len(r.prompt) for r in reqs], padded,
         )
         for r in reqs:
             self._register_prefix(r)
@@ -709,8 +705,12 @@ class Engine:
         padded = min(round_up(n, self.prefill_bucket), self.max_len)
         tokens = np.zeros((1, padded), np.int32)
         tokens[0, :n] = ctx
-        _, kv = self._draft_prefill_jit(self.draft_params, jnp.asarray(tokens))
-        self._draft_backend.write_prefill_batch(kv, [req.slot], [n], padded)
+        # Forward + appends in one dispatch; last_pos keeps the (discarded)
+        # LM head to one row instead of the whole padded sequence.
+        self._draft_backend.prefill_and_write(
+            self._draft_prefill_fn, self.draft_params, jnp.asarray(tokens),
+            [n - 1], [req.slot], [n], padded,
+        )
 
     def _spec_applicable(self) -> bool:
         """Speculative rounds need a draft, a SINGLE shared SamplingParams

@@ -138,13 +138,22 @@ def append(
         sids = slot_ids[:, None]
         # Advanced indices (N, 1) at dims 0 and 2, separated by the head
         # slice — the indexed view is (N, 1, H, D'); move T forward in
-        # the updates to match.
-        ck = cache.k.at[sids, :, rows].set(kq.transpose(0, 2, 1, 3))
-        cv = cache.v.at[sids, :, rows].set(vq.transpose(0, 2, 1, 3))
+        # the updates to match.  Decode always writes slot_ids =
+        # arange(num_slots): the index tuples are slot-major sorted and
+        # unique, which lets XLA lower the scatter without the sort/
+        # dedup machinery (the un-hinted scatter measured 4.3 ms across a
+        # 32-layer step at B=64 — benchmarks/decode_phase_probe.py).
+        hints = dict(indices_are_sorted=True, unique_indices=True)
+        ck = cache.k.at[sids, :, rows].set(
+            kq.transpose(0, 2, 1, 3), **hints
+        )
+        cv = cache.v.at[sids, :, rows].set(
+            vq.transpose(0, 2, 1, 3), **hints
+        )
         cks, cvs = cache.k_scale, cache.v_scale
         if ks is not None:
-            cks = cks.at[sids, :, rows].set(ks.transpose(0, 2, 1))
-            cvs = cvs.at[sids, :, rows].set(vs.transpose(0, 2, 1))
+            cks = cks.at[sids, :, rows].set(ks.transpose(0, 2, 1), **hints)
+            cvs = cvs.at[sids, :, rows].set(vs.transpose(0, 2, 1), **hints)
         return KVCache(k=ck, v=cv, lengths=lengths, k_scale=cks, v_scale=cvs)
 
     # Chunked/prefill write (T tokens per slot, few slots): contiguous
