@@ -71,21 +71,18 @@ def main():
         )
         return logits
 
-    logits = t("forward_dispatch+sync", fwd)
+    logits = t("forward_dispatch+sync (bare, no writes)", fwd)
 
-    logits, kv = eng._prefill_jit(eng.params, jnp.asarray(tokens), last_pos=last)
+    # The engine's production path since round 4: forward + all 32 layers'
+    # appends in ONE jitted dispatch (backends.prefill_and_write).
+    def fwd_write():
+        return eng._backend.prefill_and_write(
+            eng._prefill_fn, eng.params, jnp.asarray(tokens),
+            [PROMPT - 1] * SLOTS, list(range(SLOTS)), [PROMPT] * SLOTS,
+            PROMPT,
+        )
 
-    slot_arr = jnp.arange(SLOTS, dtype=jnp.int32)
-    zeros = jnp.zeros((SLOTS,), jnp.int32)
-    nvals = jnp.full((SLOTS,), PROMPT, jnp.int32)
-
-    def append():
-        # NOTE: donation is on for TPU appends — pass the live caches and
-        # reassign, like the engine does.
-        eng.caches = eng._append_all_jit(eng.caches, kv, slot_arr, zeros, nvals)
-        return eng.caches[0].k
-
-    t("append_all_32layers", append, reps=1)  # donation: run once
+    logits = t("forward+append fused (production)", fwd_write)
 
     t("argmax_fetch", lambda: np.asarray(jnp.argmax(logits, axis=-1)))
 

@@ -86,13 +86,19 @@ def main():
     if args.round4:
         # Serving-roofline grid (VERDICT r3 item 1).  Weight-stream floor:
         # 8 GB int8 / ~810 GB/s = 9.8 ms/step; int4 tree halves it.
+        # Biggest allocation FIRST: the 4.3 GB 128-slot cache fails to
+        # place after smaller engines churned the allocator (measured:
+        # RESOURCE_EXHAUSTED on construction when run third, fits when
+        # fresh).
+        # 128 slots x int8 weights OOMs at runtime (12.9 GB persistent +
+        # decode transients exceed the 15.75 GB chip — measured twice);
+        # 96 is the largest int8-weight operating point that executes.
+        run_config(params, cfg, name="slots96_int8w", slots=96,
+                   max_len=512, prompt=128, new=257, burst=64)
         run_config(params, cfg, name="slots64_int8w", slots=64,
                    max_len=512, prompt=128, new=257, burst=64)
         run_config(params, cfg, name="slots64_int8w_burst128", slots=64,
                    max_len=512, prompt=128, new=257, burst=128)
-        # 128 slots: cache 4.3 GB int8 + 8 GB weights fits the chip.
-        run_config(params, cfg, name="slots128_int8w", slots=128,
-                   max_len=512, prompt=128, new=257, burst=64)
         del params
         gc.collect()
         params4 = quantized.fuse_projections(
@@ -102,13 +108,13 @@ def main():
         )
         jax.block_until_ready(params4)
         print("int4 weights ready", flush=True)
-        run_config(params4, cfg, name="slots64_int4w", slots=64,
-                   max_len=512, prompt=128, new=257, burst=64)
         run_config(params4, cfg, name="slots128_int4w", slots=128,
                    max_len=512, prompt=128, new=257, burst=64)
         run_config(params4, cfg, name="slots128_int4w_kvint4", slots=128,
                    max_len=512, prompt=128, new=257, burst=64,
                    kv_int4=True)
+        run_config(params4, cfg, name="slots64_int4w", slots=64,
+                   max_len=512, prompt=128, new=257, burst=64)
         print("DONE", flush=True)
         return
     run_config(params, cfg, name="base_int8", **base)

@@ -284,9 +284,16 @@ def _decode_kernel(
 def _pick_block_batch(batch: int, block_kv: int, head_dim: int,
                       kv_itemsize: int) -> int:
     """Largest batch block that divides B and keeps double-buffered K/V
-    blocks + scales within a conservative VMEM slice."""
+    blocks + scales within a conservative VMEM slice.
+
+    Candidates up to 64: at SHORT caches (serving at max_len <= 1k the
+    whole cache is one KV block) a bigger batch block means fewer grid
+    steps with bigger per-step DMAs — at S=512/B=64 the per-call stream
+    measured only ~335 GB/s at bb=8.  Long caches keep bb=8 (the VMEM
+    budget rejects larger; at the HBM roof bb changes measured within
+    noise, CLAUDE.md)."""
     budget = 40 * 1024 * 1024
-    for bb in (8, 4, 2, 1):
+    for bb in (64, 32, 16, 8, 4, 2, 1):
         if batch % bb != 0:
             continue
         kv_bytes = 2 * 2 * bb * block_kv * head_dim * kv_itemsize

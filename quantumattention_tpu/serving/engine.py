@@ -504,8 +504,11 @@ class Engine:
         # 30-240 s remote compile that stalls every live decode stream —
         # CLAUDE.md; padding with dummy rows instead would need a spare
         # slot to absorb their cache writes).  The remainder prefills next
-        # step.
-        k = 1 << (len(group).bit_length() - 1)
+        # step.  Cap the batch at 32: the fused forward+append holds every
+        # layer's K/V plus the donated caches live at once, and a 128-wide
+        # prefill batch OOM'd a 16 GB chip at 8B shapes (measured —
+        # benchmarks/model_grid.py slots128).
+        k = min(1 << (len(group).bit_length() - 1), 32)
         self._prefill_whole_batch(group[:k], padded(head))
 
     def _prefill_whole_batch(self, reqs: List[Request], padded: int) -> None:
