@@ -284,6 +284,7 @@ def main() -> None:
                     "decode_int8kv_tokens_per_s_8b_shapes": round(
                         decode_tok_s
                     ),
+                    **({"matrix": matrix} if matrix else {}),
                     **serving,
                 },
             }

@@ -31,7 +31,12 @@ from quantumattention_tpu.serving import kv_cache as kvc
 from quantumattention_tpu.serving.engine import Engine
 from quantumattention_tpu.utils.profiling import chain_bench
 
-SLOTS, MAXLEN, PROMPT = 64, 512, 128
+import argparse
+
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--slots", type=int, default=64)
+_args = _ap.parse_args()
+SLOTS, MAXLEN, PROMPT = _args.slots, 512, 128
 cfg = llama.llama3_8b()
 L = cfg.num_layers
 

@@ -637,12 +637,19 @@ class Engine:
             toks, emits, lps = packed[0], packed[1].astype(bool), None
         self.stats["decode_steps"] += n
         finished: List[Request] = []
-        for t in range(n):
-            for slot, req in list(self.active.items()):
-                if emits[t, slot]:
-                    lp = float(lps[t, slot]) if lps is not None else None
-                    if self._emit(req, int(toks[t, slot]), lp=lp):
-                        finished.append(req)
+        # Per-SLOT emit loops over the burst trace: the naive
+        # (step x slot) scan is n*num_slots python iterations per burst
+        # (8k at 128 slots / burst 64) and scales the host gap between
+        # bursts with the slot count.
+        for slot, req in list(self.active.items()):
+            col = emits[:, slot]
+            if not col.any():
+                continue
+            for t in np.flatnonzero(col):
+                lp = float(lps[t, slot]) if lps is not None else None
+                if self._emit(req, int(toks[t, slot]), lp=lp):
+                    finished.append(req)
+                    break
         return finished
 
     def _decode(self) -> List[Request]:
