@@ -67,6 +67,35 @@ def _qmm_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int):
         ).astype(o_ref.dtype)
 
 
+def _qmm_kernel_ms(*refs, n_k_s: int, n_streams: int):
+    """Multi-stream variant: ``n_streams`` disjoint k-range weight inputs
+    per grid step.  A single weight stream bottoms out at the ~293 GB/s
+    single-stream DMA floor regardless of layout (CLAUDE.md op-cost
+    model); concurrent streams aggregate toward ~440-500 GB/s — the
+    decode-regime lever for one-big-matmul calls like the LM head."""
+    xs = refs[:n_streams]
+    ws = refs[n_streams : 2 * n_streams]
+    s_ref, o_ref, acc_ref = refs[2 * n_streams : 2 * n_streams + 3]
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    for t in range(n_streams):
+        acc_ref[...] += jax.lax.dot_general(
+            xs[t][...], ws[t][...].astype(xs[t].dtype),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(k == n_k_s - 1)
+    def _store():
+        o_ref[...] = (
+            acc_ref[...] * s_ref[...].astype(jnp.float32)
+        ).astype(o_ref.dtype)
+
+
 def dequant4_tile(packed: jax.Array, scales: jax.Array, dt) -> jax.Array:
     """In-VMEM w4a16 tile dequant: (R/2, C) packed int8 + (R/128, C) fp32
     group scales -> (R, C) ``dt``.
@@ -167,6 +196,7 @@ def quantized_matmul(
     block_m: Optional[int] = None,
     block_n: Optional[int] = None,
     block_k: Optional[int] = None,
+    n_streams: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """``(x @ w.astype(x.dtype)) * scale`` with the convert fused in-VMEM."""
@@ -198,16 +228,30 @@ def quantized_matmul(
         x = jnp.pad(x, [(0, m_pad - m), (0, 0)])
 
     n_k = k_dim // block_k
-    grid = (m_pad // block_m, n // block_n, n_k)
-
-    out = pl.pallas_call(
-        functools.partial(_qmm_kernel, n_k=n_k),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k)),
-            pl.BlockSpec((block_k, block_n), lambda i, j, k: (k, j)),
-            pl.BlockSpec((1, block_n), lambda i, j, k: (0, j)),
-        ],
+    if n_streams is None:
+        # Decode regime (one row block = each weight byte read once): a
+        # single weight stream sits at the single-stream DMA floor; TWO
+        # k-split streams measured 1.43 -> 1.26 ms (367 -> 418 GB/s) on
+        # the LM-head shape (M=96, K=4096, N=128256) and bit-exact; FOUR
+        # streams regressed to 363 GB/s (benchmarks/exp_qmm_streams.py).
+        # VMEM guard: 2x the double-buffered tiles must still fit next to
+        # the accumulator (the full-width path's N-wide tiles at small M
+        # measured 78.8M scoped = compile failure without it).
+        scoped = (
+            2 * 2 * (block_k * block_n + block_m * block_k * x.dtype.itemsize)
+            + block_m * block_n * 4
+            + 2 * block_m * block_n * x.dtype.itemsize
+        )
+        n_streams = (
+            2
+            if (
+                m_pad // block_m == 1
+                and n_k % 2 == 0
+                and scoped <= 56 * 1024 * 1024
+            )
+            else 1
+        )
+    common = dict(
         out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((m_pad, n), x.dtype),
         scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
@@ -225,6 +269,41 @@ def quantized_matmul(
             transcendentals=0,
         ),
         interpret=interpret,
+    )
+    if n_streams > 1 and n_k % n_streams == 0:
+        n_k_s = n_k // n_streams
+        in_specs = [
+            pl.BlockSpec(
+                (block_m, block_k),
+                (lambda t: lambda i, j, k: (i, k + t * n_k_s))(t),
+            )
+            for t in range(n_streams)
+        ] + [
+            pl.BlockSpec(
+                (block_k, block_n),
+                (lambda t: lambda i, j, k: (k + t * n_k_s, j))(t),
+            )
+            for t in range(n_streams)
+        ] + [pl.BlockSpec((1, block_n), lambda i, j, k: (0, j))]
+        out = pl.pallas_call(
+            functools.partial(
+                _qmm_kernel_ms, n_k_s=n_k_s, n_streams=n_streams
+            ),
+            grid=(m_pad // block_m, n // block_n, n_k_s),
+            in_specs=in_specs,
+            **common,
+        )(*([x] * n_streams + [w] * n_streams + [scale2]))
+        return out[:m, :] if m_pad != m else out
+
+    out = pl.pallas_call(
+        functools.partial(_qmm_kernel, n_k=n_k),
+        grid=(m_pad // block_m, n // block_n, n_k),
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k)),
+            pl.BlockSpec((block_k, block_n), lambda i, j, k: (k, j)),
+            pl.BlockSpec((1, block_n), lambda i, j, k: (0, j)),
+        ],
+        **common,
     )(x, w, scale2)
     return out[:m, :] if m_pad != m else out
 
