@@ -530,9 +530,15 @@ class PagedBackend:
             # Default pool: enough for every slot at max_len (same
             # capacity as the slot backend; shrink for oversubscription).
             num_pages = num_slots * pages_per_seq + 1
+        # One PHYSICAL page beyond the allocator's pool: the decode write
+        # is a single batched scatter (not a per-slot loop), and inactive
+        # slots' lanes need a destination that can never alias a live
+        # sequence — page id ``num_pages`` is never allocated, so garbage
+        # rows land there.
+        self._trash_page = num_pages
         self.pages = [
             pgc.init_layer_pages(
-                cfg.num_kv_heads, num_pages, page_size, cfg.head_dim,
+                cfg.num_kv_heads, num_pages + 1, page_size, cfg.head_dim,
                 cache_dtype, int4=kv_int4,
             )
             for _ in range(cfg.num_layers)
@@ -805,13 +811,55 @@ class PagedBackend:
         t_width: int = 1,
     ):
         """In-jit write of ``t_width`` already-quantized tokens per slot at
-        dynamic (non page-aligned) offsets: per-slot fori_loop of
-        dynamic_update_slices into the page arrays.  Token t of slot i
-        lands at position positions[i] + t in page
-        tables[i, (positions[i]+t) // page_size]."""
+        dynamic (non page-aligned) offsets.  Token t of slot i lands at
+        position positions[i] + t in page
+        tables[i, (positions[i]+t) // page_size].
+
+        8-bit/bf16 pages: ONE batched scatter per page array — the
+        per-slot fori_loop of dynamic updates serialized ~6 tiny ops x
+        num_slots x num_layers inside every decode step and was the bulk
+        of the paged backend's 1.48x step-time gap vs slots
+        (benchmarks/paged_vs_slots_bench.py).  Inactive slots' lanes are
+        redirected to the dedicated trash page (their table rows may point
+        at pages now owned by other sequences).  Token-packed int4 pages
+        keep the loop (nibble read-modify-write has no scatter form)."""
         psize = self.page_size
         quantized = ks is not None
         int4 = self.kv_int4
+
+        if not int4:
+            kpg, vpg, kspg, vspg = pages_arrays
+            n = self.num_slots * t_width
+            if t_width > 1:
+                hkv, d = kq.shape[1], kq.shape[3]
+                kv_k = kq.transpose(0, 2, 1, 3).reshape(n, hkv, d)
+                kv_v = vq.transpose(0, 2, 1, 3).reshape(n, hkv, d)
+                lane_pos = (
+                    positions[:, None]
+                    + jnp.arange(t_width, dtype=jnp.int32)[None, :]
+                ).reshape(-1)
+                lane_act = jnp.repeat(active_mask, t_width)
+                lane_row = jnp.repeat(
+                    jnp.arange(self.num_slots, dtype=jnp.int32), t_width
+                )
+                s_k = ks.transpose(0, 2, 1).reshape(n, -1) if quantized else None
+                s_v = vs.transpose(0, 2, 1).reshape(n, -1) if quantized else None
+            else:
+                kv_k, kv_v = kq, vq
+                lane_pos = positions
+                lane_act = active_mask
+                lane_row = jnp.arange(self.num_slots, dtype=jnp.int32)
+                s_k, s_v = ks, vs
+            page = tables[lane_row, lane_pos // psize]
+            page = jnp.where(lane_act, page, self._trash_page)
+            off = lane_pos % psize
+            kpg = kpg.at[:, page, off].set(kv_k.transpose(1, 0, 2))
+            vpg = vpg.at[:, page, off].set(kv_v.transpose(1, 0, 2))
+            if quantized:
+                # s_k/s_v: (n, Hkv) -> (Hkv, n) for the dims-1,2 scatter.
+                kspg = kspg.at[:, page, off].set(jnp.swapaxes(s_k, 0, 1))
+                vspg = vspg.at[:, page, off].set(jnp.swapaxes(s_v, 0, 1))
+            return kpg, vpg, kspg, vspg
 
         def body(idx, carry):
             kpg, vpg, kspg, vspg = carry
