@@ -504,11 +504,13 @@ class Engine:
         # 30-240 s remote compile that stalls every live decode stream —
         # CLAUDE.md; padding with dummy rows instead would need a spare
         # slot to absorb their cache writes).  The remainder prefills next
-        # step.  Cap the batch at 32: the fused forward+append holds every
-        # layer's K/V plus the donated caches live at once, and a 128-wide
-        # prefill batch OOM'd a 16 GB chip at 8B shapes (measured —
-        # benchmarks/model_grid.py slots128).
-        k = min(1 << (len(group).bit_length() - 1), 32)
+        # step.  Cap the batch by TOKENS (k x padded <= 4096) and at 32
+        # requests: the fused forward+append holds every layer's K/V plus
+        # the donated caches live at once — 128 x 128-token and
+        # 32 x 512-token batches both OOM'd a 16 GB chip at 8B shapes
+        # (measured: model_grid.py slots128, serving_context_ladder.py).
+        cap = min(32, max(1, 4096 // padded(head)), len(group))
+        k = 1 << (cap.bit_length() - 1)  # power of two: bounded jit count
         self._prefill_whole_batch(group[:k], padded(head))
 
     def _prefill_whole_batch(self, reqs: List[Request], padded: int) -> None:
