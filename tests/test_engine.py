@@ -787,3 +787,39 @@ def test_engine_paged_burst_mixed_with_admission(params):
     eng.run_to_completion(decode_burst=4)
     assert all(r.done and len(r.output) == 7 for r in reqs)
     assert int(eng.alloc.allocated.sum()) == 0
+
+
+def test_paged_inactive_slot_write_does_not_corrupt_shared_pages(params):
+    """The batched paged decode write redirects INACTIVE slots' lanes to
+    the dedicated trash page.  Regression guard: after a request releases
+    its slot, its stale table row may point at pages re-allocated to
+    another sequence — a decode step over the remaining active slots must
+    leave the finished slot's old pages byte-identical wherever the dead
+    lane would have written."""
+    import numpy as np
+
+    eng = Engine(params, CFG, num_slots=2, max_len=256,
+                 cache_dtype=jnp.int8, cache_backend="paged", page_size=64)
+    ra = eng.submit([3, 17, 42, 99, 7], max_new_tokens=3)
+    rb = eng.submit([9, 1, 2, 7, 5, 11], max_new_tokens=12)
+    # Drive until ra finishes; rb keeps decoding afterwards.
+    while not ra.done:
+        eng.step()
+    assert not rb.done
+    dead_slot = ra.slot
+    dead_row = np.array(eng.alloc.tables[dead_slot])  # stale after release?
+    # After release the table row is zeroed; re-point it at rb's first
+    # page to emulate the worst case (dead lane aliasing a LIVE page),
+    # then freeze that page's bytes at the dead lane's write position.
+    live_page = int(eng.alloc.tables[rb.slot, 0])
+    eng.alloc.tables[dead_slot, :] = live_page
+    pos = int(eng.alloc.lengths[dead_slot])  # 0 for a released slot
+    before = np.asarray(eng.pages[0].k[:, live_page, pos % 64, :])
+    for _ in range(3):
+        eng.step()
+    assert not rb.done or len(rb.output) >= 3
+    after = np.asarray(eng.pages[0].k[:, live_page, pos % 64, :])
+    # rb's own writes land at ITS positions (>= 6 prompt tokens), never at
+    # the dead lane's position-0 row of its first page.
+    np.testing.assert_array_equal(before, after)
+    del dead_row
