@@ -19,6 +19,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Dict, Mapping
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -75,16 +76,45 @@ def config_from_hf(hf_config: Any, **overrides) -> LlamaConfig:
 
 
 def params_from_hf(
-    state_dict: Mapping[str, Any], cfg: LlamaConfig, dtype=None
+    state_dict: Mapping[str, Any], cfg: LlamaConfig, dtype=None,
+    quantize=False,
 ) -> Params:
     """Convert an HF Llama-family ``state_dict`` to the native tree.
 
     HF linear weights are (out, in); the native tree stores (in, out), so
     every projection transposes.  Norm weights stay fp32 (the native
     rms_norm computes in fp32).
+
+    ``quantize`` ("int8"/True, or "int4"): quantize each projection the
+    moment it is converted, INSIDE a jit, so the full-precision copy is a
+    transient XLA temporary — never a live device buffer.  This is what
+    makes loading a real 8B-class checkpoint onto a 16 GB chip possible
+    at all: the bf16 tree alone (~16 GB) exceeds HBM, so the all-then-
+    quantize order of ``quantized.quantize_params`` cannot run at design
+    scale.  The result is bit-identical to quantizing after the fact
+    (same quantize_matrix math on the same dtype-cast values — asserted
+    in tests/test_hf.py::test_hf_checkpoint_streaming_quantize).
     """
+    from . import quantized as qz
+
     dtype = dtype or cfg.dtype
     sd = state_dict
+    if quantize not in (False, True, "int8", "int4"):
+        raise ValueError(
+            f"quantize must be False/True/'int8'/'int4', got {quantize!r}"
+        )
+    qmode = {False: None, True: "int8", "int8": "int8", "int4": "int4"}[
+        quantize
+    ]
+    _q8 = jax.jit(qz.quantize_matrix)
+    _q4 = jax.jit(qz.quantize_matrix_int4)
+    _qe = jax.jit(qz.quantize_embed)
+
+    def qproj(arr):
+        """Quantize one converted (in, out) projection on device."""
+        if qmode == "int4" and arr.ndim == 2 and arr.shape[0] % 256 == 0:
+            return _q4(arr)
+        return _q8(arr)
     if not cfg.qkv_bias and _has_qkv_bias(sd):
         # Qwen2 puts biases on q/k/v unconditionally while its config
         # carries no flag for it (transformers' Qwen2Config has neither
@@ -99,7 +129,15 @@ def params_from_hf(
         )
 
     def w(name):  # transposed projection in compute dtype
-        return jnp.asarray(_to_np(sd[name]).T, dtype)
+        arr = jnp.asarray(_to_np(sd[name]).T, dtype)
+        return qproj(arr) if qmode else arr
+
+    def w8(name):
+        # lm_head / MoE expert matrices stay int8 even under int4 (the
+        # qmm int8 path and the 3-D einsum path respectively — mirrors
+        # quantized.quantize_params_int4).
+        arr = jnp.asarray(_to_np(sd[name]).T, dtype)
+        return _q8(arr) if qmode else arr
 
     def direct(name, dt):
         return jnp.asarray(_to_np(sd[name]), dt)
@@ -108,13 +146,14 @@ def params_from_hf(
         # lm_head lives at top level; everything else under "model."
         return name if name in sd else "model." + name
 
+    embed = direct(key("embed_tokens.weight"), dtype)
     params: Params = {
-        "embed": direct(key("embed_tokens.weight"), dtype),
+        "embed": _qe(embed) if qmode else embed,
         "final_norm": direct(key("norm.weight"), jnp.float32),
         "layers": [],
     }
     if not cfg.tie_embeddings:
-        params["lm_head"] = w(key("lm_head.weight"))
+        params["lm_head"] = w8(key("lm_head.weight"))
 
     for i in range(cfg.num_layers):
         p = key(f"layers.{i}")
@@ -134,23 +173,29 @@ def params_from_hf(
             layer["bv"] = direct(f"{p}.self_attn.v_proj.bias", dtype)
         if cfg.num_experts > 0:
             # Mixtral: w1 = gate, w3 = up, w2 = down; router stays fp32.
+            # Expert stacks are quantized as one 3-D matrix (per-expert
+            # per-output-channel scales), int8 regardless of qmode.
             moe = f"{p}.block_sparse_moe"
+
+            def stack(hf_key):
+                s = jnp.stack(
+                    [
+                        jnp.asarray(
+                            _to_np(sd[f"{moe}.experts.{j}.{hf_key}.weight"]).T,
+                            dtype,
+                        )
+                        for j in range(cfg.num_experts)
+                    ]
+                )
+                return _q8(s) if qmode else s
+
             layer["moe"] = {
                 "w_router": jnp.asarray(
                     _to_np(sd[f"{moe}.gate.weight"]).T, jnp.float32
                 ),
-                "w_gate": jnp.stack(
-                    [w(f"{moe}.experts.{j}.w1.weight")
-                     for j in range(cfg.num_experts)]
-                ),
-                "w_up": jnp.stack(
-                    [w(f"{moe}.experts.{j}.w3.weight")
-                     for j in range(cfg.num_experts)]
-                ),
-                "w_down": jnp.stack(
-                    [w(f"{moe}.experts.{j}.w2.weight")
-                     for j in range(cfg.num_experts)]
-                ),
+                "w_gate": stack("w1"),
+                "w_up": stack("w3"),
+                "w_down": stack("w2"),
             }
         else:
             layer["w_gate"] = w(f"{p}.mlp.gate_proj.weight")
@@ -201,21 +246,11 @@ def load_hf_checkpoint(
     for f in files:
         sd.update(st_np.load_file(str(f)))
     cfg = _cfg_with_detected_bias(cfg, sd)
-    params = params_from_hf(sd, cfg, dtype=dtype)
-    if quantize_weights:
-        # w8a16 (True or "int8"): int8 per-output-channel weights — what
-        # lets an 8B-class model fit one 16 GB chip beside its cache.
-        # "int4": group-wise w4a16 decoder projections (half the bytes
-        # again; embedding/lm_head stay int8) — models/quantized.py.
-        from . import quantized
-
-        if quantize_weights == "int4":
-            params = quantized.quantize_params_int4(params)
-        elif quantize_weights in (True, "int8"):
-            params = quantized.quantize_params(params)
-        else:
-            raise ValueError(
-                f"quantize_weights must be False/True/'int8'/'int4', "
-                f"got {quantize_weights!r}"
-            )
+    # w8a16 (True or "int8"): int8 per-output-channel weights — what
+    # lets an 8B-class model fit one 16 GB chip beside its cache.
+    # "int4": group-wise w4a16 decoder projections (half the bytes
+    # again; embedding/lm_head stay int8) — models/quantized.py.
+    # Quantization streams tensor-by-tensor inside params_from_hf (the
+    # full-precision tree would not fit HBM at 8B scale).
+    params = params_from_hf(sd, cfg, dtype=dtype, quantize=quantize_weights)
     return params, cfg

@@ -218,3 +218,73 @@ def test_params_from_hf_rejects_dropped_biases():
         pytest.skip("this transformers version exposes a bias flag")
     with pytest.raises(ValueError, match="qkv_bias"):
         hf_lib.params_from_hf(model.state_dict(), cfg)
+
+
+def test_hf_checkpoint_streaming_quantize(tmp_path):
+    """quantize_weights streams per-tensor through jitted quantization
+    (hf.params_from_hf(quantize=...)) — required at 8B scale where the
+    full-precision tree exceeds HBM.  The result must be bit-identical to
+    quantizing the full-precision tree after the fact."""
+    from quantumattention_tpu.models import quantized as qz
+
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=96,
+        hidden_size=256,
+        intermediate_size=256,
+        num_hidden_layers=1,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        rms_norm_eps=1e-5,
+        rope_theta=10000.0,
+    )
+    torch.manual_seed(6)
+    transformers.LlamaForCausalLM(hf_cfg).eval().save_pretrained(
+        tmp_path, safe_serialization=True
+    )
+    full, cfg = hf_lib.load_hf_checkpoint(str(tmp_path))
+    for mode, post in (
+        ("int8", qz.quantize_params),
+        ("int4", qz.quantize_params_int4),
+    ):
+        streamed, _ = hf_lib.load_hf_checkpoint(
+            str(tmp_path), quantize_weights=mode
+        )
+        expect = post(full)
+
+        def close(path, a, b):
+            packed = str(path[-1]) == "['q4']"
+            a, b = np.asarray(a), np.asarray(b)
+            if a.dtype == np.int8:
+                # jit-vs-eager fp rounding can flip values sitting exactly
+                # on a round-to-nearest boundary (same allowance as
+                # quantized.init_quantized_params documents).  Packed int4
+                # bytes compare nibble-wise (a high-nibble flip is ±16 in
+                # the byte).
+                if packed:
+                    a = np.asarray(qz.unpack_int4_rows(a))
+                    b = np.asarray(qz.unpack_int4_rows(b))
+                diff = np.abs(a.astype(np.int32) - b.astype(np.int32))
+                # 4-bit grids hit equal-distance boundaries ~16x as often
+                # as 8-bit ones; a ±1 flip there is the same value either
+                # way, so only the fraction is bounded.
+                assert diff.max() <= 1 and (diff != 0).mean() < 0.01
+            else:
+                np.testing.assert_allclose(
+                    a.astype(np.float32), b.astype(np.float32), rtol=1e-6
+                )
+
+        jax.tree_util.tree_map_with_path(close, streamed, expect)
+        # int4 must actually engage on the 256-divisible projections.
+        if mode == "int4":
+            assert "q4" in streamed["layers"][0]["w_gate"]
+
+
+def test_params_from_hf_rejects_bad_quantize_mode(tmp_path):
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=64,
+        num_hidden_layers=1, num_attention_heads=2, num_key_value_heads=2,
+    )
+    model = transformers.LlamaForCausalLM(hf_cfg).eval()
+    cfg = hf_lib.config_from_hf(hf_cfg)
+    with pytest.raises(ValueError, match="quantize"):
+        hf_lib.params_from_hf(model.state_dict(), cfg, quantize="fp4")
