@@ -508,9 +508,11 @@ def test_engine_batched_prefill_matches_solo(params, backend):
     reqs = [eng.submit(p, max_new_tokens=4) for p in prompts]
     eng.step()  # admission + one batched prefill of the power-of-two group
     # Batch sizes are powers of two (bounded jit-program count): 3 pending
-    # -> a batch of 2 this step, the remaining 1 next step.
-    assert len(eng.prefilling) == 1
-    eng.step()
+    # -> a batch of 2 dispatched this step (first-token fetch pipelined
+    # behind the NEXT group's forward), the remaining 1 next step.
+    assert sum(r.dispatched for r in eng.prefilling) == 2
+    assert sum(not r.dispatched for r in eng.prefilling) == 1
+    eng.step()  # dispatches the last one, resolves both groups
     assert not eng.prefilling
     assert len(eng.active) + sum(r.done for r in reqs) == 3
     eng.run_to_completion()
