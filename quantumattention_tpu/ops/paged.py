@@ -110,6 +110,7 @@ def _paged_kernel(
     window_left: Optional[int] = None,
     int4: bool = False,
     q_tokens: int = 1,
+    scale_fold: bool = False,
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -219,9 +220,19 @@ def _paged_kernel(
             if int4:
                 x = quant_ops.unpack_int4(x, jnp.int8, axis=1)
             if quantized:
-                x = (
-                    x.astype(jnp.float32) * scale_buf[slot][..., None]
-                ).astype(jnp.bfloat16)
+                sc = scale_buf[slot]
+                if scale_fold:
+                    # Folded (ppb, ps/128, 128) scales: split the page's
+                    # token axis to match, broadcast, re-merge.
+                    ppb, s1, _ = sc.shape
+                    xs = x.reshape(ppb, s1, 128, x.shape[-1])
+                    x = (
+                        xs.astype(jnp.float32) * sc[..., None]
+                    ).astype(jnp.bfloat16)
+                else:
+                    x = (
+                        x.astype(jnp.float32) * sc[..., None]
+                    ).astype(jnp.bfloat16)
             return x.reshape(block_tokens, -1)
 
         k = load(k_buf, ks_buf)
@@ -308,8 +319,14 @@ def _gathered_reference(
     v_seq = jax.vmap(lambda t: gather(v_pages, t))(page_indices)
     ks = vs = None
     if k_scale_pages is not None:
-        ks = jax.vmap(lambda t: gather(k_scale_pages, t))(page_indices)
-        vs = jax.vmap(lambda t: gather(v_scale_pages, t))(page_indices)
+        def gather_scale(pages, table):
+            # Either scale layout ((Hkv, P, ps) or the folded
+            # (Hkv, P, ps/128, 128)) flattens to (Hkv, tokens).
+            g = jnp.take(pages, table, axis=1)
+            return g.reshape(g.shape[0], -1)
+
+        ks = jax.vmap(lambda t: gather_scale(k_scale_pages, t))(page_indices)
+        vs = jax.vmap(lambda t: gather_scale(v_scale_pages, t))(page_indices)
     return decode_attention(
         q, k_seq, v_seq, lengths,
         k_scale=ks, v_scale=vs, sm_scale=sm_scale, window=window,
@@ -344,8 +361,11 @@ def paged_decode_attention(
       lengths: (B,) int32 valid token counts.
       page_indices: (B, pages_per_seq) int32 page table (entries beyond the
         sequence's pages are ignored; must still be < num_pages).
-      k_scale_pages/v_scale_pages: (Hkv, num_pages, page_size) fp32
-        per-token scales for 8-bit pages.
+      k_scale_pages/v_scale_pages: per-token fp32 scales for 8-bit
+        pages — (Hkv, num_pages, page_size), or the folded
+        (Hkv, num_pages, page_size/128, 128) layout for pages wider than
+        128 tokens (serving/paged_cache.scale_shape; a >128-wide 1-D
+        per-page DMA slice trips Mosaic tiling — probe_scale_dma.py).
     """
     if q.ndim == 4:
         batch, num_q_heads, q_tokens, head_dim = q.shape
@@ -369,7 +389,17 @@ def paged_decode_attention(
     # reinterpreting int8 pages as int4 (or computing a wrong page_size).
     int4 = False
     if quantized:
-        scale_rows = k_scale_pages.shape[2]
+        def _rows(sp):
+            if sp.ndim == 4:
+                if sp.shape[3] != 128:
+                    raise ValueError(
+                        f"folded scale pages must have a 128-lane minor, "
+                        f"got {sp.shape}"
+                    )
+                return sp.shape[2] * sp.shape[3]
+            return sp.shape[2]
+
+        scale_rows = _rows(k_scale_pages)
         if scale_rows == 2 * page_rows:
             int4 = True
         elif scale_rows != page_rows:
@@ -379,14 +409,17 @@ def paged_decode_attention(
                 f"{page_rows} (int8 layout) or {2 * page_rows} (token-packed "
                 "int4 layout)"
             )
-        if v_scale_pages.shape[2] != scale_rows:
+        if _rows(v_scale_pages) != scale_rows or (
+            v_scale_pages.ndim != k_scale_pages.ndim
+        ):
             raise ValueError(
-                f"k/v scale pages disagree on token rows per page: "
-                f"{scale_rows} vs {v_scale_pages.shape[2]}"
+                f"k/v scale pages disagree on layout: "
+                f"{k_scale_pages.shape} vs {v_scale_pages.shape}"
             )
     if int4 and k_pages.dtype != jnp.int8:
         raise ValueError("int4 pages must use an int8 container")
-    page_size = k_scale_pages.shape[2] if int4 else page_rows
+    scale_fold = quantized and k_scale_pages.ndim == 4
+    page_size = scale_rows if int4 else page_rows
     if pages_per_seq % pages_per_block != 0:
         raise ValueError(
             f"pages_per_seq ({pages_per_seq}) must be a multiple of "
@@ -458,6 +491,7 @@ def paged_decode_attention(
         window_left=window_left,
         int4=int4,
         q_tokens=q_tokens,
+        scale_fold=scale_fold,
     )
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
@@ -479,11 +513,16 @@ def paged_decode_attention(
         ksp = jnp.zeros((1, 1, 1), jnp.float32)
         vsp = jnp.zeros((1, 1, 1), jnp.float32)
 
-    scale_buf_shape = (
-        (2, pages_per_block, page_size)
-        if quantized
-        else (2, 1, 1)
-    )
+    # Per-page scale slab shape in VMEM mirrors the HBM layout (the DMA
+    # copies one page's slab verbatim).
+    if not quantized:
+        scale_buf_shape = (2, 1, 1)
+    elif scale_fold:
+        scale_buf_shape = (
+            2, pages_per_block, ksp.shape[2], ksp.shape[3]
+        )
+    else:
+        scale_buf_shape = (2, pages_per_block, page_size)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

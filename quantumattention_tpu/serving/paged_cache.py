@@ -8,7 +8,13 @@ arrays.
 
 Device-side layout per layer (matching ops/paged.py):
   k_pages / v_pages:           (Hkv, num_pages, page_size, D)
-  k_scale_pages / v_scale_pages: (Hkv, num_pages, page_size) fp32 (8-bit)
+  k_scale_pages / v_scale_pages (8-bit pages): fp32,
+      (Hkv, num_pages, page_size)           for page_size <= 128,
+      (Hkv, num_pages, page_size/128, 128)  for larger pages — a per-page
+      DMA slice of a >128-wide 1-D scale row trips Mosaic's tiling rules
+      (measured: benchmarks/probe_scale_dma.py; only the 128-lane-minor
+      2-D slab form compiles), and this relayout is what unlocks
+      page_size=256 (VERDICT r4 item 4).
 
 Host-side state (plain numpy — allocation is Python-scheduler work):
   free page list, page_tables (num_slots, max_pages_per_seq), lengths.
@@ -80,10 +86,26 @@ def init_layer_pages(
         shape = (num_kv_heads, num_pages, page_size, head_dim)
     pages = LayerPages(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
     if checks.is_8bit_dtype(dtype):
-        sshape = (num_kv_heads, num_pages, page_size)
-        pages.k_scale = jnp.ones(sshape, jnp.float32)
-        pages.v_scale = jnp.ones(sshape, jnp.float32)
+        pages.k_scale = jnp.ones(scale_shape(
+            num_kv_heads, num_pages, page_size), jnp.float32)
+        pages.v_scale = jnp.ones(scale_shape(
+            num_kv_heads, num_pages, page_size), jnp.float32)
     return pages
+
+
+def scale_shape(num_kv_heads: int, num_pages: int, page_size: int) -> tuple:
+    """Scale-page array shape (module docstring: >128-token pages fold the
+    token axis into (page_size/128, 128) for Mosaic DMA legality)."""
+    if page_size > 128 and page_size % 128 == 0:
+        return (num_kv_heads, num_pages, page_size // 128, 128)
+    return (num_kv_heads, num_pages, page_size)
+
+
+def scale_token_rows(scale: jax.Array) -> int:
+    """Tokens per page covered by a scale array in either layout."""
+    if scale.ndim == 4:
+        return scale.shape[2] * scale.shape[3]
+    return scale.shape[2]
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
@@ -114,9 +136,9 @@ def write_tokens(
     # scales; the scale extent recovers the true page size.
     int4 = (
         pages.k_scale is not None
-        and pages.k_scale.shape[2] == 2 * page_rows
+        and scale_token_rows(pages.k_scale) == 2 * page_rows
     )
-    page_size = pages.k_scale.shape[2] if int4 else page_rows
+    page_size = scale_token_rows(pages.k_scale) if int4 else page_rows
     t = k_new.shape[1]
     # Cast INSIDE the jit: an eager astype at the call site is another
     # aliasing-hazard op on this CPU runtime (see the docstring).
@@ -166,12 +188,37 @@ def write_tokens(
         k_pages = write_page(k_pages, kq, page, pos, take, src)
         v_pages = write_page(v_pages, vq, page, pos, take, src)
         if ks is not None:
-            ksc = jax.lax.dynamic_update_slice(
-                ksc, ks[:, None, src : src + take], (0, page, pos)
-            )
-            vsc = jax.lax.dynamic_update_slice(
-                vsc, vs[:, None, src : src + take], (0, page, pos)
-            )
+            if ksc.ndim == 4:
+                # Folded layout: the write must cover whole 128-token
+                # sub-rows (the engine pads chunks to page multiples and
+                # calls with offset 0, so this always holds).
+                if pos % 128 or take % 128:
+                    raise ValueError(
+                        f"folded scale pages need 128-aligned writes "
+                        f"(pos={pos}, take={take})"
+                    )
+                upd = (0, page, pos // 128, 0)
+                ksc = jax.lax.dynamic_update_slice(
+                    ksc,
+                    ks[:, None, src : src + take].reshape(
+                        ks.shape[0], 1, take // 128, 128
+                    ),
+                    upd,
+                )
+                vsc = jax.lax.dynamic_update_slice(
+                    vsc,
+                    vs[:, None, src : src + take].reshape(
+                        vs.shape[0], 1, take // 128, 128
+                    ),
+                    upd,
+                )
+            else:
+                ksc = jax.lax.dynamic_update_slice(
+                    ksc, ks[:, None, src : src + take], (0, page, pos)
+                )
+                vsc = jax.lax.dynamic_update_slice(
+                    vsc, vs[:, None, src : src + take], (0, page, pos)
+                )
         src += take
         pos = 0
         pi += 1

@@ -340,3 +340,97 @@ def test_paged_multi_query_window():
     vs = jax.vmap(lambda t: gather(vp, t))(tables)
     o_d = decode_attention(q, ks, vs, lengths, window=(15, 0))
     assert rmse(o_p, o_d) < 1e-6
+
+
+def test_paged_folded_scale_pages_ps256():
+    """page_size=256 pages carry FOLDED (Hkv, P, 2, 128) scale pages
+    (serving/paged_cache.scale_shape): a >128-wide 1-D per-page DMA slice
+    trips Mosaic tiling (benchmarks/probe_scale_dma.py), so wide pages
+    fold the token axis.  Both the DMA kernel and the gathered reference
+    must consume the folded layout."""
+    B, Hkv, pages_per_seq, page_size, D = 2, 2, 4, 256, 128
+    Hq = Hkv * 4
+    k_pages, v_pages, table = make_paged(
+        B, Hkv, pages_per_seq, page_size, D, seed=5
+    )
+    q = jax.random.normal(jax.random.PRNGKey(6), (B, Hq, D), jnp.float32)
+    lengths = jnp.array([900, 257], jnp.int32)
+
+    from quantumattention_tpu.ops.quant import dynamically_quantize_int8
+
+    k8, ks = dynamically_quantize_int8(k_pages, reduction_dim=-1)
+    v8, vs = dynamically_quantize_int8(v_pages, reduction_dim=-1)
+    P = k8.shape[1]
+    ks_f = ks.reshape(Hkv, P, 2, 128)
+    vs_f = vs.reshape(Hkv, P, 2, 128)
+
+    for use_dma in (True, False):
+        out = paged_decode_attention(
+            q.astype(jnp.bfloat16),
+            k8,
+            v8,
+            lengths,
+            table,
+            k_scale_pages=ks_f,
+            v_scale_pages=vs_f,
+            pages_per_block=2,
+            use_dma=use_dma,
+        )
+        for b in range(B):
+            n = int(lengths[b])
+            kc = gather_contiguous(k_pages, table, b)[:, :n]
+            vc = gather_contiguous(v_pages, table, b)[:, :n]
+            ref = sdpa_reference(
+                q[b][None, :, None, :], jnp.asarray(kc)[None],
+                jnp.asarray(vc)[None],
+            )[0, :, 0, :]
+            assert rmse(out[b], ref) < RMSE_TOL, (use_dma, b)
+
+
+def test_paged_folded_scale_write_roundtrip():
+    """write_tokens + the backend decode scatter land scales correctly in
+    the folded layout (offsets split into (row//128, row%128))."""
+    from quantumattention_tpu.serving import paged_cache as pgc
+
+    Hkv, P, ps, D = 2, 6, 256, 128
+    pages = pgc.init_layer_pages(Hkv, P, ps, D, jnp.int8)
+    assert pages.k_scale.shape == (Hkv, P, 2, 128)
+
+    k_new = jax.random.normal(jax.random.PRNGKey(0), (Hkv, ps, D), jnp.float32)
+    v_new = jax.random.normal(jax.random.PRNGKey(1), (Hkv, ps, D), jnp.float32)
+    pages = pgc.write_tokens(
+        pages, jnp.asarray([3], jnp.int32), 0, k_new, v_new
+    )
+    from quantumattention_tpu.ops.quant import dynamically_quantize_int8
+
+    kq, ks = dynamically_quantize_int8(k_new, reduction_dim=-1)
+    got = np.asarray(pages.k_scale[:, 3]).reshape(Hkv, ps)
+    np.testing.assert_allclose(got, np.asarray(ks), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(pages.k[:, 3]), np.asarray(kq))
+
+
+def test_engine_paged_ps256_matches_ps128():
+    """End-to-end: a paged engine at page_size=256 (folded scales)
+    produces the same schedule/first tokens as page_size=128."""
+    from quantumattention_tpu.models import llama
+    from quantumattention_tpu.serving.engine import Engine
+
+    cfg = llama.tiny(attention_impl="sdpa", dtype=jnp.float32)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    outs = {}
+    for ps in (128, 256):
+        eng = Engine(
+            params, cfg, num_slots=2, max_len=512, cache_dtype=jnp.int8,
+            cache_backend="paged", page_size=ps, prefill_bucket=256,
+        )
+        reqs = [
+            eng.submit([3, 1, 4, 1, 5], max_new_tokens=6),
+            eng.submit([2, 7, 1, 8], max_new_tokens=6),
+        ]
+        eng.run_to_completion()
+        assert all(r.done and len(r.output) == 6 for r in reqs)
+        outs[ps] = [r.output[0] for r in reqs]
+    # First tokens are prefill-determined (flash path, identical between
+    # page sizes); later tokens go through the CPU-nondeterministic paged
+    # decode (CLAUDE.md) and are not compared.
+    assert outs[128] == outs[256]
