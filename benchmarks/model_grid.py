@@ -74,6 +74,11 @@ def main():
                     help="run the round-4 serving-roofline grid (64/128 "
                     "slots, int8 vs int4 weights) instead of the round-3 "
                     "base grid")
+    ap.add_argument("--round5", action="store_true",
+                    help="A/B the layer-granular decode mega-kernel "
+                    "(ops/megastep.py) against the unfused step at the "
+                    "flagship operating points (VERDICT r4 item 1: done "
+                    "= >=+20%% at 64 slots)")
     args = ap.parse_args()
     cfg = llama.llama3_8b()
     params = quantized.fuse_projections(
@@ -83,6 +88,19 @@ def main():
     print("weights ready", flush=True)
 
     base = dict(slots=16, max_len=1024, prompt=256, new=257, burst=64)
+    if args.round5:
+        from quantumattention_tpu import config as qa_config
+
+        pt = dict(max_len=512, prompt=128, new=257, burst=64)
+        with qa_config.patch({"kernel.megastep": False}):
+            run_config(params, cfg, name="slots64_unfused", slots=64, **pt)
+        with qa_config.patch({"kernel.megastep": True}):
+            run_config(params, cfg, name="slots64_megastep", slots=64, **pt)
+            run_config(params, cfg, name="slots96_megastep", slots=96, **pt)
+        with qa_config.patch({"kernel.megastep": False}):
+            run_config(params, cfg, name="slots96_unfused", slots=96, **pt)
+        print("DONE", flush=True)
+        return
     if args.round4:
         # Serving-roofline grid (VERDICT r3 item 1).  Weight-stream floor:
         # 8 GB int8 / ~810 GB/s = 9.8 ms/step; int4 tree halves it.

@@ -104,6 +104,15 @@ kernel = _Namespace(
     # (CPU differential tests).  Mesh engines patch it off alongside qmm
     # (a pallas_call is opaque to GSPMD).
     qmlp=_env_bool("QUANTUM_ATTN_QMLP", True),
+    # Layer-granular decode mega-kernel (ops/megastep.py): decode
+    # attention over the slot cache + wo + residual + RMSNorm + SwiGLU
+    # MLP + residual + next layer's QKV in ONE Pallas call per layer —
+    # the round-5 serving lever (VERDICT r4 item 1).  Supersedes qmlp on
+    # the T=1 decode path when its gate (megastep.megastep_supported)
+    # holds; qmlp remains the fallback for verify/window/int4/TP.  True =
+    # compiled TPU only; "force" also routes in interpret mode (CPU
+    # differential tests).
+    megastep=_env_bool("QUANTUM_ATTN_MEGASTEP", True),
     # Causal two-stage decomposition inside the flash kernel (reference
     # inductor/kernels/attention.py:592-641 expressed as predicated Mosaic
     # regions instead of a grid split): interior (fully-below-diagonal)

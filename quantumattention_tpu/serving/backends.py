@@ -289,11 +289,88 @@ class SlotsBackend:
 
     # -- decode ------------------------------------------------------------
 
+    def _decode_step_mega_impl(self, params, caches, tokens, active_mask):
+        """One decode step where each layer is ONE Pallas call
+        (ops/megastep.fused_decode_layer): append, then attention over
+        the post-append cache + wo + MLP + next layer's QKV in one
+        kernel.  Append-first keeps each cache buffer single-consumer so
+        the scatter stays in place (megastep.py module docstring: the
+        two-consumer variant silently copied every cache array, +8.5
+        ms/step).  Numerics match the unfused step to fp-association —
+        tests/test_megastep.py."""
+        from ..ops import megastep as mega
+        from ..ops import quant as quant_ops
+
+        cfg = self.cfg
+        positions = caches[0].lengths
+        batch = self.num_slots
+        G, Hkv, D = cfg.num_q_heads, cfg.num_kv_heads, cfg.head_dim
+        nval = active_mask.astype(jnp.int32)
+        bkv = mega._pick_bkv(self.max_len, batch, D, Hkv)
+        ctx = mega.build_decode_ctx(positions, active_mask, self.max_len, bkv)
+
+        cos, sin = llama.rope_table(positions, D, cfg.rope_theta)
+        cosb, sinb = cos[:, None, :], sin[:, None, :]
+        x = llama.quantized.embed_lookup(
+            params["embed"], tokens[:, None], cfg.dtype
+        )[:, 0]
+        layers = params["layers"]
+        h0 = llama.rms_norm(x, layers[0]["attn_norm"], cfg.rms_norm_eps)
+        qkv = llama.quantized.matmul("be,ef->bf", h0, layers[0]["w_qkv"])
+        for idx, layer in enumerate(layers):
+            # Packed rotate-half RoPE over q and k together (identical
+            # math to the lean driver / apply_rope — bit-exact).
+            qk = qkv[:, : (G + Hkv) * D].reshape(
+                batch, G + Hkv, 2, D // 2
+            ).astype(jnp.float32)
+            x1r, x2r = qk[:, :, 0], qk[:, :, 1]
+            qk_rot = jnp.stack(
+                [x1r * cosb - x2r * sinb, x2r * cosb + x1r * sinb], axis=2
+            ).reshape(batch, G + Hkv, D).astype(cfg.dtype)
+            q3, k3 = qk_rot[:, :G], qk_rot[:, G:]
+            v3 = qkv[:, (G + Hkv) * D :].reshape(batch, Hkv, D)
+            kq, ks = quant_ops.dynamically_quantize_int8(
+                k3.astype(jnp.float32), reduction_dim=-1
+            )
+            vq, vs = quant_ops.dynamically_quantize_int8(
+                v3.astype(jnp.float32), reduction_dim=-1
+            )
+            caches[idx] = kvc.append_quantized_token(
+                caches[idx], kq, ks, vq, vs, positions, nval
+            )
+            c = caches[idx]
+            nxt = layers[idx + 1] if idx + 1 < len(layers) else None
+            x, qkv = mega.fused_decode_layer(
+                x, q3, c.k, c.v, c.k_scale, c.v_scale,
+                ctx, layer,
+                next_attn_norm=nxt["attn_norm"] if nxt is not None else None,
+                next_w_qkv=nxt["w_qkv"] if nxt is not None else None,
+                eps=cfg.rms_norm_eps,
+            )
+        xf = llama.rms_norm(
+            x[:, None, :], params["final_norm"], cfg.rms_norm_eps
+        )
+        if cfg.tie_embeddings:
+            logits = llama.quantized.tied_head_matmul(xf, params["embed"])
+        else:
+            logits = llama.quantized.matmul(
+                "bse,ev->bsv", xf, params["lm_head"]
+            )
+        return caches, logits[:, 0, :].astype(jnp.float32)
+
     def _decode_step_impl(self, params, caches, tokens, active_mask):
         """Jitted: one decode step over all slots.
 
         Appends the current tokens' K/V, runs fused decode attention per
         layer, returns (new_caches, logits)."""
+        from ..ops import megastep as mega
+
+        if mega.megastep_supported(
+            self.cfg, params, caches[0], self.num_slots, self.mesh
+        ):
+            return self._decode_step_mega_impl(
+                params, caches, tokens, active_mask
+            )
         cfg = self.cfg
         positions = caches[0].lengths  # pre-append lengths == positions
 
@@ -660,6 +737,8 @@ class PagedBackend:
             sb = s.reshape(kreq, hkv, n_pg, psize).transpose(
                 1, 0, 2, 3
             ).reshape(hkv, kreq * n_pg, psize)
+            if dst.ndim == 4:  # folded >128-token scale pages
+                sb = sb.reshape(hkv, kreq * n_pg, psize // 128, 128)
             return dst.at[:, pids].set(sb)
 
         out = []
@@ -857,8 +936,12 @@ class PagedBackend:
             vpg = vpg.at[:, page, off].set(kv_v.transpose(1, 0, 2))
             if quantized:
                 # s_k/s_v: (n, Hkv) -> (Hkv, n) for the dims-1,2 scatter.
-                kspg = kspg.at[:, page, off].set(jnp.swapaxes(s_k, 0, 1))
-                vspg = vspg.at[:, page, off].set(jnp.swapaxes(s_v, 0, 1))
+                if kspg.ndim == 4:  # folded >128-token scale pages
+                    idx = (slice(None), page, off // 128, off % 128)
+                else:
+                    idx = (slice(None), page, off)
+                kspg = kspg.at[idx].set(jnp.swapaxes(s_k, 0, 1))
+                vspg = vspg.at[idx].set(jnp.swapaxes(s_v, 0, 1))
             return kpg, vpg, kspg, vspg
 
         def body(idx, carry):
@@ -912,12 +995,22 @@ class PagedBackend:
                 if quantized:
                     kst = ks[i, :, t] if t_width > 1 else ks[i]
                     vst = vs[i, :, t] if t_width > 1 else vs[i]
-                    kspg = jax.lax.dynamic_update_slice(
-                        kspg, kst[:, None, None], (0, page, off)
-                    )
-                    vspg = jax.lax.dynamic_update_slice(
-                        vspg, vst[:, None, None], (0, page, off)
-                    )
+                    if kspg.ndim == 4:  # folded >128-token scale pages
+                        kspg = jax.lax.dynamic_update_slice(
+                            kspg, kst[:, None, None, None],
+                            (0, page, off // 128, off % 128),
+                        )
+                        vspg = jax.lax.dynamic_update_slice(
+                            vspg, vst[:, None, None, None],
+                            (0, page, off // 128, off % 128),
+                        )
+                    else:
+                        kspg = jax.lax.dynamic_update_slice(
+                            kspg, kst[:, None, None], (0, page, off)
+                        )
+                        vspg = jax.lax.dynamic_update_slice(
+                            vspg, vst[:, None, None], (0, page, off)
+                        )
                 return kpg, vpg, kspg, vspg
 
             return jax.lax.cond(active_mask[i], write, lambda c: c, carry)

@@ -193,6 +193,42 @@ def append(
     )
 
 
+def append_quantized_token(
+    cache: KVCache,
+    kq: jax.Array,
+    ks: Optional[jax.Array],
+    vq: jax.Array,
+    vs: Optional[jax.Array],
+    offsets: jax.Array,
+    n_valid: jax.Array,
+) -> KVCache:
+    """Decode write of ONE already-quantized token per slot.
+
+    The mega-kernel decode path (ops/megastep.py) quantizes the new
+    token once — the kernel consumes the quantized values analytically
+    while this scatter (the same hinted one-scatter-per-array write as
+    :func:`append`'s T=1 branch) persists them for future steps.  Because
+    the kernel reads the PRE-append cache, this write has no consumer in
+    the current layer and XLA schedules it off the critical path.
+
+    Args: kq/vq (B, Hkv, D') values in the cache container, ks/vs
+    (B, Hkv) fp32 token scales (None for full-precision caches),
+    offsets (B,) write rows, n_valid (B,) 0/1 length bumps.
+    """
+    rows = offsets[:, None]
+    sids = jnp.arange(cache.num_slots, dtype=jnp.int32)[:, None]
+    hints = dict(indices_are_sorted=True, unique_indices=True)
+    ck = cache.k.at[sids, :, rows].set(kq[:, None], **hints)
+    cv = cache.v.at[sids, :, rows].set(vq[:, None], **hints)
+    cks, cvs = cache.k_scale, cache.v_scale
+    if ks is not None:
+        cks = cks.at[sids, :, rows].set(ks[:, None], **hints)
+        cvs = cvs.at[sids, :, rows].set(vs[:, None], **hints)
+    return KVCache(
+        k=ck, v=cv, lengths=offsets + n_valid, k_scale=cks, v_scale=cvs
+    )
+
+
 def free_slots(cache: KVCache, slot_ids: jax.Array) -> KVCache:
     """Mark slots empty (lengths 0); data is left in place and overwritten."""
     return dataclasses.replace(

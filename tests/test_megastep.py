@@ -1,0 +1,191 @@
+"""Differential tests for the layer-granular decode mega-kernel
+(ops/megastep.py): one Pallas call per decode layer must reproduce the
+unfused decode step (decode_attention + qmlp tail + append) — logits AND
+cache state — on ragged, partially-active slot batches."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from quantumattention_tpu import config
+from quantumattention_tpu.models import llama, quantized
+from quantumattention_tpu.ops import megastep as mega
+from quantumattention_tpu.ops import quant
+from quantumattention_tpu.serving import kv_cache as kvc
+from quantumattention_tpu.serving.backends import SlotsBackend
+
+
+def _cfg(**kw):
+    return llama.LlamaConfig(
+        vocab_size=256,
+        hidden_size=256,
+        intermediate_size=256,
+        num_layers=2,
+        num_q_heads=4,
+        num_kv_heads=2,
+        head_dim=128,
+        rope_theta=10000.0,
+        **kw,
+    )
+
+
+def _fill_caches(backend, lengths, seed=0):
+    """Random token-wise-quantized cache content up to each slot's
+    length (rows beyond are garbage by contract)."""
+    key = jax.random.PRNGKey(seed)
+    out = []
+    for li, c in enumerate(backend.caches):
+        k1, k2, key = jax.random.split(key, 3)
+        kf = jax.random.normal(k1, c.k.shape[:3] + (c.k.shape[3],), jnp.float32)
+        vf = jax.random.normal(k2, c.k.shape[:3] + (c.k.shape[3],), jnp.float32)
+        kq, ks = quant.dynamically_quantize_int8(kf, reduction_dim=-1)
+        vq, vs = quant.dynamically_quantize_int8(vf, reduction_dim=-1)
+        out.append(
+            dataclasses.replace(
+                c, k=kq, v=vq, k_scale=ks, v_scale=vs,
+                lengths=jnp.asarray(lengths, jnp.int32),
+            )
+        )
+    backend.caches = out
+
+
+def _step(backend, params, tokens, active, flag):
+    with config.patch({"kernel.megastep": flag, "kernel.qmlp": "force"}):
+        caches, logits = backend._decode_step_impl(
+            params, backend.caches, jnp.asarray(tokens), jnp.asarray(active)
+        )
+    return jax.tree_util.tree_map(np.asarray, (caches, logits))
+
+
+@pytest.mark.parametrize("max_len,lengths,active", [
+    # single cache block, ragged lengths, inactive + empty slots
+    (128, [5, 37, 127, 0, 17, 90, 1, 33] + [9] * 8,
+     [1, 1, 0, 1, 1, 1, 0, 1] + [1] * 8),
+    # all-empty first step
+    (128, [0] * 16, [1] * 16),
+    # multi-block sweep + valid-block clamp (bkv=1024 -> 2 blocks, most
+    # rows far below the second block)
+    (2048, [1500, 5, 0, 1023, 1024, 1025, 40, 7] + [64] * 8,
+     [1] * 6 + [0, 1] + [1] * 8),
+])
+def test_megastep_matches_unfused_decode(max_len, lengths, active):
+    cfg = _cfg()
+    params = quantized.fuse_projections(
+        quantized.init_quantized_params(jax.random.PRNGKey(0), cfg)
+    )
+    tokens = np.arange(16, dtype=np.int32) % cfg.vocab_size
+    active = np.asarray(active, bool)
+
+    be_a = SlotsBackend(
+        cfg, num_slots=16, max_len=max_len, cache_dtype=jnp.int8
+    )
+    be_b = SlotsBackend(
+        cfg, num_slots=16, max_len=max_len, cache_dtype=jnp.int8
+    )
+    _fill_caches(be_a, lengths)
+    _fill_caches(be_b, lengths)
+
+    with config.patch({"kernel.megastep": "force"}):
+        assert mega.megastep_supported(cfg, params, be_a.caches[0], 16)
+    caches_ref, logits_ref = _step(be_a, params, tokens, active, False)
+    caches_mega, logits_mega = _step(be_b, params, tokens, active, "force")
+
+    scale = max(float(np.std(logits_ref)), 1e-6)
+    rmse = float(np.sqrt(np.mean((logits_mega - logits_ref) ** 2))) / scale
+    assert rmse < 1e-2, f"relative logit rmse {rmse}"
+
+    # The cache write is the same quantize + scatter; values may differ
+    # by the jit-vs-eager round-to-nearest boundary only (kvc.append is
+    # jitted, the mega driver's quantize traces in the caller's context).
+    # The appended row derives from the previous layer's output, which
+    # differs between the paths at bf16-ulp level (softmax merge order),
+    # so ±1 int8 flips occur at a few percent; anything larger (or a
+    # misplaced write) would blow the max/fraction bounds.
+    # Layer 0's appended row is computed from bit-identical inputs in
+    # both paths (only jit-vs-eager rounding may flip it ±1); later
+    # layers' inputs already differ at bf16-ulp level, so their written
+    # rows wobble a little more.  A misplaced write would blow the max.
+    flips, total = 0, 0
+    for li, (cr, cm) in enumerate(zip(caches_ref, caches_mega)):
+        np.testing.assert_array_equal(cr.lengths, cm.lengths)
+        for b in range(16):
+            n = int(cr.lengths[b])
+            for a_arr, b_arr in (
+                (cr.k[b, :, :n], cm.k[b, :, :n]),
+                (cr.v[b, :, :n], cm.v[b, :, :n]),
+            ):
+                diff = np.abs(
+                    a_arr.astype(np.int32) - b_arr.astype(np.int32)
+                )
+                assert diff.max() <= (1 if li == 0 else 3), (li, b)
+                flips += int((diff != 0).sum())
+                total += diff.size
+            np.testing.assert_allclose(
+                cr.k_scale[b, :, :n], cm.k_scale[b, :, :n], rtol=1e-2
+            )
+    assert flips / max(total, 1) < 0.02, (flips, total)
+
+
+def test_megastep_gate_rejects_unsupported():
+    cfg = _cfg()
+    params = quantized.fuse_projections(
+        quantized.init_quantized_params(jax.random.PRNGKey(0), cfg)
+    )
+    be = SlotsBackend(cfg, num_slots=16, max_len=128, cache_dtype=jnp.int8)
+    with config.patch({"kernel.megastep": "force"}):
+        # windowed configs fall back
+        wcfg = dataclasses.replace(cfg, window=32)
+        assert not mega.megastep_supported(wcfg, params, be.caches[0], 16)
+        # bf16 cache (no scales) falls back
+        be_bf = SlotsBackend(
+            cfg, num_slots=16, max_len=128, cache_dtype=jnp.bfloat16
+        )
+        assert not mega.megastep_supported(cfg, params, be_bf.caches[0], 16)
+        # unfused tree falls back
+        params_unfused = quantized.init_quantized_params(
+            jax.random.PRNGKey(0), cfg
+        )
+        assert not mega.megastep_supported(
+            cfg, params_unfused, be.caches[0], 16
+        )
+        # batch not a multiple of 16 falls back
+        assert not mega.megastep_supported(cfg, params, be.caches[0], 12)
+
+
+def test_megastep_burst_scan_consistency():
+    """Three single steps through the mega path == the same three steps
+    of the unfused path (token-greedy), exercising the scan-carried cache
+    threading the mega kernel's pre-append read."""
+    cfg = _cfg()
+    params = quantized.fuse_projections(
+        quantized.init_quantized_params(jax.random.PRNGKey(0), cfg)
+    )
+    lengths = [3, 0, 11, 7] + [1] * 12
+    tokens = np.arange(16, dtype=np.int32)
+    active = np.ones(16, bool)
+
+    outs = {}
+    for flag in (False, "force"):
+        be = SlotsBackend(cfg, num_slots=16, max_len=128, cache_dtype=jnp.int8)
+        _fill_caches(be, lengths)
+        toks = tokens
+        trace = []
+        for _ in range(3):
+            with config.patch({"kernel.megastep": flag, "kernel.qmlp": "force"}):
+                be.caches, logits = be._decode_step_impl(
+                    params, be.caches, jnp.asarray(toks), jnp.asarray(active)
+                )
+            # Teacher-forced next tokens (logit-independent): greedy
+            # continuations on untrained models are near-tie flaky.
+            toks = (toks * 7 + 1) % cfg.vocab_size
+            trace.append(np.asarray(logits))
+        outs[flag] = trace
+
+    for a, b in zip(outs[False], outs["force"]):
+        scale = max(float(np.std(a)), 1e-6)
+        rmse = float(np.sqrt(np.mean((a - b) ** 2))) / scale
+        assert rmse < 2e-2, f"relative logit rmse {rmse}"
