@@ -147,10 +147,11 @@ def _read_kernel(k_ref, o_ref):
 def pallas_read(c):
     return pl.pallas_call(
         _read_kernel,
+        grid=(1,),
         in_specs=[pl.BlockSpec(
-            (1, 1, MAXLEN, D), lambda: (0, 0, 0, 0)
+            (1, 1, MAXLEN, D), lambda i: (0, 0, 0, 0)
         )],
-        out_specs=pl.BlockSpec((MAXLEN, D), lambda: (0, 0)),
+        out_specs=pl.BlockSpec((MAXLEN, D), lambda i: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((MAXLEN, D), jnp.float32),
     )(c.k)
 
@@ -159,15 +160,24 @@ def xla_read(c):
     return c.k[0, 0].astype(jnp.float32)
 
 
-for mode, reader in (("app+xla_read", xla_read), ("app+pallas_read", pallas_read)):
+_appenders = {"app": append_batched, "dusapp": append_perslot,
+              "onerowapp": append_onerow, "noapp": append_nothing}
+
+
+for mode, reader in (
+    ("app+xla_read", xla_read),
+    ("app+pallas_read", pallas_read),
+    ("dusapp+pallas_read", pallas_read),
+    ("onerowapp+pallas_read", pallas_read),
+    ("noapp+pallas_read", pallas_read),
+):
     def burst(caches, x0):
         def one(carry, _):
             caches, acc = carry
             positions = caches[0].lengths
             nval = jnp.ones((B,), jnp.int32)
-            caches = [
-                append_batched(c, positions, nval) for c in caches
-            ]
+            app = _appenders[mode.split("+")[0]]
+            caches = [app(c, positions, nval) for c in caches]
             for c in caches:
                 acc = acc + reader(c)[0, 0]
             return (caches, acc), None

@@ -90,7 +90,8 @@ def _mega_kernel(
     us_ref,     # (1, bi) f32
     wd_ref,     # (bi, E) int8           down tile
     ds_ref,     # (1, E) f32
-    *refs,      # [nnorm, wq, qs] when has_qkv; outputs; scratch
+    *refs,      # [sk, sv, sks, svs, smask] when has_side;
+                # [nnorm, wq, qs] when has_qkv; outputs; scratch
     n_kv: int,
     hkv: int,
     group: int,
@@ -99,8 +100,17 @@ def _mega_kernel(
     sm_scale: float,
     eps: float,
     has_qkv: bool,
+    has_side: bool = False,
 ):
     refs = list(refs)
+    if has_side:
+        # Burst-mode side buffer: this burst's appended tokens
+        # ((B, Hkv, Tpad, D) int8 + (B, Hkv, Tpad) f32 scales + a
+        # (B, Tpad) additive validity mask), VMEM-resident whole.
+        sk_ref, sv_ref, sks_ref, svs_ref, smask_ref = refs[:5]
+        refs = refs[5:]
+    else:
+        sk_ref = sv_ref = sks_ref = svs_ref = smask_ref = None
     if has_qkv:
         nnorm_ref, wq_ref, qs_ref = refs[:3]  # next layer norm + QKV tile
         o_ref, oq_ref = refs[3:5]
@@ -167,8 +177,41 @@ def _mega_kernel(
 
         @pl.when(jk == n_kv - 1)
         def _finalize():
-            acc = aacc_s[...]
-            l1 = l_s[...][:, :, :1]
+            if has_side:
+                # Burst side buffer: one more online-softmax block over
+                # this burst's appended tokens (cache arrays stay
+                # UNTOUCHED inside the burst — megastep.py docstring on
+                # the scatter-copy trap; kv_cache.flush_side persists
+                # them once per burst).
+                sk = sk_ref[:, h].astype(jnp.bfloat16)  # (B, Tpad, D)
+                s2 = jax.lax.dot_general(
+                    q, sk, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ) * scale2  # (B, Gp, Tpad)
+                s2 = s2 * sks_ref[:, h, :][:, None, :]
+                s2 = s2 + smask_ref[...][:, None, :]
+                m_prev = m_s[...]
+                l_prev = l_s[...]
+                m_curr = jnp.max(s2, axis=-1, keepdims=True)
+                m_next = jnp.maximum(m_prev, m_curr)
+                alpha = jnp.exp2(m_prev - m_next)
+                p2 = jnp.exp2(s2 - m_next[:, :, :1])
+                l_fin = alpha * l_prev + jnp.sum(
+                    p2, axis=-1, keepdims=True
+                )
+                sv = sv_ref[:, h].astype(jnp.bfloat16)
+                p_eff2 = (
+                    p2 * svs_ref[:, h, :][:, None, :]
+                ).astype(jnp.bfloat16)
+                pv2 = jax.lax.dot_general(
+                    p_eff2, sv, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
+                acc = aacc_s[...] * alpha[:, :, :1] + pv2
+                l1 = l_fin[:, :, :1]
+            else:
+                acc = aacc_s[...]
+                l1 = l_s[...][:, :, :1]
             l_inv = jnp.where(l1 == 0.0, 0.0, 1.0 / l1)
             # Head output -> wo row-block, one (B, D) x (D, E) dot per
             # group row (keeps the accumulator's (Gp, D) sublane layout —
@@ -248,6 +291,14 @@ def _pick_bkv(
     return None
 
 
+def _side_bytes(batch: int, hkv: int, tpad: int, d: int) -> int:
+    """VMEM held by the burst side buffer (whole-resident in the kernel):
+    int8 K+V + fp32 scales + the validity mask."""
+    if tpad == 0:
+        return 0
+    return batch * hkv * tpad * (2 * d + 8) + batch * tpad * 4
+
+
 def _pick_tile(total: int, e_dim: int, budget: int) -> Optional[int]:
     """Largest column tile (divisor of ``total``) whose double-buffered
     int8 stream (3 matrices wide for the MLP) fits ``budget``."""
@@ -301,7 +352,9 @@ def _is_q8(w: Any) -> bool:
     return isinstance(w, dict) and "q" in w and "s" in w
 
 
-def megastep_supported(cfg, params, cache, batch: int, mesh=None) -> bool:
+def megastep_supported(
+    cfg, params, cache, batch: int, mesh=None, side_tokens: int = 0
+) -> bool:
     """Trace-time routing gate for the fused decode layer step.
 
     Requires the fused int8 w8a16 tree (``w_qkv``/``w_gate_up``/
@@ -344,7 +397,10 @@ def megastep_supported(cfg, params, cache, batch: int, mesh=None) -> bool:
     att_buf = 2 * batch * bkv * (
         2 * cfg.head_dim + 4 + 8 * cfg.num_kv_heads
     )
-    budget = _VMEM_BUDGET - att_buf - 2 * 2 * (
+    side_buf = _side_bytes(
+        batch, cfg.num_kv_heads, side_tokens, cfg.head_dim
+    )
+    budget = _VMEM_BUDGET - att_buf - side_buf - 2 * 2 * (
         cfg.num_q_heads // cfg.num_kv_heads
     ) * cfg.head_dim * e_dim
     if _pick_tile(inter, e_dim, budget) is None:
@@ -364,6 +420,7 @@ def fused_decode_layer(
     next_attn_norm: Optional[jax.Array] = None,
     next_w_qkv: Optional[Dict[str, jax.Array]] = None,
     *,
+    side: Optional[Dict[str, jax.Array]] = None,
     eps: float,
     sm_scale: Optional[float] = None,
     interpret: Optional[bool] = None,
@@ -373,10 +430,19 @@ def fused_decode_layer(
     Args:
       x: (B, E) bf16 residual stream.
       q: (B, Hq, D) bf16 rotated queries.
-      cache_*: the POST-append slot cache arrays of this layer
-        ((B, Hkv, S, D) int8 + (B, Hkv, S) f32 scales) — the caller
-        scatters the current token in FIRST (module docstring: the
-        single-ownership chain is what keeps the scatter in place).
+      cache_*: the slot cache arrays of this layer ((B, Hkv, S, D) int8
+        + (B, Hkv, S) f32 scales).  Per-step mode (side=None): the
+        caller scatters the current token in FIRST and step_ctx covers
+        positions + active (post-append lengths).  Burst mode (side
+        given): the cache stays UNTOUCHED for the whole burst (step_ctx
+        covers the burst-start lengths only) and the kernel additionally
+        attends over the side buffer: {"k"/"v": (B, Hkv, Tpad, D) int8,
+        "ks"/"vs": (B, Hkv, Tpad) f32, "mask": (B, Tpad) f32 additive
+        validity}.  The side buffer is appended with ONE shared-row
+        dynamic_update_slice per step — the form that stays in place
+        through a pallas consumer, unlike any scatter (measured:
+        benchmarks/append_probe.py; a per-step cache scatter consumed by
+        the kernel silently copied all cache arrays, +8 ms/step).
       step_ctx: ``build_decode_ctx`` output (shared across layers).
       layer: fused w8a16 layer dict (wo, mlp_norm, w_gate_up, w_down).
       next_attn_norm/next_w_qkv: the NEXT layer's RMSNorm weight and
@@ -409,7 +475,10 @@ def fused_decode_layer(
     inter = wdn["q"].shape[0]
     f_out = next_w_qkv["q"].shape[1] if has_qkv else 0
     att_buf = 2 * batch * bkv * (2 * d + 4 + 8 * hkv)
-    budget = _VMEM_BUDGET - att_buf - 2 * 2 * group * d * e_dim
+    side_buf = _side_bytes(
+        batch, hkv, side["k"].shape[2] if side is not None else 0, d
+    )
+    budget = _VMEM_BUDGET - att_buf - side_buf - 2 * 2 * group * d * e_dim
     bi = _pick_tile(inter, e_dim, budget)
     fblk = _pick_tile(f_out, e_dim, budget) if has_qkv else 0
     if bi is None or fblk is None:
@@ -473,6 +542,15 @@ def fused_decode_layer(
         pl.BlockSpec((bi, e_dim), lambda j, n: (_jm(j), 0)),        # down
         whole((1, e_dim)),                   # down scale
     ]
+    if side is not None:
+        tpad = side["k"].shape[2]
+        in_specs += [
+            whole((batch, hkv, tpad, d)),    # side k
+            whole((batch, hkv, tpad, d)),    # side v
+            whole((batch, hkv, tpad)),       # side k scales
+            whole((batch, hkv, tpad)),       # side v scales
+            whole((batch, tpad)),            # side validity mask
+        ]
     if has_qkv:
         in_specs += [
             whole((1, e_dim)),               # next attn norm
@@ -498,6 +576,13 @@ def fused_decode_layer(
         wdn["q"],
         wdn["s"].reshape(1, e_dim).astype(jnp.float32),
     ]
+    if side is not None:
+        args += [
+            side["k"], side["v"],
+            side["ks"].astype(jnp.float32),
+            side["vs"].astype(jnp.float32),
+            side["mask"].astype(jnp.float32),
+        ]
     if has_qkv:
         args += [
             next_attn_norm.reshape(1, e_dim).astype(jnp.float32),
@@ -515,6 +600,7 @@ def fused_decode_layer(
         sm_scale=float(sm_scale),
         eps=eps,
         has_qkv=has_qkv,
+        has_side=side is not None,
     )
     weight_bytes = (
         q_dim * e_dim + 3 * e_dim * inter + e_dim * f_out

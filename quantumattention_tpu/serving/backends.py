@@ -420,6 +420,166 @@ class SlotsBackend:
         )
         return logits
 
+    def _burst_impl_mega(
+        self, params, caches, tokens, active, remaining, eos_ids, key,
+        *, n_steps: int, sp: SamplingParams, want_lp: bool = False,
+    ):
+        """Jitted mega-kernel burst: the slot caches stay INVARIANT for
+        the whole scan; each step appends its tokens to a small per-layer
+        SIDE buffer with one shared-row dynamic_update_slice (the only
+        write form that stays in place through a pallas consumer —
+        benchmarks/append_probe.py), the mega kernel attends over cache
+        prefix + side buffer, and ``kv_cache.flush_side`` persists the
+        side tokens ONCE after the scan.  The per-step cache scatter this
+        replaces was silently copying every carried cache array
+        (~8 ms/step at 64-slot 8B shapes)."""
+        from ..ops import megastep as mega
+        from ..ops import quant as quant_ops
+
+        cfg = self.cfg
+        batch = self.num_slots
+        G, Hkv, D = cfg.num_q_heads, cfg.num_kv_heads, cfg.head_dim
+        base = caches[0].lengths
+        bkv = mega._pick_bkv(self.max_len, batch, D, Hkv)
+        cols = jnp.arange(self.max_len, dtype=jnp.int32)[None, :]
+        cmask = jnp.where(
+            cols < base[:, None], 0.0, mega.MASK_VALUE
+        ).astype(jnp.float32)
+        nblk = ((jnp.max(base) + bkv - 1) // bkv).astype(jnp.int32)[None]
+        tpad = round_up(n_steps, 8)
+        zk = jnp.zeros((batch, Hkv, tpad, D), jnp.int8)
+        ones = jnp.ones((batch, Hkv, tpad), jnp.float32)
+        sides0 = [(zk, zk, ones, ones) for _ in range(cfg.num_layers)]
+        smask0 = jnp.full((batch, tpad), mega.MASK_VALUE, jnp.float32)
+        layers = params["layers"]
+
+        def one(carry, t):
+            sides, smask, toks, positions, active, remaining, key = carry
+            # Current tokens become visible to themselves via the side
+            # mask (the old path's append-then-attend semantics).
+            smask = jax.lax.dynamic_update_slice(
+                smask,
+                jnp.where(active, 0.0, mega.MASK_VALUE).astype(
+                    jnp.float32
+                )[:, None],
+                (0, t),
+            )
+            lengths_now = positions + active.astype(jnp.int32)
+            auxz = jnp.broadcast_to(
+                (lengths_now > 0).astype(jnp.float32)[:, None],
+                (batch, 128),
+            )
+            ctx = {"cmask": cmask, "auxz": auxz, "nblk": nblk,
+                   "ctx": mega.DecodeCtx(bkv)}
+            cos, sin = llama.rope_table(positions, D, cfg.rope_theta)
+            cosb, sinb = cos[:, None, :], sin[:, None, :]
+            x = llama.quantized.embed_lookup(
+                params["embed"], toks[:, None], cfg.dtype
+            )[:, 0]
+            h0 = llama.rms_norm(
+                x, layers[0]["attn_norm"], cfg.rms_norm_eps
+            )
+            qkv = llama.quantized.matmul(
+                "be,ef->bf", h0, layers[0]["w_qkv"]
+            )
+            new_sides = []
+            for idx, layer in enumerate(layers):
+                qk = qkv[:, : (G + Hkv) * D].reshape(
+                    batch, G + Hkv, 2, D // 2
+                ).astype(jnp.float32)
+                x1r, x2r = qk[:, :, 0], qk[:, :, 1]
+                qk_rot = jnp.stack(
+                    [x1r * cosb - x2r * sinb, x2r * cosb + x1r * sinb],
+                    axis=2,
+                ).reshape(batch, G + Hkv, D).astype(cfg.dtype)
+                q3, k3 = qk_rot[:, :G], qk_rot[:, G:]
+                v3 = qkv[:, (G + Hkv) * D :].reshape(batch, Hkv, D)
+                kq, ks = quant_ops.dynamically_quantize_int8(
+                    k3.astype(jnp.float32), reduction_dim=-1
+                )
+                vq, vs = quant_ops.dynamically_quantize_int8(
+                    v3.astype(jnp.float32), reduction_dim=-1
+                )
+                sk, sv, sks, svs = sides[idx]
+                sk = jax.lax.dynamic_update_slice(
+                    sk, kq[:, :, None, :], (0, 0, t, 0)
+                )
+                sv = jax.lax.dynamic_update_slice(
+                    sv, vq[:, :, None, :], (0, 0, t, 0)
+                )
+                sks = jax.lax.dynamic_update_slice(
+                    sks, ks[:, :, None], (0, 0, t)
+                )
+                svs = jax.lax.dynamic_update_slice(
+                    svs, vs[:, :, None], (0, 0, t)
+                )
+                new_sides.append((sk, sv, sks, svs))
+                c = caches[idx]
+                nxt = layers[idx + 1] if idx + 1 < len(layers) else None
+                x, qkv = mega.fused_decode_layer(
+                    x, q3, c.k, c.v, c.k_scale, c.v_scale, ctx, layer,
+                    next_attn_norm=(
+                        nxt["attn_norm"] if nxt is not None else None
+                    ),
+                    next_w_qkv=nxt["w_qkv"] if nxt is not None else None,
+                    side={"k": sk, "v": sv, "ks": sks, "vs": svs,
+                          "mask": smask},
+                    eps=cfg.rms_norm_eps,
+                )
+            xf = llama.rms_norm(
+                x[:, None, :], params["final_norm"], cfg.rms_norm_eps
+            )
+            if cfg.tie_embeddings:
+                logits = llama.quantized.tied_head_matmul(
+                    xf, params["embed"]
+                )
+            else:
+                logits = llama.quantized.matmul(
+                    "bse,ev->bsv", xf, params["lm_head"]
+                )
+            logits = logits[:, 0, :].astype(jnp.float32)
+            key, sub = jax.random.split(key)
+            skey = None if sp.temperature == 0.0 else sub
+            if want_lp:
+                nxt_t, lp = sample_with_logprob(logits, sp, skey)
+            else:
+                nxt_t = sample(logits, sp, skey)
+                lp = jnp.zeros(nxt_t.shape, jnp.float32)
+            emitted = active
+            nxt_t = jnp.where(active, nxt_t, toks)
+            positions = positions + active.astype(jnp.int32)
+            remaining = remaining - active.astype(jnp.int32)
+            hit_eos = jnp.logical_and(nxt_t == eos_ids, eos_ids >= 0)
+            active = jnp.logical_and(
+                active, jnp.logical_and(~hit_eos, remaining > 0)
+            )
+            return (
+                (new_sides, smask, nxt_t, positions, active, remaining,
+                 key),
+                (nxt_t, emitted, lp),
+            )
+
+        carry0 = (sides0, smask0, tokens, base, active, remaining, key)
+        (sides, _, _, positions, *_), (toks, emits, lps) = jax.lax.scan(
+            one, carry0, jnp.arange(n_steps, dtype=jnp.int32)
+        )
+        caches = [
+            kvc.flush_side(
+                c,
+                sd[0][:, :, :n_steps], sd[1][:, :, :n_steps],
+                sd[2][:, :, :n_steps], sd[3][:, :, :n_steps],
+                base, positions,
+            )
+            for c, sd in zip(caches, sides)
+        ]
+        if want_lp:
+            packed = jnp.stack(
+                [toks.astype(jnp.float32), emits.astype(jnp.float32), lps]
+            )
+        else:
+            packed = jnp.stack([toks, emits.astype(jnp.int32)])
+        return caches, packed
+
     def _burst_impl(
         self, params, caches, tokens, active, remaining, eos_ids, key,
         *, n_steps: int, sp: SamplingParams, want_lp: bool = False,
@@ -471,15 +631,22 @@ class SlotsBackend:
         self, params, tokens, active, remaining, eos_ids, key,
         n_steps: int, sp: SamplingParams, want_lp: bool,
     ) -> np.ndarray:
-        jitted = self._burst_jits.get((n_steps, sp, want_lp))
+        from ..ops import megastep as mega
+
+        use_mega = n_steps <= 128 and mega.megastep_supported(
+            self.cfg, params, self.caches[0], self.num_slots, self.mesh,
+            side_tokens=((n_steps + 7) // 8) * 8,
+        )
+        jitted = self._burst_jits.get((n_steps, sp, want_lp, use_mega))
         if jitted is None:
+            impl = self._burst_impl_mega if use_mega else self._burst_impl
             jitted = jax.jit(
                 functools.partial(
-                    self._burst_impl, n_steps=n_steps, sp=sp, want_lp=want_lp
+                    impl, n_steps=n_steps, sp=sp, want_lp=want_lp
                 ),
                 donate_argnums=_donate_args(1),
             )
-            self._burst_jits[(n_steps, sp, want_lp)] = jitted
+            self._burst_jits[(n_steps, sp, want_lp, use_mega)] = jitted
         self.caches, packed = jitted(
             params, self.caches, jnp.asarray(tokens), jnp.asarray(active),
             jnp.asarray(remaining), jnp.asarray(eos_ids), key,

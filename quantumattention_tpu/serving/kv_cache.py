@@ -229,6 +229,48 @@ def append_quantized_token(
     )
 
 
+def flush_side(
+    cache: KVCache,
+    sk: jax.Array,
+    sv: jax.Array,
+    sks: jax.Array,
+    svs: jax.Array,
+    base: jax.Array,
+    new_lengths: jax.Array,
+) -> KVCache:
+    """Persist a burst's side-buffer tokens into the slot cache.
+
+    Side column t of slot b lands at row ``base[b] + t`` (the mega-burst
+    writes side columns at the SHARED step index, so a slot's valid
+    columns are a prefix and map to consecutive rows).  Columns past a
+    slot's last active step hold garbage that lands at rows >=
+    ``new_lengths[b]`` — contract-garbage — and rows past ``max_len``
+    are dropped (mode="drop"; the engine clamps bursts so no ACTIVE
+    slot's rows overflow, only never-active full slots hit this).
+
+    One scatter per cache array per BURST: the per-step scatter was the
+    single biggest decode cost (~8 ms/step at 64-slot 8B shapes — a
+    scatter whose output feeds a pallas kernel is silently COPIED,
+    benchmarks/append_probe.py); amortized over a 64-step burst it
+    disappears.
+    """
+    t_width = sk.shape[2]
+    rows = base[:, None] + jnp.arange(t_width, dtype=jnp.int32)  # (B, T)
+    sids = jnp.arange(cache.num_slots, dtype=jnp.int32)[:, None]
+    hints = dict(indices_are_sorted=True, unique_indices=True, mode="drop")
+    ck = cache.k.at[sids, :, rows].set(sk.transpose(0, 2, 1, 3), **hints)
+    cv = cache.v.at[sids, :, rows].set(sv.transpose(0, 2, 1, 3), **hints)
+    cks = cache.k_scale.at[sids, :, rows].set(
+        sks.transpose(0, 2, 1), **hints
+    )
+    cvs = cache.v_scale.at[sids, :, rows].set(
+        svs.transpose(0, 2, 1), **hints
+    )
+    return KVCache(
+        k=ck, v=cv, lengths=new_lengths, k_scale=cks, v_scale=cvs
+    )
+
+
 def free_slots(cache: KVCache, slot_ids: jax.Array) -> KVCache:
     """Mark slots empty (lengths 0); data is left in place and overwritten."""
     return dataclasses.replace(

@@ -189,3 +189,93 @@ def test_megastep_burst_scan_consistency():
         scale = max(float(np.std(a)), 1e-6)
         rmse = float(np.sqrt(np.mean((a - b) ** 2))) / scale
         assert rmse < 2e-2, f"relative logit rmse {rmse}"
+
+
+def test_megastep_burst_invariants_and_flush_placement():
+    """The mega burst (invariant caches + side buffer + one flush) must
+    produce the same SCHEDULE as the unfused burst (lengths, emit
+    counts, completion) and land its side tokens at exactly the rows the
+    per-step append would have used (scale rows move off their init
+    value only inside [base, base+emitted))."""
+    cfg = _cfg()
+    params = quantized.fuse_projections(
+        quantized.init_quantized_params(jax.random.PRNGKey(0), cfg)
+    )
+    base_lengths = [5, 37, 101, 1] + [9] * 12
+
+    def run(flag, burst):
+        be = SlotsBackend(cfg, num_slots=16, max_len=128,
+                          cache_dtype=jnp.int8)
+        _fill_caches(be, base_lengths, seed=3)
+        # zero the unwritten scale rows so flush placement is observable
+        be.caches = [
+            dataclasses.replace(
+                c,
+                k_scale=jnp.where(
+                    jnp.arange(128)[None, None, :] < c.lengths[:, None, None],
+                    c.k_scale, 0.0,
+                ),
+            )
+            for c in be.caches
+        ]
+        tokens = np.arange(16, dtype=np.int32)
+        active = np.ones(16, bool)
+        remaining = np.full(16, 7, np.int32)
+        eos = np.full(16, -1, np.int32)
+        from quantumattention_tpu.serving.sampling import SamplingParams
+
+        with config.patch({"kernel.megastep": flag}):
+            packed = be.burst(
+                params, tokens, active, remaining, eos,
+                jax.random.PRNGKey(7), burst, SamplingParams(), False,
+            )
+        return be, packed
+
+    be_m, packed_m = run("force", 4)
+    be_u, packed_u = run(False, 4)
+
+    # schedule: same emit mask everywhere (no EOS, ample budget)
+    np.testing.assert_array_equal(packed_m[1], packed_u[1])
+    np.testing.assert_array_equal(
+        np.asarray(be_m.caches[0].lengths), np.asarray(be_u.caches[0].lengths)
+    )
+    for c in be_m.caches:
+        ksc = np.asarray(c.k_scale)
+        for b in range(16):
+            lo, hi = base_lengths[b], base_lengths[b] + 4
+            assert (ksc[b, :, lo:hi] != 0).all(), (b, "flush missing rows")
+            assert (ksc[b, :, hi:] == 0).all(), (b, "flush wrote past end")
+
+
+def test_megastep_burst_first_tokens_match_step():
+    """The first burst step starts from state identical to a single mega
+    decode step; its sampled tokens must match (greedy).  Merge-order fp
+    noise can flip a genuine near-tie on an untrained model, so one
+    mismatching slot out of 16 is tolerated (CLAUDE.md testing notes)."""
+    cfg = _cfg()
+    params = quantized.fuse_projections(
+        quantized.init_quantized_params(jax.random.PRNGKey(0), cfg)
+    )
+    lengths = [5, 37, 101, 1] + [9] * 12
+    tokens = np.arange(16, dtype=np.int32)
+    active = np.ones(16, bool)
+    from quantumattention_tpu.serving.sampling import SamplingParams
+
+    be_a = SlotsBackend(cfg, num_slots=16, max_len=128, cache_dtype=jnp.int8)
+    _fill_caches(be_a, lengths, seed=5)
+    with config.patch({"kernel.megastep": "force"}):
+        packed = be_a.burst(
+            params, tokens, active, np.full(16, 3, np.int32),
+            np.full(16, -1, np.int32), jax.random.PRNGKey(7), 3,
+            SamplingParams(), False,
+        )
+    first_burst = packed[0][0]
+
+    be_b = SlotsBackend(cfg, num_slots=16, max_len=128, cache_dtype=jnp.int8)
+    _fill_caches(be_b, lengths, seed=5)
+    with config.patch({"kernel.megastep": "force"}):
+        be_b.caches, logits = be_b._decode_step_impl(
+            params, be_b.caches, jnp.asarray(tokens), jnp.asarray(active)
+        )
+    first_step = np.asarray(jnp.argmax(logits, -1))
+    assert (first_burst != first_step).sum() <= 1, (first_burst, first_step)
