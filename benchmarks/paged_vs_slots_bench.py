@@ -65,13 +65,26 @@ def run(name, **kw):
     return out
 
 
-slots = run("slots")
+from quantumattention_tpu import config as qa_config
+
+# Like-for-like storage comparison: the slots burst now routes through
+# the mega kernel (ops/megastep.py), which the paged backend does not
+# have — the ratio is defined against the UNFUSED slots step (same
+# kernel architecture on both sides), with the mega number printed for
+# context.
+with qa_config.patch({"kernel.megastep": False}):
+    slots = run("slots_unfused")
+slots_mega = run("slots_megastep")
 paged = run("paged_ps128", cache_backend="paged", page_size=128)
 paged256 = run("paged_ps256", cache_backend="paged", page_size=256)
-slots2 = run("slots_again")  # drift control
+with qa_config.patch({"kernel.megastep": False}):
+    slots2 = run("slots_unfused_again")  # drift control
 best_slots = min(slots["decode_ms_per_step"], slots2["decode_ms_per_step"])
 best_paged = min(paged["decode_ms_per_step"], paged256["decode_ms_per_step"])
 ratio = best_paged / best_slots
 print(json.dumps({"paged_vs_slots_step_ratio": round(ratio, 3),
-                  "within_10pct": ratio <= 1.10}), flush=True)
+                  "within_10pct": ratio <= 1.10,
+                  "paged_vs_megastep_ratio": round(
+                      best_paged / slots_mega["decode_ms_per_step"], 3)}),
+      flush=True)
 print("DONE", flush=True)
