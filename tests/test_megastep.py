@@ -158,8 +158,8 @@ def test_megastep_gate_rejects_unsupported():
 
 def test_megastep_burst_scan_consistency():
     """Three single steps through the mega path == the same three steps
-    of the unfused path (token-greedy), exercising the scan-carried cache
-    threading the mega kernel's pre-append read."""
+    of the unfused path (teacher-forced), exercising the append-then-
+    attend cache threading across steps."""
     cfg = _cfg()
     params = quantized.fuse_projections(
         quantized.init_quantized_params(jax.random.PRNGKey(0), cfg)
