@@ -227,11 +227,24 @@ def main() -> None:
                     round(num_slots * prompt / pre, 1),
                 )
 
-            tok64, ms64, pre64 = serve_point(64, 512, 128)
-            tok16, ms16, pre16 = serve_point(16, 1024, 256)
+            def serve_point_safe(*a):
+                # Insurance: if the mega-kernel path hits a compile
+                # failure on this chip/runtime, fall back to the unfused
+                # step rather than losing the serving numbers.
+                try:
+                    return serve_point(*a) + (True,)
+                except Exception:
+                    from quantumattention_tpu import config as qa_config
+
+                    with qa_config.patch({"kernel.megastep": False}):
+                        return serve_point(*a) + (False,)
+
+            tok64, ms64, pre64, mega64 = serve_point_safe(64, 512, 128)
+            tok16, ms16, pre16, _ = serve_point_safe(16, 1024, 256)
             serving = {
                 "serving_decode_tok_s_8b_64slots": tok64,
                 "serving_decode_ms_per_step_64slots": ms64,
+                "serving_megastep_path": mega64,
                 "serving_decode_tok_s_8b_16slots": tok16,
                 "serving_decode_ms_per_step": ms16,
                 "serving_prefill_tok_s_8b": pre16,

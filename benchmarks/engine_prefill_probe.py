@@ -2,7 +2,7 @@
 
 prefill_probe.py showed the jitted forward itself runs at ~9.3k tok/s
 (440 ms for a 16x256 batch), but the engine measures 1.7-2.9k tok/s —
-this probe times each phase of Engine._prefill_whole_batch to find the
+this probe times each phase of the whole-batch prefill path to find the
 missing second: forward dispatch, the one-jit 32-layer cache append, the
 first-token argmax fetch, and the full engine step.
 
@@ -106,6 +106,34 @@ def main():
         }), flush=True)
     print(json.dumps({"stats": {k: int(v) for k, v in eng.stats.items()}}),
           flush=True)
+
+    # Flagship round (64 slots x 128-token prompts -> TWO 32-request
+    # groups): group 1's first-token fetch pipelines behind group 2's
+    # forward (engine._pending_prefill), so this config shows the
+    # overlap win; the single-group 16x256 round above cannot.
+    del eng
+    import gc
+    gc.collect()
+    eng64 = Engine(params, cfg, num_slots=64, max_len=512,
+                   cache_dtype=jnp.int8, prefill_bucket=128)
+    prompts64 = [
+        [(7 * i + j) % 1000 + 1 for j in range(128)] for i in range(64)
+    ]
+    rs = [eng64.submit(p, max_new_tokens=2) for p in prompts64]
+    eng64.run_to_completion()  # warm/compile
+    for i in range(3):
+        rs = [eng64.submit(p, max_new_tokens=2) for p in prompts64]
+        t0 = time.perf_counter()
+        while eng64.waiting or eng64.prefilling:
+            eng64.step()
+        jax.block_until_ready(eng64.caches[0].k)
+        dt = time.perf_counter() - t0
+        eng64.run_to_completion()
+        print(json.dumps({
+            "phase": f"engine_prefill64_round{i}",
+            "ms": round(dt * 1e3, 1),
+            "tok_s": round(64 * 128 / dt, 1),
+        }), flush=True)
     print("DONE", flush=True)
 
 
