@@ -305,28 +305,9 @@ class SlotsBackend:
         positions = caches[0].lengths
         batch = self.num_slots
         G, Hkv, D = cfg.num_q_heads, cfg.num_kv_heads, cfg.head_dim
+        nval = active_mask.astype(jnp.int32)
         bkv = mega._pick_bkv(self.max_len, batch, D, Hkv)
-        # Cache masks cover the PRE-append lengths: the current token
-        # rides in a one-column side buffer and the append scatter runs
-        # at the END of the step, where no pallas call consumes it in
-        # this program — the only copy-free ordering (module docstring
-        # of ops/megastep.py; benchmarks/append_probe.py).
-        cols = jnp.arange(self.max_len, dtype=jnp.int32)[None, :]
-        cmask = jnp.where(
-            cols < positions[:, None], 0.0, mega.MASK_VALUE
-        ).astype(jnp.float32)
-        nblk = (
-            (jnp.max(positions) + bkv - 1) // bkv
-        ).astype(jnp.int32)[None]
-        lengths_new = positions + active_mask.astype(jnp.int32)
-        auxz = jnp.broadcast_to(
-            (lengths_new > 0).astype(jnp.float32)[:, None], (batch, 128)
-        )
-        ctx = {"cmask": cmask, "auxz": auxz, "nblk": nblk,
-               "ctx": mega.DecodeCtx(bkv)}
-        smask = jnp.where(
-            active_mask, 0.0, mega.MASK_VALUE
-        ).astype(jnp.float32)[:, None]
+        ctx = mega.build_decode_ctx(positions, active_mask, self.max_len, bkv)
 
         cos, sin = llama.rope_table(positions, D, cfg.rope_theta)
         cosb, sinb = cos[:, None, :], sin[:, None, :]
@@ -336,7 +317,6 @@ class SlotsBackend:
         layers = params["layers"]
         h0 = llama.rms_norm(x, layers[0]["attn_norm"], cfg.rms_norm_eps)
         qkv = llama.quantized.matmul("be,ef->bf", h0, layers[0]["w_qkv"])
-        writes = []
         for idx, layer in enumerate(layers):
             # Packed rotate-half RoPE over q and k together (identical
             # math to the lean driver / apply_rope — bit-exact).
@@ -355,7 +335,9 @@ class SlotsBackend:
             vq, vs = quant_ops.dynamically_quantize_int8(
                 v3.astype(jnp.float32), reduction_dim=-1
             )
-            writes.append((kq, ks, vq, vs))
+            caches[idx] = kvc.append_quantized_token(
+                caches[idx], kq, ks, vq, vs, positions, nval
+            )
             c = caches[idx]
             nxt = layers[idx + 1] if idx + 1 < len(layers) else None
             x, qkv = mega.fused_decode_layer(
@@ -363,17 +345,7 @@ class SlotsBackend:
                 ctx, layer,
                 next_attn_norm=nxt["attn_norm"] if nxt is not None else None,
                 next_w_qkv=nxt["w_qkv"] if nxt is not None else None,
-                side={"k": kq[:, :, None, :], "v": vq[:, :, None, :],
-                      "ks": ks[:, :, None], "vs": vs[:, :, None],
-                      "mask": smask},
                 eps=cfg.rms_norm_eps,
-            )
-        # All appends AFTER the last kernel: in this program nothing
-        # consumes the scatter outputs, so they stay in place.
-        for idx, (kq, ks, vq, vs) in enumerate(writes):
-            caches[idx] = kvc.flush_side(
-                caches[idx], kq[:, :, None, :], vq[:, :, None, :],
-                ks[:, :, None], vs[:, :, None], positions, lengths_new,
             )
         xf = llama.rms_norm(
             x[:, None, :], params["final_norm"], cfg.rms_norm_eps
