@@ -113,6 +113,16 @@ kernel = _Namespace(
     # compiled TPU only; "force" also routes in interpret mode (CPU
     # differential tests).
     megastep=_env_bool("QUANTUM_ATTN_MEGASTEP", True),
+    # Side-buffer paged burst (serving/backends.PagedBackend
+    # ._burst_impl_side): keep the page pool scan-INVARIANT across a
+    # decode burst, append each step's tokens to a small per-layer side
+    # buffer the paged kernel attends alongside the cache prefix, and
+    # flush once per burst.  The per-step page scatter it replaces feeds
+    # the paged pallas kernel, so XLA silently COPIES the whole pool
+    # every step (copy cost scales with pool bytes — the same trap the
+    # slots backend shed with the mega burst).  False = per-step scatter
+    # burst (kept for A/B and as the int4/window fallback).
+    paged_side_burst=_env_bool("QUANTUM_ATTN_PAGED_SIDE_BURST", True),
     # Causal two-stage decomposition inside the flash kernel (reference
     # inductor/kernels/attention.py:592-641 expressed as predicated Mosaic
     # regions instead of a grid split): interior (fully-below-diagonal)

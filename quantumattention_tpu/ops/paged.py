@@ -84,20 +84,8 @@ def _paged_kernel(
     v_pages_hbm,
     ks_pages_hbm,
     vs_pages_hbm,
-    # outputs
-    o_ref,
-    # scratch
-    k_buf,
-    v_buf,
-    ks_buf,
-    vs_buf,
-    k_sems,
-    v_sems,
-    buf_idx_ref,
-    m_scr,
-    l_scr,
-    acc_scr,
-    *,
+    # [sk, sv, sks, svs, smask] when has_side, then outputs, then scratch
+    *refs,
     quantized: bool,
     sm_scale: float,
     pages_per_block: int,
@@ -111,7 +99,31 @@ def _paged_kernel(
     int4: bool = False,
     q_tokens: int = 1,
     scale_fold: bool = False,
+    has_side: bool = False,
 ):
+    refs = list(refs)
+    if has_side:
+        # Burst side buffer: this burst's appended tokens.  VMEM blocks
+        # per (b, h): sk/sv (1, 1, Tpad, D) in the page container dtype,
+        # sks/svs (1, 1, 1, Tpad) f32 per-token scales (dummy when the
+        # pages are unquantized), smask (1, 1, Tpad) f32 additive
+        # validity {0, MASK}.  The head index rides the BlockSpec index
+        # map, so no in-kernel dynamic head indexing is needed.
+        sk_ref, sv_ref, sks_ref, svs_ref, smask_ref = refs[:5]
+        refs = refs[5:]
+    (
+        o_ref,
+        k_buf,
+        v_buf,
+        ks_buf,
+        vs_buf,
+        k_sems,
+        v_sems,
+        buf_idx_ref,
+        m_scr,
+        l_scr,
+        acc_scr,
+    ) = refs
     b = pl.program_id(0)
     h = pl.program_id(1)
     i = pl.program_id(2)
@@ -281,6 +293,41 @@ def _paged_kernel(
         )
         acc_scr[:] = acc_scr[:] * alpha[:, :1] + pv
 
+    if has_side:
+        # One more online-softmax block over the burst's side-buffer
+        # tokens, merged after the LAST cache block (the cache pages stay
+        # untouched for the whole burst — the scatter-through-pallas copy
+        # trap, ops/megastep.py module docstring).  Scales multiply the
+        # SCORES per key column (megastep convention) — equivalent to
+        # dequantizing K/V since the scales are per token.
+        @pl.when(i == num_valid_blocks - 1)
+        def _side():
+            q = q_ref[0, 0]  # (group_pad, D)
+            sk = sk_ref[0, 0].astype(jnp.bfloat16)  # (Tpad, D)
+            s2 = jax.lax.dot_general(
+                q, sk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * (sm_scale * LOG2E)
+            if quantized:
+                s2 = s2 * sks_ref[0, 0]  # (1, Tpad) broadcast
+            s2 = s2 + smask_ref[0]  # (1, Tpad) additive validity
+            m_prev = m_scr[:]
+            l_prev = l_scr[:]
+            m_curr = jnp.max(s2, axis=-1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp2(m_prev - m_next)
+            p2 = jnp.exp2(s2 - m_next[:, :1])
+            l_scr[:] = alpha * l_prev + jnp.sum(p2, axis=-1, keepdims=True)
+            m_scr[:] = m_next
+            if quantized:
+                p2 = p2 * svs_ref[0, 0]
+            sv = sv_ref[0, 0].astype(jnp.bfloat16)
+            pv2 = jax.lax.dot_general(
+                p2.astype(jnp.bfloat16), sv, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_scr[:] = acc_scr[:] * alpha[:, :1] + pv2
+
     @pl.when(i == num_valid_blocks - 1)
     def _epilogue():
         l = l_scr[:, :1]
@@ -297,10 +344,14 @@ def _paged_kernel(
 def _gathered_reference(
     q, k_pages, v_pages, lengths, page_indices, *,
     k_scale_pages, v_scale_pages, sm_scale, interpret, window=None,
-    int4=False,
+    int4=False, side=None,
 ):
     """Materialize each sequence's pages contiguously, then run the ragged
-    decode kernel — the semantic definition of the DMA kernel."""
+    decode kernel — the semantic definition of the DMA kernel.  With a
+    ``side`` buffer the side tokens are spliced in after each sequence's
+    cache prefix (side-valid columns are a PREFIX of the buffer by the
+    burst contract, so they map to consecutive rows at ``lengths[b]``)
+    and the effective lengths grow by the per-slot valid side count."""
     from .decode import decode_attention
 
     if int4:
@@ -327,6 +378,31 @@ def _gathered_reference(
 
         ks = jax.vmap(lambda t: gather_scale(k_scale_pages, t))(page_indices)
         vs = jax.vmap(lambda t: gather_scale(v_scale_pages, t))(page_indices)
+    if side is not None:
+        tpad = side["k"].shape[2]
+        pad4 = [(0, 0), (0, 0), (0, tpad), (0, 0)]
+        k_seq = jnp.pad(k_seq, pad4)
+        v_seq = jnp.pad(v_seq, pad4)
+        dus4 = jax.vmap(
+            lambda seq, sd, off: jax.lax.dynamic_update_slice(
+                seq, sd, (0, off, 0)
+            )
+        )
+        k_seq = dus4(k_seq, side["k"].astype(k_seq.dtype), lengths)
+        v_seq = dus4(v_seq, side["v"].astype(v_seq.dtype), lengths)
+        if ks is not None:
+            pad3 = [(0, 0), (0, 0), (0, tpad)]
+            ks = jnp.pad(ks, pad3)
+            vs = jnp.pad(vs, pad3)
+            dus3 = jax.vmap(
+                lambda s, sd, off: jax.lax.dynamic_update_slice(
+                    s, sd, (0, off)
+                )
+            )
+            ks = dus3(ks, side["ks"].astype(ks.dtype), lengths)
+            vs = dus3(vs, side["vs"].astype(vs.dtype), lengths)
+        n_side = jnp.sum(side["mask"] == 0.0, axis=-1).astype(jnp.int32)
+        lengths = lengths + n_side
     return decode_attention(
         q, k_seq, v_seq, lengths,
         k_scale=ks, v_scale=vs, sm_scale=sm_scale, window=window,
@@ -348,6 +424,7 @@ def paged_decode_attention(
     window: Optional[Tuple[Optional[int], Optional[int]]] = None,
     interpret: Optional[bool] = None,
     use_dma: Optional[bool] = None,
+    side: Optional[dict] = None,
 ) -> jax.Array:
     """Decode attention over paged KV; returns (B, Hq, D) bf16.
 
@@ -366,6 +443,18 @@ def paged_decode_attention(
         (Hkv, num_pages, page_size/128, 128) layout for pages wider than
         128 tokens (serving/paged_cache.scale_shape; a >128-wide 1-D
         per-page DMA slice trips Mosaic tiling — probe_scale_dma.py).
+      side: optional burst side buffer — this burst's appended tokens,
+        attended AFTER each sequence's cache prefix so the page pool can
+        stay scan-invariant for a whole decode burst (the
+        scatter-through-pallas silent-copy trap, ops/megastep.py):
+        {"k"/"v": (B, Hkv, Tpad, D) in the page container dtype,
+        "ks"/"vs": (B, Hkv, Tpad) f32 per-token scales (required iff the
+        pages are quantized), "mask": (B, Tpad) f32 additive validity
+        {0, MASK}}.  Tpad must be a multiple of 8.  Side-valid columns
+        must be a prefix per slot; ``lengths`` counts the CACHE prefix
+        only.  Slots with length 0 return zeros even if side columns are
+        valid (the serving engine never bursts an unprefilled slot).
+        Unsupported with int4 pages, multi-query q, or sliding window.
     """
     if q.ndim == 4:
         batch, num_q_heads, q_tokens, head_dim = q.shape
@@ -438,6 +527,23 @@ def paged_decode_attention(
             )
         if window_left is not None:
             window_left = int(window_left)
+    if side is not None:
+        if q_tokens != 1:
+            raise ValueError("side buffer requires single-token queries")
+        if int4:
+            raise ValueError("side buffer unsupported with int4 pages")
+        if window_left is not None:
+            raise ValueError("side buffer unsupported with sliding window")
+        sb, shkv, tpad, sd = side["k"].shape
+        if (sb, shkv, sd) != (batch, num_kv_heads, head_dim) or tpad % 8:
+            raise ValueError(
+                f"side buffer shape {side['k'].shape} does not match "
+                f"(B={batch}, Hkv={num_kv_heads}, Tpad%8==0, D={head_dim})"
+            )
+        if quantized != (side.get("ks") is not None):
+            raise ValueError(
+                "side scales must be present iff the pages are quantized"
+            )
     if interpret is None:
         interpret = checks.resolve_interpret(config.interpret)
     if use_dma is None:
@@ -462,7 +568,7 @@ def paged_decode_attention(
             q, k_pages, v_pages, lengths, page_indices,
             k_scale_pages=k_scale_pages, v_scale_pages=v_scale_pages,
             sm_scale=sm_scale, window=window, interpret=interpret,
-            int4=int4,
+            int4=int4, side=side,
         )
 
     # The GQA group (x candidate tokens) is the matmul M dim; pad to the
@@ -492,6 +598,7 @@ def paged_decode_attention(
         int4=int4,
         q_tokens=q_tokens,
         scale_fold=scale_fold,
+        has_side=side is not None,
     )
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
@@ -504,6 +611,51 @@ def paged_decode_attention(
         any_spec,  # k_scale_pages (dummy when not quantized)
         any_spec,  # v_scale_pages
     ]
+    side_args = []
+    if side is not None:
+        tpad = side["k"].shape[2]
+        # Per-(b, h) VMEM blocks; the head index rides the BlockSpec map
+        # (no in-kernel dynamic head indexing).  Scales reshape to
+        # (B, Hkv, 1, Tpad) and the mask to (B, 1, Tpad) so every block's
+        # second-to-last dim equals its array dim (Mosaic's 8-divisible
+        # sublane-block rule — ops/megastep.py's all-heads note).
+        in_specs += [
+            pl.BlockSpec(
+                (1, 1, tpad, head_dim), lambda b, h, i, *_: (b, h, 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, tpad, head_dim), lambda b, h, i, *_: (b, h, 0, 0)
+            ),
+        ]
+        if quantized:
+            sks4 = side["ks"].astype(jnp.float32)[:, :, None, :]
+            svs4 = side["vs"].astype(jnp.float32)[:, :, None, :]
+            in_specs += [
+                pl.BlockSpec(
+                    (1, 1, 1, tpad), lambda b, h, i, *_: (b, h, 0, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 1, 1, tpad), lambda b, h, i, *_: (b, h, 0, 0)
+                ),
+            ]
+        else:
+            sks4 = jnp.zeros((1, 1, 1, 1), jnp.float32)
+            svs4 = jnp.zeros((1, 1, 1, 1), jnp.float32)
+            in_specs += [
+                pl.BlockSpec(
+                    (1, 1, 1, 1), lambda b, h, i, *_: (0, 0, 0, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 1, 1, 1), lambda b, h, i, *_: (0, 0, 0, 0)
+                ),
+            ]
+        in_specs.append(
+            pl.BlockSpec((1, 1, tpad), lambda b, h, i, *_: (b, 0, 0))
+        )
+        side_args = [
+            side["k"], side["v"], sks4, svs4,
+            side["mask"].astype(jnp.float32)[:, None, :],
+        ]
 
     if quantized:
         ksp, vsp = k_scale_pages.astype(jnp.float32), v_scale_pages.astype(
@@ -567,6 +719,7 @@ def paged_decode_attention(
         v_pages,
         ksp,
         vsp,
+        *side_args,
     )
     out = out[:, :, :m_rows, :]
     if q_tokens > 1:

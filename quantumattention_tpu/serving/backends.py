@@ -630,7 +630,9 @@ class SlotsBackend:
     def burst(
         self, params, tokens, active, remaining, eos_ids, key,
         n_steps: int, sp: SamplingParams, want_lp: bool,
+        host_active=None,
     ) -> np.ndarray:
+        del host_active  # protocol parity; slots need no host mask
         from ..ops import megastep as mega
 
         use_mega = n_steps <= 128 and mega.megastep_supported(
@@ -1329,28 +1331,209 @@ class PagedBackend:
             packed = jnp.stack([toks, emits.astype(jnp.int32)])
         return pages, packed
 
+    def _flush_side_pages(self, pages, sides, tables, base, n_side):
+        """Persist a burst's side-buffer tokens into the page pool: ONE
+        batched scatter per page array per BURST (the per-step write this
+        replaces was silently copying the whole pool every step — a
+        scatter whose output feeds a pallas kernel cannot alias,
+        benchmarks/append_probe.py).  Side column t of slot b lands at
+        position base[b] + t; columns past a slot's last active step are
+        contract-garbage and their lanes are redirected to the trash
+        page."""
+        from .paged_cache import LayerPages
+
+        psize = self.page_size
+        tpad = sides[0][0].shape[2]
+        batch = self.num_slots
+        t_idx = jnp.arange(tpad, dtype=jnp.int32)[None, :]
+        lane_pos = base[:, None] + t_idx  # (B, Tpad)
+        lane_act = (t_idx < n_side[:, None]).reshape(-1)
+        lane_row = jnp.broadcast_to(
+            jnp.arange(batch, dtype=jnp.int32)[:, None], (batch, tpad)
+        ).reshape(-1)
+        pidx = jnp.clip(
+            lane_pos.reshape(-1) // psize, 0, tables.shape[1] - 1
+        )
+        page = jnp.where(
+            lane_act, tables[lane_row, pidx], self._trash_page
+        )
+        off = lane_pos.reshape(-1) % psize
+        n = batch * tpad
+        out = []
+        for (sk, sv, sks, svs), lp in zip(sides, pages):
+            hkv, d = sk.shape[1], sk.shape[3]
+            kv_k = sk.transpose(0, 2, 1, 3).reshape(n, hkv, d)
+            kv_v = sv.transpose(0, 2, 1, 3).reshape(n, hkv, d)
+            kpg = lp.k.at[:, page, off].set(kv_k.transpose(1, 0, 2))
+            vpg = lp.v.at[:, page, off].set(kv_v.transpose(1, 0, 2))
+            kspg, vspg = lp.k_scale, lp.v_scale
+            if sks is not None:
+                s_k = sks.transpose(0, 2, 1).reshape(n, hkv)
+                s_v = svs.transpose(0, 2, 1).reshape(n, hkv)
+                if kspg.ndim == 4:  # folded >128-token scale pages
+                    idx = (slice(None), page, off // 128, off % 128)
+                else:
+                    idx = (slice(None), page, off)
+                kspg = kspg.at[idx].set(jnp.swapaxes(s_k, 0, 1))
+                vspg = vspg.at[idx].set(jnp.swapaxes(s_v, 0, 1))
+            out.append(
+                LayerPages(k=kpg, v=vpg, k_scale=kspg, v_scale=vspg)
+            )
+        return out
+
+    def _burst_impl_side(
+        self, params, pages, tables, tokens, positions, active, remaining,
+        eos_ids, key, *, n_steps: int, sp: SamplingParams,
+        want_lp: bool = False,
+    ):
+        """Jitted side-buffer burst: the page pool stays INVARIANT for the
+        whole scan (the per-step page scatter of ``_burst_impl`` feeds the
+        paged pallas kernel, so XLA silently COPIES every pool array each
+        step — copy cost scales with POOL bytes, the same trap the slots
+        backend shed in round 5).  Each step appends its quantized tokens
+        to a small per-layer side buffer with one shared-row
+        dynamic_update_slice (the only write form that stays in place
+        through a pallas consumer — benchmarks/append_probe.py), the
+        paged kernel attends cache-prefix pages + side buffer, and
+        ``_flush_side_pages`` persists the side tokens ONCE after the
+        scan."""
+        from ..ops.paged import MASK_VALUE, paged_decode_attention
+
+        cfg = self.cfg
+        batch = self.num_slots
+        hkv, d = cfg.num_kv_heads, cfg.head_dim
+        base = positions
+        tpad = round_up(n_steps, 8)
+        cdt = pages[0].k.dtype
+        quantized = pages[0].k_scale is not None
+        zk = jnp.zeros((batch, hkv, tpad, d), cdt)
+        ones = (
+            jnp.ones((batch, hkv, tpad), jnp.float32) if quantized else None
+        )
+        sides0 = [(zk, zk, ones, ones) for _ in range(cfg.num_layers)]
+        smask0 = jnp.full((batch, tpad), MASK_VALUE, jnp.float32)
+
+        def one(carry, t):
+            sides, smask, toks, pos, active, remaining, key = carry
+            # Current tokens become visible to themselves via the side
+            # mask (the scatter path's append-then-attend semantics).
+            smask = jax.lax.dynamic_update_slice(
+                smask,
+                jnp.where(active, 0.0, MASK_VALUE).astype(jnp.float32)[
+                    :, None
+                ],
+                (0, t),
+            )
+            sides = list(sides)
+
+            def attend(idx, q, k_new, v_new):
+                lp = pages[idx]
+                kq, ks = self._quantize_new(
+                    k_new.astype(jnp.float32), lp.k.dtype
+                )
+                vq, vs = self._quantize_new(
+                    v_new.astype(jnp.float32), lp.k.dtype
+                )
+                sk, sv, sks, svs = sides[idx]
+                sk = jax.lax.dynamic_update_slice(
+                    sk, kq[:, :, None, :], (0, 0, t, 0)
+                )
+                sv = jax.lax.dynamic_update_slice(
+                    sv, vq[:, :, None, :], (0, 0, t, 0)
+                )
+                if quantized:
+                    sks = jax.lax.dynamic_update_slice(
+                        sks, ks[:, :, None], (0, 0, t)
+                    )
+                    svs = jax.lax.dynamic_update_slice(
+                        svs, vs[:, :, None], (0, 0, t)
+                    )
+                sides[idx] = (sk, sv, sks, svs)
+                side = {"k": sk, "v": sv, "mask": smask}
+                if quantized:
+                    side["ks"], side["vs"] = sks, svs
+                return paged_decode_attention(
+                    q.astype(jnp.bfloat16), lp.k, lp.v, base, tables,
+                    k_scale_pages=lp.k_scale, v_scale_pages=lp.v_scale,
+                    pages_per_block=self._pages_per_block, side=side,
+                )
+
+            logits = llama.forward_decode(params, toks, pos, cfg, attend)
+            pos = pos + active.astype(jnp.int32)
+            key, sub = jax.random.split(key)
+            skey = None if sp.temperature == 0.0 else sub
+            if want_lp:
+                nxt, lp_ = sample_with_logprob(logits, sp, skey)
+            else:
+                nxt = sample(logits, sp, skey)
+                lp_ = jnp.zeros(nxt.shape, jnp.float32)
+            emitted = active
+            nxt = jnp.where(active, nxt, toks)
+            remaining = remaining - active.astype(jnp.int32)
+            hit_eos = jnp.logical_and(nxt == eos_ids, eos_ids >= 0)
+            active = jnp.logical_and(
+                active, jnp.logical_and(~hit_eos, remaining > 0)
+            )
+            return (
+                (sides, smask, nxt, pos, active, remaining, key),
+                (nxt, emitted, lp_),
+            )
+
+        carry0 = (sides0, smask0, tokens, base, active, remaining, key)
+        (sides, _, _, pos_f, *_), (toks, emits, lps) = jax.lax.scan(
+            one, carry0, jnp.arange(n_steps, dtype=jnp.int32)
+        )
+        pages = self._flush_side_pages(
+            pages, sides, tables, base, pos_f - base
+        )
+        if want_lp:
+            packed = jnp.stack(
+                [toks.astype(jnp.float32), emits.astype(jnp.float32), lps]
+            )
+        else:
+            packed = jnp.stack([toks, emits.astype(jnp.int32)])
+        return pages, packed
+
     def burst(
         self, params, tokens, active, remaining, eos_ids, key,
         n_steps: int, sp: SamplingParams, want_lp: bool,
+        host_active=None,
     ) -> np.ndarray:
         # Pre-reserve the burst horizon (no-op growth: admission already
         # reserved prompt + max_new_tokens, and the engine clamps n_steps
-        # to every request's remaining budget).
+        # to every request's remaining budget).  ``host_active``: the
+        # eager fetch-overlap burst passes DEVICE token/active arrays
+        # (engine._decode_burst_eager) — host bookkeeping must use its
+        # optimistic host mask, not fetch the device one element-wise.
+        act_h = host_active if host_active is not None else active
         for slot in range(self.num_slots):
-            if active[slot]:
+            if act_h[slot]:
                 self.alloc.allocate(
                     slot, int(self.alloc.lengths[slot]) + n_steps,
                     self.page_size,
                 )
-        jitted = self._burst_jits.get((n_steps, sp, want_lp))
+        # Side-buffer burst: page pool scan-invariant, one flush per
+        # burst.  Gated off for int4 pages (no scatter form / no side
+        # kernel path) and windowed models (the side block has no window
+        # term yet); those keep the per-step scatter burst.
+        from .. import config as qa_config
+
+        use_side = (
+            bool(qa_config.kernel.paged_side_burst)
+            and n_steps <= 128
+            and not self.kv_int4
+            and window_of(self.cfg) is None
+        )
+        jitted = self._burst_jits.get((n_steps, sp, want_lp, use_side))
         if jitted is None:
+            impl = self._burst_impl_side if use_side else self._burst_impl
             jitted = jax.jit(
                 functools.partial(
-                    self._burst_impl, n_steps=n_steps, sp=sp, want_lp=want_lp
+                    impl, n_steps=n_steps, sp=sp, want_lp=want_lp
                 ),
                 donate_argnums=_donate_args(1),
             )
-            self._burst_jits[(n_steps, sp, want_lp)] = jitted
+            self._burst_jits[(n_steps, sp, want_lp, use_side)] = jitted
         self.pages, packed = jitted(
             params, self.pages, jnp.asarray(self.alloc.tables),
             jnp.asarray(tokens), jnp.asarray(self.alloc.lengths),

@@ -211,6 +211,10 @@ class Engine:
         #: ~30 ms tunnel roundtrip rides under the next group's compute
         #: (VERDICT r4 weak #5).
         self._pending_prefill: Optional[tuple] = None
+        #: run_to_completion sets this so the LAST group's resolve defers
+        #: into the first decode burst (fetch overlap).
+        self._defer_last_resolve = False
+        self._eager_merge_jit = None
         self.finished: List[Request] = []
         self.last_token = np.zeros((num_slots,), np.int32)
         self._req_ids = itertools.count()
@@ -397,13 +401,26 @@ class Engine:
         scans over its pre-reserved page tables).
         """
         out: List[Request] = []
-        with self._trace_cfg():
-            while self.waiting or self.prefilling or self.active:
-                n = self._burst_size(decode_burst)
-                if n > 1:
-                    out.extend(self._decode_burst(n))
-                else:
-                    out.extend(self._step_inner())
+        # Defer the LAST prefill group's first-token resolve so the burst
+        # driver can overlap its fixed ~30-38 ms fetch with the first
+        # decode burst's compute (_decode_burst_eager).
+        self._defer_last_resolve = bool(
+            decode_burst and decode_burst > 1 and self.draft_params is None
+        )
+        try:
+            with self._trace_cfg():
+                while self.waiting or self.prefilling or self.active:
+                    n = self._burst_size(decode_burst)
+                    if n > 1:
+                        out.extend(self._decode_burst(n))
+                        continue
+                    n = self._eager_burst_size(decode_burst)
+                    if n > 1:
+                        out.extend(self._decode_burst_eager(n))
+                    else:
+                        out.extend(self._step_inner())
+        finally:
+            self._defer_last_resolve = False
         return out
 
     def _burst_size(self, decode_burst: Optional[int]) -> int:
@@ -538,8 +555,11 @@ class Engine:
         self._pending_prefill = pending
         if not any(not r.dispatched for r in self.prefilling):
             # No further group to overlap with: resolve now (same-step
-            # activation, the pre-pipelining semantics).
-            self._resolve_pending_prefill()
+            # activation, the pre-pipelining semantics) — unless the
+            # burst driver asked to defer so the fetch can ride behind
+            # the first decode burst (_decode_burst_eager).
+            if not getattr(self, "_defer_last_resolve", False):
+                self._resolve_pending_prefill()
 
     def _dispatch_whole_batch(self, reqs: List[Request], padded: int):
         """Submit one batched prefill forward for same-bucket prompts plus
@@ -676,6 +696,108 @@ class Engine:
             self.params, self.last_token, active_mask, remaining, eos, sub,
             n, sp, want_lp,
         )
+        return self._parse_burst_trace(packed, want_lp, n)
+
+    def _eager_burst_size(self, decode_burst: Optional[int]) -> int:
+        """Burst size when the only thing standing between a pure-decode
+        phase and the pending LAST prefill group is its first-token
+        fetch: > 1 means _decode_burst_eager can merge the group's
+        device-resident first tokens into the burst's inputs on device
+        and resolve the fetch AFTER the burst is submitted."""
+        if not decode_burst or decode_burst <= 1:
+            return 1
+        if self.draft_params is not None:
+            return 1
+        if self.waiting or self._pending_prefill is None:
+            return 1
+        if any(not r.dispatched for r in self.prefilling):
+            return 1  # more groups to dispatch: normal pipelining covers
+        live = [
+            r for r in self._pending_prefill[0]
+            if not r.done and r in self.prefilling
+        ]
+        if not live:
+            return 1
+        allr = list(self.active.values()) + live
+        if len({r.sampling for r in allr}) != 1:
+            return 1
+        n = decode_burst
+        for r in self.active.values():
+            n = min(n, r.max_new_tokens - len(r.output),
+                    self.max_len - len(r.prompt) - len(r.output))
+        for r in live:
+            # The group's first token precedes the burst's steps.
+            n = min(n, r.max_new_tokens - 1,
+                    self.max_len - len(r.prompt) - 1)
+        return max(n, 1)
+
+    def _decode_burst_eager(self, n: int) -> List[Request]:
+        """Overlap the LAST prefill group's first-token fetch with the
+        first decode burst: the pending group's device-resident first
+        tokens feed the burst's initial tokens via an on-device merge
+        (EOS-struck / zero-budget pending slots deactivate on device,
+        no host roundtrip), the burst is submitted, and only then is
+        the group's long-since-computed fetch resolved — the fixed
+        ~30-38 ms tunnel roundtrip rides behind the burst's compute
+        instead of idling the chip (engine_prefill_probe.py measured
+        one such fetch per round as the residual engine-vs-bare-forward
+        prefill gap)."""
+        reqs_p, firsts, flps = self._pending_prefill
+        self._pending_prefill = None
+        live = [
+            (i, r) for i, r in enumerate(reqs_p)
+            if not r.done and r in self.prefilling
+        ]
+        for _, r in live:
+            self.prefilling.remove(r)
+            r.prefill_pos = len(r.prompt)
+            self.stats["prefill_tokens"] += len(r.prompt)
+            self.active[r.slot] = r  # optimistic activation
+        sp = next(iter(self.active.values())).sampling
+        want_lp = any(r.logprobs for r in self.active.values())
+        active_mask = self._active_mask()
+        eos = np.full((self.num_slots,), -1, np.int32)
+        remaining = np.zeros((self.num_slots,), np.int32)
+        pend = {r.slot for _, r in live}
+        for slot, req in self.active.items():
+            eos[slot] = -1 if req.eos_id is None else req.eos_id
+            remaining[slot] = req.max_new_tokens - len(req.output) - (
+                1 if slot in pend else 0
+            )
+        if self._eager_merge_jit is None:
+
+            def _merge(last, act, firsts, slots, eos, rem):
+                last = last.at[slots].set(firsts.astype(last.dtype))
+                hit = jnp.logical_and(last == eos, eos >= 0)
+                ok = jnp.logical_and(rem > 0, ~hit)
+                is_pend = jnp.zeros_like(act).at[slots].set(True)
+                return last, jnp.where(is_pend, ok, act)
+
+            self._eager_merge_jit = jax.jit(_merge)
+        tokens_d, active_d = self._eager_merge_jit(
+            jnp.asarray(self.last_token), jnp.asarray(active_mask),
+            jnp.asarray(firsts).reshape(-1),
+            jnp.asarray([r.slot for _, r in live], jnp.int32),
+            jnp.asarray(eos), jnp.asarray(remaining),
+        )
+        self._key, sub = jax.random.split(self._key)
+        packed = self._backend.burst(
+            self.params, tokens_d, active_d, remaining, eos, sub, n, sp,
+            want_lp, host_active=active_mask,
+        )
+        # The burst's fetch just completed, so the group's first tokens
+        # (queued long before it) are free to read now.
+        firsts_h = np.asarray(firsts).reshape(-1)
+        flps_h = np.asarray(flps).reshape(-1) if flps is not None else None
+        finished: List[Request] = []
+        for i, r in live:
+            lp = float(flps_h[i]) if flps_h is not None else None
+            if self._emit(r, int(firsts_h[i]), lp=lp):
+                finished.append(r)
+        finished.extend(self._parse_burst_trace(packed, want_lp, n))
+        return finished
+
+    def _parse_burst_trace(self, packed, want_lp: bool, n: int):
         if want_lp:
             toks = packed[0].astype(np.int32)
             emits = packed[1] != 0.0

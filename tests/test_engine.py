@@ -413,6 +413,28 @@ def test_engine_decode_burst_matches_per_step(params):
     assert rb.done and rb.output == r_ref.output[:5]
 
 
+def test_engine_eager_burst_first_token_eos(params):
+    """Eager fetch-overlap burst (_decode_burst_eager): the LAST prefill
+    group's first tokens feed the burst on device and the fetch resolves
+    after submission — the schedule must match per-step exactly,
+    including a request whose FIRST token hits EOS (deactivated by the
+    on-device merge; no burst emissions for its slot)."""
+    prompt = [3, 17, 42, 99, 7]
+    ref_eng = Engine(params, CFG, num_slots=2, max_len=256,
+                     cache_dtype=jnp.bfloat16)
+    r_ref = ref_eng.submit(prompt, max_new_tokens=9)
+    ref_eng.run_to_completion()
+    t0 = r_ref.output[0]
+
+    eng = Engine(params, CFG, num_slots=2, max_len=256,
+                 cache_dtype=jnp.bfloat16)
+    ra = eng.submit(prompt, max_new_tokens=9)
+    rb = eng.submit(prompt, max_new_tokens=9, eos_id=t0)
+    eng.run_to_completion(decode_burst=4)
+    assert ra.done and ra.output == r_ref.output
+    assert rb.done and rb.output == [t0]
+
+
 def test_engine_int4_cache_close_to_reference(params):
     """Packed-int4 KV cache (kv_int4=True): coarser than int8 but a short
     greedy horizon should still mostly agree with the exact decode; also

@@ -434,3 +434,129 @@ def test_engine_paged_ps256_matches_ps128():
     # page sizes); later tokens go through the CPU-nondeterministic paged
     # decode (CLAUDE.md) and are not compared.
     assert outs[128] == outs[256]
+
+
+def _side_oracle(q, kc, vc, side_kf, side_vf, n_side, b):
+    """fp32 SDPA over cache prefix + the slot's valid side tokens."""
+    k_all = jnp.concatenate([kc, jnp.asarray(side_kf[b, :, :n_side])], axis=1)
+    v_all = jnp.concatenate([vc, jnp.asarray(side_vf[b, :, :n_side])], axis=1)
+    return sdpa_reference(
+        q[b][None, :, None, :], k_all[None], v_all[None]
+    )[0, :, 0, :]
+
+
+@pytest.mark.parametrize("use_dma", [True, False])
+def test_paged_side_buffer_int8(use_dma):
+    """Burst side buffer: the kernel attends cache-prefix pages + a
+    (B, Hkv, Tpad, D) side buffer of this burst's appended tokens, so the
+    page pool can stay scan-invariant across a decode burst
+    (serving/backends.PagedBackend._burst_impl_side).  Oracle: fp32 SDPA
+    over the dequantized prefix + each slot's valid side prefix."""
+    from quantumattention_tpu.ops.paged import MASK_VALUE
+    from quantumattention_tpu.ops.quant import dynamically_quantize_int8
+
+    B, Hkv, pages_per_seq, page_size, D = 3, 2, 4, 128, 128
+    Hq = Hkv * 4
+    tpad = 8
+    k_pages, v_pages, table = make_paged(B, Hkv, pages_per_seq, page_size, D, seed=5)
+    q = jax.random.normal(jax.random.PRNGKey(6), (B, Hq, D), jnp.float32)
+    lengths = jnp.array([300, 130, 0], jnp.int32)
+    n_side = np.array([5, 3, 0])
+
+    k8, ks = dynamically_quantize_int8(k_pages, reduction_dim=-1)
+    v8, vs = dynamically_quantize_int8(v_pages, reduction_dim=-1)
+
+    kf, vf = jax.random.normal(
+        jax.random.PRNGKey(7), (2, B, Hkv, tpad, D), jnp.float32
+    )
+    sk8, sks = dynamically_quantize_int8(kf, reduction_dim=-1)
+    sv8, svs = dynamically_quantize_int8(vf, reduction_dim=-1)
+    mask = jnp.where(
+        jnp.arange(tpad)[None, :] < jnp.asarray(n_side)[:, None],
+        0.0, MASK_VALUE,
+    ).astype(jnp.float32)
+
+    out = paged_decode_attention(
+        q.astype(jnp.bfloat16), k8, v8, lengths, table,
+        k_scale_pages=ks, v_scale_pages=vs, pages_per_block=2,
+        use_dma=use_dma,
+        side={"k": sk8, "v": sv8, "ks": sks, "vs": svs, "mask": mask},
+    )
+
+    side_kf = np.asarray(sk8, np.float32) * np.asarray(sks)[..., None]
+    side_vf = np.asarray(sv8, np.float32) * np.asarray(svs)[..., None]
+    for b in range(B):
+        n = int(lengths[b])
+        if n == 0:
+            # Zero-length slots return exact zeros by contract even with
+            # valid side columns (the engine never bursts unprefilled
+            # slots).
+            np.testing.assert_array_equal(np.asarray(out[b]), 0.0)
+            continue
+        kc = jnp.asarray(gather_contiguous(k_pages, table, b)[:, :n])
+        vc = jnp.asarray(gather_contiguous(v_pages, table, b)[:, :n])
+        ref = _side_oracle(q, kc, vc, side_kf, side_vf, int(n_side[b]), b)
+        assert rmse(out[b], ref) < RMSE_TOL, f"seq {b}"
+
+
+def test_paged_side_buffer_bf16():
+    """Unquantized pages + side buffer (no scales) through both paths."""
+    from quantumattention_tpu.ops.paged import MASK_VALUE
+
+    B, Hkv, pages_per_seq, page_size, D = 2, 2, 4, 128, 128
+    Hq = Hkv * 2
+    tpad = 8
+    k_pages, v_pages, table = make_paged(B, Hkv, pages_per_seq, page_size, D, seed=8)
+    q = jax.random.normal(jax.random.PRNGKey(9), (B, Hq, D), jnp.float32)
+    lengths = jnp.array([200, 128], jnp.int32)
+    n_side = np.array([8, 1])
+    kf, vf = jax.random.normal(
+        jax.random.PRNGKey(10), (2, B, Hkv, tpad, D), jnp.float32
+    )
+    mask = jnp.where(
+        jnp.arange(tpad)[None, :] < jnp.asarray(n_side)[:, None],
+        0.0, MASK_VALUE,
+    ).astype(jnp.float32)
+    for use_dma in (True, False):
+        out = paged_decode_attention(
+            q.astype(jnp.bfloat16),
+            k_pages.astype(jnp.bfloat16), v_pages.astype(jnp.bfloat16),
+            lengths, table, pages_per_block=2, use_dma=use_dma,
+            side={
+                "k": kf.astype(jnp.bfloat16), "v": vf.astype(jnp.bfloat16),
+                "mask": mask,
+            },
+        )
+        for b in range(B):
+            n = int(lengths[b])
+            kc = jnp.asarray(gather_contiguous(k_pages, table, b)[:, :n])
+            vc = jnp.asarray(gather_contiguous(v_pages, table, b)[:, :n])
+            ref = _side_oracle(q, kc, vc, kf, vf, int(n_side[b]), b)
+            assert rmse(out[b], ref) < RMSE_TOL, f"dma={use_dma} seq {b}"
+
+
+def test_paged_side_buffer_validation():
+    from quantumattention_tpu.ops.paged import MASK_VALUE
+
+    B, Hkv, pages_per_seq, page_size, D = 2, 2, 4, 128, 128
+    k_pages, v_pages, table = make_paged(B, Hkv, pages_per_seq, page_size, D)
+    q = jnp.zeros((B, Hkv, D), jnp.bfloat16)
+    lengths = jnp.array([10, 10], jnp.int32)
+    side = {
+        "k": jnp.zeros((B, Hkv, 8, D), jnp.bfloat16),
+        "v": jnp.zeros((B, Hkv, 8, D), jnp.bfloat16),
+        "mask": jnp.full((B, 8), MASK_VALUE, jnp.float32),
+    }
+    kb, vb = k_pages.astype(jnp.bfloat16), v_pages.astype(jnp.bfloat16)
+    with pytest.raises(ValueError, match="sliding window"):
+        paged_decode_attention(
+            q, kb, vb, lengths, table, window=(16, 0), side=side,
+        )
+    with pytest.raises(ValueError, match="single-token"):
+        paged_decode_attention(
+            q[:, :, None, :].repeat(2, axis=2), kb, vb, lengths, table,
+            side=side,
+        )
+    bad = dict(side, k=side["k"][:, :, :7])
+    with pytest.raises(ValueError, match="side buffer shape"):
+        paged_decode_attention(q, kb, vb, lengths, table, side=bad)
