@@ -324,18 +324,30 @@ class DecodeCtx:
 
 
 def build_decode_ctx(
-    positions: jax.Array, active_mask: jax.Array, s_max: int, bkv: int
+    positions: jax.Array, active_mask: jax.Array, s_max: int, bkv: int,
+    window_left: Optional[int] = None,
 ) -> Dict[str, jax.Array]:
     """Per-step arrays shared by every layer's mega-kernel call: the
     ragged column mask, the empty-row zero mask, and the valid-block
     count — all over the POST-append lengths (positions + active: the
-    caller scatters the current token before the kernel runs)."""
+    caller scatters the current token before the kernel runs).
+
+    ``window_left``: sliding-window extent (cfg.window - 1).  The window
+    bound rides the SAME additive column mask the ragged bound uses —
+    the kernel needs no window code at all (masked blocks still stream,
+    so window models pay full-cache DMA; the win is the fused tail, not
+    block skip)."""
     batch = positions.shape[0]
     lengths = positions + active_mask.astype(jnp.int32)
     cols = jnp.arange(s_max, dtype=jnp.int32)[None, :]
-    cmask = jnp.where(
-        cols < lengths[:, None], 0.0, MASK_VALUE
-    ).astype(jnp.float32)  # (B, S)
+    keep = cols < lengths[:, None]
+    if window_left is not None:
+        # Query position is lengths - 1; HF convention window=w sees
+        # exactly w keys including self (backends.window_of).
+        keep = jnp.logical_and(
+            keep, cols >= (lengths - 1 - window_left)[:, None]
+        )
+    cmask = jnp.where(keep, 0.0, MASK_VALUE).astype(jnp.float32)  # (B, S)
     auxz = jnp.broadcast_to(
         (lengths > 0).astype(jnp.float32)[:, None], (batch, NUM_LANES)
     )
@@ -368,7 +380,14 @@ def megastep_supported(
         return False
     if flag != "force" and checks.resolve_interpret(config.interpret):
         return False
-    if cfg.window is not None or cfg.qkv_bias or cfg.num_experts > 0:
+    if cfg.qkv_bias or cfg.num_experts > 0:
+        return False
+    if cfg.window is not None and cfg.window - 1 < side_tokens:
+        # Window models route via the additive column mask
+        # (build_decode_ctx window_left).  Burst mode additionally needs
+        # every side column inside the window for every step (the side
+        # mask has no window term): window - 1 >= Tpad guarantees it.
+        # Real window models (Mistral: 4096) clear this by far.
         return False
     if cfg.head_dim != 128 or cfg.dtype != jnp.bfloat16:
         return False

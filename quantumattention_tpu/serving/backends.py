@@ -307,7 +307,10 @@ class SlotsBackend:
         G, Hkv, D = cfg.num_q_heads, cfg.num_kv_heads, cfg.head_dim
         nval = active_mask.astype(jnp.int32)
         bkv = mega._pick_bkv(self.max_len, batch, D, Hkv)
-        ctx = mega.build_decode_ctx(positions, active_mask, self.max_len, bkv)
+        wl = cfg.window - 1 if cfg.window is not None else None
+        ctx = mega.build_decode_ctx(
+            positions, active_mask, self.max_len, bkv, window_left=wl
+        )
 
         cos, sin = llama.rope_table(positions, D, cfg.rope_theta)
         cosb, sinb = cos[:, None, :], sin[:, None, :]
@@ -441,6 +444,7 @@ class SlotsBackend:
         G, Hkv, D = cfg.num_q_heads, cfg.num_kv_heads, cfg.head_dim
         base = caches[0].lengths
         bkv = mega._pick_bkv(self.max_len, batch, D, Hkv)
+        wl = cfg.window - 1 if cfg.window is not None else None
         cols = jnp.arange(self.max_len, dtype=jnp.int32)[None, :]
         cmask = jnp.where(
             cols < base[:, None], 0.0, mega.MASK_VALUE
@@ -469,7 +473,21 @@ class SlotsBackend:
                 (lengths_now > 0).astype(jnp.float32)[:, None],
                 (batch, 128),
             )
-            ctx = {"cmask": cmask, "auxz": auxz, "nblk": nblk,
+            if wl is None:
+                cmask_t = cmask
+            else:
+                # Sliding window: the lower bound tracks the CURRENT
+                # query position, so the cache mask is rebuilt per step
+                # (cheap XLA elementwise; side columns are in-window by
+                # the megastep_supported gate, window - 1 >= Tpad).
+                cmask_t = jnp.where(
+                    jnp.logical_and(
+                        cols < base[:, None],
+                        cols >= (lengths_now - 1 - wl)[:, None],
+                    ),
+                    0.0, mega.MASK_VALUE,
+                ).astype(jnp.float32)
+            ctx = {"cmask": cmask_t, "auxz": auxz, "nblk": nblk,
                    "ctx": mega.DecodeCtx(bkv)}
             cos, sin = llama.rope_table(positions, D, cfg.rope_theta)
             cosb, sinb = cos[:, None, :], sin[:, None, :]

@@ -137,9 +137,14 @@ def test_megastep_gate_rejects_unsupported():
     )
     be = SlotsBackend(cfg, num_slots=16, max_len=128, cache_dtype=jnp.int8)
     with config.patch({"kernel.megastep": "force"}):
-        # windowed configs fall back
+        # windowed configs route per-step (window rides the additive
+        # column mask), but a burst whose side buffer could outgrow the
+        # window falls back
         wcfg = dataclasses.replace(cfg, window=32)
-        assert not mega.megastep_supported(wcfg, params, be.caches[0], 16)
+        assert mega.megastep_supported(wcfg, params, be.caches[0], 16)
+        assert not mega.megastep_supported(
+            wcfg, params, be.caches[0], 16, side_tokens=64
+        )
         # bf16 cache (no scales) falls back
         be_bf = SlotsBackend(
             cfg, num_slots=16, max_len=128, cache_dtype=jnp.bfloat16
@@ -279,3 +284,72 @@ def test_megastep_burst_first_tokens_match_step():
         )
     first_step = np.asarray(jnp.argmax(logits, -1))
     assert (first_burst != first_step).sum() <= 1, (first_burst, first_step)
+
+
+def test_megastep_window_matches_unfused_decode():
+    """Sliding-window (Mistral-style) decode through the mega kernel:
+    the window bound rides build_decode_ctx's additive column mask (no
+    kernel change), so fused logits must match the unfused windowed
+    decode step on lengths straddling the window extent."""
+    cfg = _cfg(window=40)
+    params = quantized.fuse_projections(
+        quantized.init_quantized_params(jax.random.PRNGKey(0), cfg)
+    )
+    lengths = [5, 37, 127, 0, 39, 40, 41, 90] + [64] * 8
+    tokens = np.arange(16, dtype=np.int32) % cfg.vocab_size
+    active = np.ones(16, bool)
+    active[3] = False
+
+    be_a = SlotsBackend(cfg, num_slots=16, max_len=128, cache_dtype=jnp.int8)
+    be_b = SlotsBackend(cfg, num_slots=16, max_len=128, cache_dtype=jnp.int8)
+    _fill_caches(be_a, lengths, seed=11)
+    _fill_caches(be_b, lengths, seed=11)
+
+    with config.patch({"kernel.megastep": "force"}):
+        assert mega.megastep_supported(cfg, params, be_a.caches[0], 16)
+    caches_ref, logits_ref = _step(be_a, params, tokens, active, False)
+    caches_mega, logits_mega = _step(be_b, params, tokens, active, "force")
+
+    scale = max(float(np.std(logits_ref)), 1e-6)
+    rmse = float(np.sqrt(np.mean((logits_mega - logits_ref) ** 2))) / scale
+    assert rmse < 1e-2, f"relative logit rmse {rmse}"
+    for cr, cm in zip(caches_ref, caches_mega):
+        np.testing.assert_array_equal(cr.lengths, cm.lengths)
+
+
+def test_megastep_window_burst_schedule_matches_unfused():
+    """Windowed mega BURST (per-step rebuilt cache mask, side columns
+    in-window by the gate): same emit schedule and final lengths as the
+    unfused windowed burst; first tokens match up to one near-tie."""
+    cfg = _cfg(window=48)
+    params = quantized.fuse_projections(
+        quantized.init_quantized_params(jax.random.PRNGKey(0), cfg)
+    )
+    base_lengths = [5, 46, 101, 1] + [30] * 12
+    from quantumattention_tpu.serving.sampling import SamplingParams
+
+    def run(flag):
+        be = SlotsBackend(cfg, num_slots=16, max_len=128,
+                          cache_dtype=jnp.int8)
+        _fill_caches(be, base_lengths, seed=13)
+        tokens = np.arange(16, dtype=np.int32)
+        with config.patch({"kernel.megastep": flag}):
+            if flag == "force":
+                assert mega.megastep_supported(
+                    cfg, params, be.caches[0], 16, side_tokens=8,
+                )
+            packed = be.burst(
+                params, tokens, np.ones(16, bool),
+                np.full(16, 5, np.int32), np.full(16, -1, np.int32),
+                jax.random.PRNGKey(7), 4, SamplingParams(), False,
+            )
+        return be, packed
+
+    be_m, packed_m = run("force")
+    be_u, packed_u = run(False)
+    np.testing.assert_array_equal(packed_m[1], packed_u[1])
+    np.testing.assert_array_equal(
+        np.asarray(be_m.caches[0].lengths),
+        np.asarray(be_u.caches[0].lengths),
+    )
+    assert (packed_m[0][0] != packed_u[0][0]).sum() <= 1
